@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the LLM-data-pipeline extensions
+  * (SURVEY.md §2.11): tokenization, shingling, MinHash signatures, SimHash,
+  * quality scoring, fingerprinting. All pure column expressions (built-in
+  * higher-order functions) — codegen-friendly, no UDFs, no driver loops —
+  * so each scales as a map-only stage until the dedup groupBy/join.
+  *
+  * Cross-engine determinism: MinHash uses md5 (identical in Spark and
+  * DuckDB) rather than xxhash64 (engine-specific), so LSH signatures are
+  * oracle-verifiable. A 64-bit xxhash64 variant is provided for the
+  * performance path.
+  */
+object TextFns {
+
+  /** Whitespace tokenization, empty tokens dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** k-word shingles (contiguous token n-grams), distinct. Documents
+    * shorter than k tokens yield an empty set (sequence() would otherwise
+    * count downward and fabricate null-padded shingles). */
+  def shingles(ws: Column, k: Int): Column =
+    when(size(ws) >= k,
+      array_distinct(
+        transform(sequence(lit(0), size(ws) - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** MinHash signature over a shingle set: `n` independent permutations
+    * simulated by seeded md5; min taken lexicographically (md5 output is
+    * uniformly distributed hex, so lexicographic min ≈ uniform min-hash). */
+  def minhashSignature(shingleSet: Column, n: Int): Column =
+    transform(sequence(lit(0), lit(n - 1)),
+      j => array_min(transform(shingleSet,
+        sh => md5(concat(j.cast("string"), lit("|"), sh)))))
+
+  /** LSH band keys: group `rowsPerBand` adjacent signature rows per band and
+    * hash them; docs sharing any band key are near-dup candidates. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        md5(concat_ws("#",
+          (0 until rowsPerBand).map(r =>
+            element_at(sig, b * rowsPerBand + r + 1)): _*)).as("bkey")))
+
+  /** Fast 64-bit MinHash signature (performance path, not oracle-matched). */
+  def minhashSignature64(shingleSet: Column, n: Int): Column =
+    transform(sequence(lit(0), lit(n - 1)),
+      j => array_min(transform(shingleSet, sh => xxhash64(j, sh))))
+
+  /** SimHash-64 over a token set: per bit, sign of Σ(+1/-1) weighted by
+    * whether that bit of xxhash64(token) is set. Bits are unrolled at plan
+    * build time (static 0..63) so every shift amount is a literal. */
+  def simhash64(ws: Column): Column = {
+    val uniq = array_distinct(ws)
+    val bitCols = (0 until 64).map { b =>
+      val vote = aggregate(uniq, lit(0), (acc, w) =>
+        acc + when(shiftright(xxhash64(w), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact-dup fingerprint: md5 of the full text. */
+  def contentHash(text: Column): Column = md5(text)
+
+  /** Prefix fingerprint: md5 of the first k tokens (cheap clustering key). */
+  def prefixFingerprint(ws: Column, k: Int): Column =
+    md5(concat_ws(" ", slice(ws, 1, k)))
+
+  /** Jaccard similarity between two (distinct) shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Stopword-hit count (quality signal). */
+  def stopwordCount(ws: Column, stops: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(stops)))
+
+  /** Heuristic language ID over a token array: argmax of per-language
+    * marker-token hit counts; falls back to 'und'. */
+  def langIdHeuristic(ws: Column, markers: Map[String, Seq[String]]): Column = {
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      struct(size(filter(ws, w => w.isInCollection(ms))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

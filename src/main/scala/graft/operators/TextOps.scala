@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.functions.{TextFns => T}
+
+/** Text-analysis and deduplication operators over the `documents` table —
+  * the LLM-training-data-pipeline extensions (SURVEY.md §2.11).
+  *
+  * Scale posture: everything before a dedup groupBy/join is map-only
+  * (tokenize/shingle/hash are per-row HOF expressions). MinHash-LSH turns
+  * the O(n²) near-dup problem into groupBy(band_key) — candidate pairs are
+  * generated only inside buckets, which is the standard web-scale design
+  * (cf. Broder's shingling + LSH banding). All hashes are md5 so the DuckDB
+  * oracle can reproduce signatures exactly.
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting (whitespace tokenization).
+    "q30_token_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("ws", T.tokens(col("text")))
+        .select(col("doc_id"), col("lang"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_m"),
+          (length(col("text")).cast("double") / size(col("ws"))).as("chars_per_token"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus word frequency — explode + count, the canonical shuffle-light
+    // aggregation (map-side partial combine on the word key).
+    "q31_word_freq" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(T.tokens(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(20)
+    }),
+
+    // Quality scoring: length/stopword signals → keep/flag label.
+    "q32_quality_score" -> ((s, d) => {
+      val ws = T.tokens(col("text"))
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(ws).cast("long"))
+        .withColumn("n_stop", T.stopwordCount(ws, stopwords).cast("long"))
+        .withColumn("stop_ratio",
+          col("n_stop").cast("double") / col("n_tokens"))
+        .withColumn("quality",
+          when(col("n_tokens") < 20, "too_short")
+            .when(col("stop_ratio") > 0.5, "boilerplate")
+            .otherwise("keep"))
+        .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+          col("stop_ratio"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact dedup: canonical representative (min doc_id) per full-text hash.
+    "q33_exact_dedup" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(T.contentHash(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_doc_id"))
+    }),
+
+    // Fingerprint (prefix) dedup: clusters docs sharing their first-5-token
+    // fingerprint — a cheap pre-clustering key for near-dup pipelines.
+    "q34_fingerprint_dedup" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("fp", T.prefixFingerprint(T.tokens(col("text")), 5))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 1)
+        .orderBy(col("fp"))
+    }),
+
+    // MinHash-LSH near-dup candidates: 3-word shingles → 8 md5 minhashes →
+    // 4 bands × 2 rows → docs sharing a band bucket. Only bucket-internal
+    // pairs are generated (no all-pairs cross join at any scale).
+    "q35_minhash_lsh" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .withColumn("shingles", T.shingles(T.tokens(col("text")), 3))
+        .filter(size(col("shingles")) > 0)
+        .withColumn("sig", T.minhashSignature(col("shingles"), 8))
+      val bands = sh.select(col("doc_id"),
+          explode(T.bandKeys(col("sig"), 4, 2)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      val a = bands.alias("a")
+      val b = bands.alias("b")
+      a.join(b, col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Per-language corpus profile.
+    "q36_lang_profile" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    }),
+
+    // N-gram (3-shingle) Jaccard similarity, LSH-bucketed: exact verify on
+    // LSH candidates only — the scalable two-phase near-dup plan.
+    "q37_jaccard_verify" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .withColumn("shingles", T.shingles(T.tokens(col("text")), 3))
+        .filter(size(col("shingles")) > 0)
+        .withColumn("sig", T.minhashSignature(col("shingles"), 8))
+      val bands = sh.select(col("doc_id"), col("shingles"),
+          explode(T.bandKeys(col("sig"), 4, 2)).as("bk"))
+        .select(col("doc_id"), col("shingles"),
+          col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      val a = bands.alias("a")
+      val b = bands.alias("b")
+      a.join(b, col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          T.jaccard(col("a.shingles"), col("b.shingles")).as("jaccard"))
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    }))
+
+  // DuckDB-side reproductions. Lists are 1-based in DuckDB, 1-based in
+  // Spark element_at — ranges are adjusted per dialect below.
+  private val duckTokens = "list_filter(string_split(text, ' '), w -> w <> '')"
+  private def duckShingles(ws: String) =
+    s"""CASE WHEN len($ws) >= 3 THEN list_distinct(list_transform(
+       range(1, len($ws) - 1),
+       i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2]))
+       ELSE [] END"""
+  private def duckSig(shingles: String) =
+    s"""list_transform(range(0, 8),
+       j -> list_min(list_transform($shingles,
+         s -> md5(CAST(j AS VARCHAR) || '|' || s))))"""
+
+  def oracle: Map[String, String] = Map(
+    "q30_token_stats" ->
+      s"""SELECT doc_id, lang,
+         len($duckTokens) AS n_tokens,
+         length(text) AS n_chars_m,
+         CAST(length(text) AS DOUBLE) / len($duckTokens) AS chars_per_token
+         FROM documents ORDER BY doc_id""",
+
+    "q31_word_freq" ->
+      s"""SELECT word, count(*) AS cnt FROM (
+           SELECT unnest($duckTokens) AS word FROM documents) t
+         GROUP BY word ORDER BY cnt DESC, word LIMIT 20""",
+
+    "q32_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS ws FROM documents),
+         m AS (SELECT doc_id, len(ws) AS n_tokens,
+           len(list_filter(ws,
+             w -> w IN ('the','a','of','and','to','in'))) AS n_stop
+           FROM t)
+         SELECT doc_id, n_tokens, n_stop,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+           CASE WHEN n_tokens < 20 THEN 'too_short'
+                WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.5 THEN 'boilerplate'
+                ELSE 'keep' END AS quality
+         FROM m ORDER BY doc_id""",
+
+    "q33_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""",
+
+    "q34_fingerprint_dedup" ->
+      s"""WITH t AS (SELECT doc_id,
+           md5(array_to_string(($duckTokens)[1:5], ' ')) AS fp
+           FROM documents)
+         SELECT fp, min(doc_id) AS keep_doc_id, count(*) AS n_docs
+         FROM t GROUP BY fp ORDER BY fp""",
+
+    "q35_minhash_lsh" ->
+      s"""WITH toks AS (
+           SELECT doc_id, $duckTokens AS ws FROM documents),
+         sh AS (
+           SELECT doc_id, ${duckShingles("ws")} AS shingles FROM toks),
+         sig AS (
+           SELECT doc_id, ${duckSig("shingles")} AS sig FROM sh
+           WHERE len(shingles) > 0),
+         bands AS (
+           SELECT doc_id, b AS band,
+             md5(sig[2*b + 1] || '#' || sig[2*b + 2]) AS bkey
+           FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""",
+
+    "q36_lang_profile" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+           count(DISTINCT source) AS n_sources
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q37_jaccard_verify" ->
+      s"""WITH toks AS (
+           SELECT doc_id, $duckTokens AS ws FROM documents),
+         sh AS (
+           SELECT doc_id, ${duckShingles("ws")} AS shingles FROM toks),
+         sig AS (
+           SELECT doc_id, shingles, ${duckSig("shingles")} AS sig FROM sh
+           WHERE len(shingles) > 0),
+         bands AS (
+           SELECT doc_id, shingles, b AS band,
+             md5(sig[2*b + 1] || '#' || sig[2*b + 2]) AS bkey
+           FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""")
+}

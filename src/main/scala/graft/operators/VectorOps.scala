@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+import graft.functions.{VectorFns => V}
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.11).
+  *
+  * Scale design: brute-force top-k is the correctness baseline — a
+  * broadcast of the (small) query set against a map-only scan of the
+  * corpus, then a per-query top-k window. The IVF variant prunes the scan
+  * with a coarse quantizer (centroid assignment) so each query probes only
+  * `nprobe` partitions — the standard billion-scale ANN layout; on a real
+  * cluster the corpus would be written bucketed by `cell` so a probe is a
+  * partition-pruned read, not a shuffle.
+  */
+object VectorOps {
+
+  /** Brute-force exact-decimal dot-product top-k (oracle-verified). */
+  def dotTopK(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id"), col("embedding"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("dot", V.dotExact(col("qv"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("dot"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Brute-force cosine top-k (double arithmetic — the fast path). */
+  def cosineTopK(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    c.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("sim", V.cosine(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** IVF-style ANN: coarse centroids = per-label mean vector (the label
+    * plays the role of a k-means cell id); each query probes the `nprobe`
+    * nearest cells and brute-forces only within them. */
+  def ivfTopK(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5,
+              nprobe: Int = 3): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    // centroid per cell: elementwise mean via posexplode + groupBy.
+    val cent = e.select(col("label").as("cell"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("cell"), transform(col("pairs"), p => p.getField("cx")).as("centroid"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // assign each query its nprobe nearest cells (centroid table is tiny).
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cdist"))
+    val probes = q.join(broadcast(cent))
+      .withColumn("cdist", V.l2(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .select(col("qid"), col("qv"), col("cell"))
+    // search only the probed cells.
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(probes), col("label") === col("cell") &&
+        col("vec_id") =!= col("qid"))
+      .withColumn("sim", V.cosine(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Embedding near-dup detection via random-hyperplane LSH bucketing,
+    * cosine-verified within buckets only (never all-pairs).
+    *
+    * The driver corpus has no natural near-dups (max pairwise cosine ≈ 0.51
+    * at sf0.01), so the query plants them deterministically: every 10th
+    * vector is re-added scaled by exactly 2.0f (id + 1e6). ×2 is exact in
+    * IEEE float — the copy's *direction* is bit-identical, every hyperplane
+    * projection doubles exactly, so its sign (and thus the LSH bucket) is
+    * provably unchanged → recall is exactly 1.0 and the result is the exact
+    * planted pair set, which makes the whole LSH pipeline oracle-checkable.
+    * Scale: candidate generation is a bucket-equijoin (shuffle on bucket),
+    * never a cross join; verification cost ∝ bucket collisions only. */
+  def cosineNearDup(s: SparkSession, d: String, bits: Int = 16,
+                    threshold: Double = 0.999): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val planted = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val corpus = e.select(col("vec_id"), col("embedding")).union(planted)
+      .withColumn("bucket", V.cosineLshBucket(col("embedding"), bits))
+    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
+      col("bucket"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
+      col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(V.cosine(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_dot_topk" -> ((s, d) => dotTopK(s, d)),
+    "q41_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
+    "q42_ann_ivf" -> ((s, d) => ivfTopK(s, d)),
+    "q43_embedding_neardup" -> ((s, d) => cosineNearDup(s, d)))
+
+  // Only the decimal-exact dot-product query is oracle-checked; cosine
+  // variants use IEEE double sums (order-sensitive, not cross-engine
+  // hashable) and are covered by ScalaTest invariants instead.
+  def oracle: Map[String, String] = Map(
+    "q40_dot_topk" ->
+      """WITH q AS (
+           SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id < 5),
+         flat_q AS (
+           SELECT qid, i, CAST(CAST(qv[i] AS VARCHAR) AS DECIMAL(18,9)) AS qx
+           FROM q, (SELECT unnest(range(1, 65)) AS i)),
+         flat_c AS (
+           SELECT vec_id, i,
+             CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,9)) AS cx
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+         dots AS (
+           SELECT qid, vec_id,
+             -- round() is half-away-from-zero = Spark's HALF_UP decimal
+             -- cast; DuckDB's own decimal downscale cast truncates, so the
+             -- explicit round must come first
+             CAST(CAST(round(sum(qx * cx), 12) AS DECIMAL(18,12)) AS DOUBLE)
+               AS dot
+           FROM flat_q JOIN flat_c USING (i)
+           WHERE vec_id <> qid
+           GROUP BY qid, vec_id),
+         ranked AS (
+           SELECT qid, vec_id, dot,
+             row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+               AS rank
+           FROM dots)
+         SELECT qid, vec_id, dot, rank FROM ranked
+         WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // LSH recall is provably exact for the ×2-scaled planted dups (see
+    // cosineNearDup scaladoc), so the oracle is simply the planted pair set.
+    "q43_embedding_neardup" ->
+      """SELECT CAST(vec_id AS BIGINT) AS id_a,
+                CAST(vec_id + 1000000 AS BIGINT) AS id_b
+         FROM embeddings WHERE vec_id % 10 = 0 ORDER BY 1""")
+}

@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * Design notes (100 TB posture):
+  *  - Plain `spark.read.parquet` keeps the scan declarative so Catalyst can
+  *    push filters / prune columns into the vectorized parquet reader; never
+  *    materialize or cache here.
+  *  - `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+  *    reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it under
+  *    `spark.sql.legacy.parquet.nanosAsLong` and truncate to microseconds —
+  *    exactly what DuckDB does when it casts TIMESTAMP_NS → TIMESTAMP — so
+  *    oracle comparisons agree. Integer `div` (not `/`) avoids the
+  *    double-precision loss on ~1.7e18 nanosecond values.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
+    case "events" =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case n =>
+      spark.read.parquet(s"$sfDir/$n.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFns => T}
+
+class TextFnsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("tokens drops empties") {
+    val r = Seq("a  b c ").toDF("t").select(T.tokens($"t").as("w"))
+      .collect()(0).getSeq[String](0)
+    assert(r == Seq("a", "b", "c"))
+  }
+
+  test("shingles: k-grams, distinct, short docs → empty") {
+    val df = Seq("a b c d", "a b").toDF("t").select(T.tokens($"t").as("w"))
+    val r = df.select(T.shingles($"w", 3).as("s")).collect().map(_.getSeq[String](0))
+    assert(r(0) == Seq("a b c", "b c d"))
+    assert(r(1).isEmpty)
+  }
+
+  test("jaccard: identical=1, disjoint=0") {
+    val df = Seq(("a b c", "a b c"), ("a b", "c d")).toDF("x", "y")
+      .select(T.shingles(T.tokens($"x"), 1).as("sx"),
+        T.shingles(T.tokens($"y"), 1).as("sy"))
+    val r = df.select(T.jaccard($"sx", $"sy").as("j")).collect().map(_.getDouble(0))
+    assert(r(0) == 1.0 && r(1) == 0.0)
+  }
+
+  test("minhash: identical docs → identical signatures; band keys collide") {
+    val df = Seq(("d1", "the quick brown fox jumps over the lazy dog"),
+      ("d2", "the quick brown fox jumps over the lazy dog"),
+      ("d3", "completely different content with other words entirely"))
+      .toDF("id", "t")
+      .select($"id", T.minhashSignature(T.shingles(T.tokens($"t"), 2), 8).as("sig"))
+    val sigs = df.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(sigs("d1") == sigs("d2"))
+    assert(sigs("d1") != sigs("d3"))
+  }
+
+  test("simhash: identical → hamming 0; different → large hamming") {
+    val df = Seq(("same words here ok", "same words here ok"),
+      ("same words here ok", "totally other tokens now"))
+      .toDF("x", "y")
+      .select(T.simhash64(T.tokens($"x")).as("hx"), T.simhash64(T.tokens($"y")).as("hy"))
+    val r = df.select(T.hamming64($"hx", $"hy").as("d")).collect()
+      .map(_.getAs[Number](0).longValue)
+    assert(r(0) == 0L)
+    assert(r(1) > 8L)
+  }
+
+  test("langIdHeuristic picks marker-majority language, und on no hits") {
+    val markers = Map("en" -> Seq("the", "and"), "es" -> Seq("el", "la"))
+    val df = Seq("the cat and the dog", "el gato la casa", "xyzzy plugh")
+      .toDF("t").select(T.langIdHeuristic(T.tokens($"t"), markers).as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "es", "und"))
+  }
+}

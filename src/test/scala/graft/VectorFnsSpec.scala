@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFns => V}
+
+class VectorFnsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val ab = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, -5.0f, 6.0f))).toDF("a", "b")
+
+  test("dot, dotExact, l2, norm agree with hand computation") {
+    val r = ab.select(
+      V.dot($"a", $"b").as("d"),
+      V.dotExact($"a", $"b").as("de"),
+      V.l2($"a", $"b").as("l2"),
+      V.norm($"a").as("n")).collect()(0)
+    assert(r.getDouble(0) == 12.0) // 4 - 10 + 18
+    assert(r.getDouble(1) == 12.0)
+    assert(math.abs(r.getDouble(2) - math.sqrt(9 + 49 + 9)) < 1e-12)
+    assert(math.abs(r.getDouble(3) - math.sqrt(14)) < 1e-12)
+  }
+
+  test("cosine: self=1, orthogonal=0, opposite=-1") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f)),
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 0f), Seq(-1f, 0f))).toDF("a", "b")
+      .select(V.cosine($"a", $"b").as("c"))
+    val r = df.collect().map(_.getDouble(0))
+    assert(math.abs(r(0) - 1.0) < 1e-12)
+    assert(math.abs(r(1)) < 1e-12)
+    assert(math.abs(r(2) + 1.0) < 1e-12)
+  }
+
+  test("cosineLshBucket: exact-×2-scaled vector lands in the same bucket (recall proof)") {
+    val base = Seq(0.3f, -0.7f, 0.12f, 0.99f, -0.01f, 0.5f, -0.25f, 0.8f)
+    val df = Seq(base, base.map(_ * 2.0f), base.map(x => -x)).toDF("v")
+      .select(V.cosineLshBucket($"v", 16).as("b"))
+    val r = df.collect().map(_.getLong(0))
+    assert(r(0) == r(1))   // scaled copy: identical bucket, always
+    assert(r(0) != r(2))   // antipode: different bucket (all bits flip)
+  }
+
+  test("dotExact is the exact decimal sum regardless of float noise order") {
+    // 64-dim vectors from the real table: exact-decimal dot must equal
+    // numpy-style fold within 1e-9 (it IS exact, double cast at the end)
+    val e = graft.sources.Tables.embeddings(spark, sf).limit(2)
+      .select($"embedding").collect().map(_.getSeq[Float](0))
+    // dotExact casts float→string→decimal (shortest round-trip repr), so
+    // the reference computation mirrors that via Float.toString
+    val expected = e(0).zip(e(1)).map { case (x, y) =>
+      BigDecimal(x.toString).setScale(9, BigDecimal.RoundingMode.HALF_UP) *
+        BigDecimal(y.toString).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val got = Seq((e(0), e(1))).toDF("a", "b")
+      .select(V.dotExact($"a", $"b").as("d")).collect()(0).getDouble(0)
+    assert(math.abs(got - expected) < 1e-9)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+import graft.SparkSpecBase
+
+/** FIXTURES.md §B5 state-machine sequences against the OTP-correlation
+  * operator: transition function unit tests (TestGroupState) + an
+  * end-to-end MemoryStream run. */
+class OtpCorrelationSpec extends SparkSpecBase {
+
+  private def ts(s: Long) = new Timestamp(1704100000000L + s * 1000)
+  private def req(key: String, at: Long) = CorrelationEvent(
+    key, ts(at), Some(LoginRequest(key, "zepto", key.stripPrefix("zepto_"), ts(at))), None)
+  private def otp(key: String, code: String, at: Long) =
+    CorrelationEvent(key, ts(at), None, Some(code))
+
+  import org.apache.spark.api.java.Optional
+  private def freshState = TestGroupState.create[SessionState](
+    optionalState = Optional.empty[SessionState](),
+    timeoutConf = GroupStateTimeout.ProcessingTimeTimeout(),
+    batchProcessingTimeMs = 1000L,
+    eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+
+  test("happy path: request opens session, otp resolves it → success") {
+    val st = freshState
+    val r1 = OtpCorrelation.transition("zepto_u1", Iterator(req("zepto_u1", 0)), st)
+    assert(r1.isEmpty)
+    assert(st.get.status == SessionStatus.WaitingForOtp)
+    val r2 = OtpCorrelation.transition("zepto_u1", Iterator(otp("zepto_u1", "1234", 10)), st).toSeq
+    assert(r2 == Seq(LoginOutcome("zepto_u1", SessionStatus.Success, Some("1234"), "otp received")))
+    assert(st.get.status == SessionStatus.Success)
+  }
+
+  test("request + otp in the same batch resolve in event-time order") {
+    val st = freshState
+    val out = OtpCorrelation.transition("zepto_u2",
+      Iterator(otp("zepto_u2", "9999", 5), req("zepto_u2", 1)), st).toSeq
+    assert(out.map(_.status) == Seq(SessionStatus.Success))
+    assert(out.head.otp.contains("9999"))
+  }
+
+  test("otp with no open session is dropped (fire-and-forget signal)") {
+    val st = freshState
+    val out = OtpCorrelation.transition("zepto_u3", Iterator(otp("zepto_u3", "1111", 0)), st).toSeq
+    assert(out.isEmpty)
+    assert(!st.exists)
+  }
+
+  test("in-flight re-entry does not relaunch (login_workflow.py:79-86)") {
+    val st = freshState
+    OtpCorrelation.transition("k", Iterator(req("k", 0)), st)
+    val before = st.get
+    val out = OtpCorrelation.transition("k", Iterator(req("k", 5)), st).toSeq
+    assert(out.isEmpty)
+    assert(st.get == before)
+  }
+
+  test("terminal re-entry returns cached outcome (login_workflow.py:89-91)") {
+    val st = freshState
+    OtpCorrelation.transition("k", Iterator(req("k", 0)), st)
+    OtpCorrelation.transition("k", Iterator(otp("k", "4242", 1)), st)
+    val out = OtpCorrelation.transition("k", Iterator(req("k", 60)), st).toSeq
+    assert(out == Seq(LoginOutcome("k", SessionStatus.Success, Some("4242"), "cached")))
+  }
+
+  test("timeout fires → error outcome, state removed (300s promise expiry)") {
+    val st = freshState
+    OtpCorrelation.transition("k", Iterator(req("k", 0)), st)
+    assert(st.getTimeoutTimestampMs.isPresent)
+    val timedOut = TestGroupState.create[SessionState](
+      optionalState = Optional.of(st.get),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 1000L + OtpCorrelation.OtpTimeoutMs + 1,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = true)
+    val out = OtpCorrelation.transition("k", Iterator.empty, timedOut).toSeq
+    assert(out.map(_.status) == Seq(SessionStatus.Error))
+    assert(timedOut.isRemoved)
+  }
+
+  test("end-to-end: unioned MemoryStream through flatMapGroupsWithState") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[CorrelationEvent](spark)
+    // NOTE: with ProcessingTimeTimeout the engine schedules timeout-check
+    // batches continuously, so processAllAvailable() never observes
+    // quiescence — poll the sink with a deadline instead.
+    val q = OtpCorrelation.correlate(input.toDS())
+      .writeStream.format("memory").queryName("otp_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("otp_out").count() < n &&
+             System.currentTimeMillis() < deadline) Thread.sleep(200)
+    }
+    try {
+      input.addData(req("zepto_alice", 0), req("zepto_bob", 0))
+      input.addData(otp("zepto_alice", "7777", 30), otp("zepto_nobody", "0000", 31))
+      awaitRows(1)
+      val rows = spark.table("otp_out").as[LoginOutcome].collect()
+      assert(rows.toSet == Set(
+        LoginOutcome("zepto_alice", SessionStatus.Success, Some("7777"), "otp received")))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpecBase
+import graft.streaming.StreamOps.{HistoryEvent, MailboxWatermark}
+
+class StreamOpsSpec extends SparkSpecBase {
+
+  test("monotone watermark guard: only advancing ids emit; state survives batches") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[HistoryEvent](spark)
+    val q = StreamOps.monotoneWatermarkGuard(input.toDS())
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      input.addData(HistoryEvent("m1", 5), HistoryEvent("m1", 3), HistoryEvent("m2", 1))
+      q.processAllAvailable()
+      // batch 2: duplicate 5 (stale), advance to 9
+      input.addData(HistoryEvent("m1", 5), HistoryEvent("m1", 9))
+      q.processAllAvailable()
+      val rows = spark.table("wm_out").as[MailboxWatermark].collect().toSet
+      // within-batch ordering sorts ascending, so batch 1 emits 3 then 5
+      assert(rows == Set(
+        MailboxWatermark("m1", 3), MailboxWatermark("m1", 5),
+        MailboxWatermark("m2", 1), MailboxWatermark("m1", 9)))
+    } finally q.stop()
+  }
+
+  test("B6 property: any shuffled/duplicated id sequence → final watermark = max, each id ≤ once") {
+    implicit val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val ids = List.fill(rnd.nextInt(20) + 3)(rnd.nextInt(50).toLong + 1)
+      val input = MemoryStream[HistoryEvent](spark)
+      val name = s"wm_prop_$trial"
+      val q = StreamOps.monotoneWatermarkGuard(input.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        // two micro-batches: enough to prove state survives the boundary
+        ids.grouped((ids.length + 1) / 2).foreach { g =>
+          input.addData(g.map(i => HistoryEvent("m", i)): _*)
+          q.processAllAvailable()
+        }
+        val out = spark.table(name).as[MailboxWatermark].collect().map(_.historyId)
+        assert(out.max == ids.max, s"trial $trial: max")
+        assert(out.length == out.distinct.length, s"trial $trial: no re-emit")
+        assert(out.toList == out.sorted.toList, s"trial $trial: monotone")
+      } finally q.stop()
+    }
+  }
+
+  test("ST1 dedup drops duplicate notifications within the watermark") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[(Long, Timestamp)](spark)
+    val df = input.toDS().toDF("historyId", "ts")
+    val q = StreamOps.dedupNotifications(df)
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      val t = new Timestamp(1704100000000L)
+      input.addData((1L, t), (1L, t), (2L, t))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("ST5 tumbling window shape runs over the events table") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val out = ev.groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("ts"), "1 day"))
+      .count()
+    assert(out.count() >= 28) // ~30 days of data
+  }
+}
