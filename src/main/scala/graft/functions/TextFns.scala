@@ -47,6 +47,76 @@ object TextFns {
           (0 until rowsPerBand).map(r =>
             element_at(sig, b * rowsPerBand + r + 1)): _*)).as("bkey")))
 
+  /** Band key computed directly from the shingle set for ONE band index —
+    * use after `explode(sequence(0, bands-1))` so each (doc, band) row
+    * evaluates exactly `rowsPerBand` minhashes. Computing the full
+    * signature array in a projection and then plucking elements looks
+    * equivalent, but CollapseProject inlines the whole signature expression
+    * into every element_at — an O(bands · rowsPerBand · n) recompute blowup
+    * (measured 60× on q35). Identical values to
+    * `bandKeys(minhashSignature(...))`. */
+  def bandKeyAt(shingleSet: Column, band: Column, rowsPerBand: Int): Column =
+    md5(concat_ws("#",
+      (0 until rowsPerBand).map { r =>
+        val j = band * rowsPerBand + r
+        array_min(transform(shingleSet,
+          sh => md5(concat(j.cast("string"), lit("|"), sh))))
+      }: _*))
+
+  /** Kirsch-Mitzenmacher MinHash signature: ONE md5 per shingle, split into
+    * two 56-bit integers (h1, h2); permutation j is `h1 + j*h2` (max value
+    * 2^59 — no overflow, no modulo needed). ~8× less hashing than the
+    * seeded-md5 scheme above for n=8, still exactly reproducible in DuckDB
+    * via `('0x' || substr(md5(s), ...))::BIGINT`. Returns array<long>.
+    *
+    * Consumers MUST materialize this behind a barrier (persist) before
+    * plucking elements — CollapseProject inlines the whole array expression
+    * into every element_at otherwise (n× recompute). */
+  def minhashSignatureKM(shingleSet: Column, n: Int): Column =
+    transform(sequence(lit(0), lit(n - 1)), j =>
+      array_min(transform(shingleSet, { sh =>
+        val m = md5(sh)
+        conv(substring(m, 1, 14), 16, 10).cast("long") +
+          j.cast("long") * conv(substring(m, 17, 14), 16, 10).cast("long")
+      })))
+
+  /** Single-pass shingle UDF — the performance path for the LSH queries.
+    *
+    * The pure-HOF [[shingles]] expression above is semantically identical
+    * but nests `element_at(filter(split(text)))` inside a transform lambda;
+    * Spark's subexpression elimination does not reach across lambda scopes,
+    * so the full tokenization re-evaluates per shingle element (measured
+    * ~10× slowdown at sf0.1: 11.6 s vs ~1 s for the whole stage). A plain
+    * Scala closure does one pass per row. Same output: distinct k-grams,
+    * space-joined, first-occurrence order. */
+  def shinglesUdf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      if (text == null) Array.empty[String]
+      else {
+        val ws = text.split(" ").filter(_.nonEmpty)
+        if (ws.length < k) Array.empty[String]
+        else ws.sliding(k).map(_.mkString(" ")).distinct.toArray
+      }
+    })
+
+  /** Single-pass Kirsch-Mitzenmacher MinHash UDF (see [[minhashSignatureKM]]
+    * for the scheme and DuckDB reproduction; byte-identical results). One
+    * md5 per shingle, n derived permutations via h1 + j*h2 integer math. */
+  def minhashKmUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((shingles: Seq[String]) => {
+      if (shingles == null || shingles.isEmpty) Array.empty[Long]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val pairs = shingles.map { s =>
+          val hex = md.digest(s.getBytes("UTF-8"))
+            .map(b => f"${b & 0xff}%02x").mkString
+          (java.lang.Long.parseLong(hex.substring(0, 14), 16),
+            java.lang.Long.parseLong(hex.substring(16, 30), 16))
+        }
+        Array.tabulate(n)(j => pairs.map { case (h1, h2) => h1 + j * h2 }.min)
+      }
+    })
+
   /** Fast 64-bit MinHash signature (performance path, not oracle-matched). */
   def minhashSignature64(shingleSet: Column, n: Int): Column =
     transform(sequence(lit(0), lit(n - 1)),

@@ -57,22 +57,30 @@ object VectorFns {
       lit(0.0), _ + _))
 
   /** Random-hyperplane LSH bucket for cosine similarity: `bits` sign bits
-    * of projections onto pseudo-random planes. The "planes" are derived
-    * deterministically per (bit, dim) from xxhash64, mapped to [-0.5, 0.5) —
-    * fully reproducible, no stored model. Vectors in the same bucket are
-    * near-duplicate candidates. */
-  def cosineLshBucket(v: Column, bits: Int): Column = {
-    val dims = size(v)
+    * of projections onto pseudo-random planes. Planes are derived
+    * deterministically per (bit, dim) from splitmix64 at PLAN BUILD time and
+    * embedded as array literals — they are row-independent, so computing
+    * them per row with hash expressions would be pure recompute overhead.
+    * Vectors in the same bucket are near-duplicate candidates. */
+  def cosineLshBucket(v: Column, bits: Int, dims: Int = 64): Column = {
     val bitCols = (0 until bits).map { b =>
+      val planes = Array.tabulate(dims) { i =>
+        (java.lang.Long.remainderUnsigned(splitmix64(b * 1000003L + i),
+          1000000L).toDouble / 1000000.0) - 0.5
+      }
       val proj = aggregate(
-        zip_with(asDouble(v),
-          transform(sequence(lit(0), dims - 1),
-            i => (pmod(xxhash64(lit(b), i), lit(1000000L)).cast("double") /
-              lit(1000000.0)) - lit(0.5)),
-          (x, p) => x * p),
+        zip_with(asDouble(v), typedlit(planes.toSeq), (x, p) => x * p),
         lit(0.0), _ + _)
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
+  }
+
+  /** SplitMix64 — deterministic, dependency-free PRNG step. */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
 }

@@ -186,6 +186,30 @@ object Relational {
         .orderBy(col("p_brand"))
     }),
 
+    // CUBE — all grouping-set combinations (§2.4); same single-shuffle
+    // Expand plan as rollup.
+    "q38_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))
+    }),
+
+    // PIVOT — long→wide reshaping; Spark's pivot plans as a single
+    // conditional aggregation pass (values enumerated up front, so no
+    // second job to discover them).
+    "q39_pivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity")))
+        .na.fill(0.0, Seq("F", "O"))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Equi + range join: ship within 30 days of the order date. The equi
     // key carries the shuffle; the range predicate is a post-join filter,
     // so this scales like a plain orderkey join.
@@ -306,6 +330,20 @@ object Relational {
            count(*) AS n_lines
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
+
+    "q38_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         ${sqlDsum("o_totalprice")} AS sum_price
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q39_pivot" ->
+      s"""SELECT l_returnflag,
+         coalesce(CAST(sum(CASE WHEN l_linestatus = 'F'
+           THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE), 0) AS qty_f,
+         coalesce(CAST(sum(CASE WHEN l_linestatus = 'O'
+           THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE), 0) AS qty_o
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q17_range_join" ->
       """SELECT o_orderstatus, count(*) AS n_shipped_30d

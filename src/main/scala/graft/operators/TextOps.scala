@@ -79,17 +79,22 @@ object TextOps {
         .orderBy(col("fp"))
     }),
 
-    // MinHash-LSH near-dup candidates: 3-word shingles → 8 md5 minhashes →
-    // 4 bands × 2 rows → docs sharing a band bucket. Only bucket-internal
-    // pairs are generated (no all-pairs cross join at any scale).
+    // MinHash-LSH near-dup candidates: 3-word shingles → 8 KM minhashes
+    // (one md5 per shingle) → 4 bands × 2 rows → docs sharing a band
+    // bucket. Only bucket-internal pairs are generated (no all-pairs cross
+    // join at any scale). The signature is persisted: it is consumed by
+    // both sides of the self-join AND by 8 element_at's — without the
+    // barrier CollapseProject would inline (= recompute) it per consumer.
     "q35_minhash_lsh" -> ((s, d) => {
-      val sh = Tables.documents(s, d)
-        .withColumn("shingles", T.shingles(T.tokens(col("text")), 3))
+      val sig = Tables.documents(s, d)
+        .withColumn("shingles", T.shinglesUdf(3)(col("text")))
         .filter(size(col("shingles")) > 0)
-        .withColumn("sig", T.minhashSignature(col("shingles"), 8))
-      val bands = sh.select(col("doc_id"),
+        .select(col("doc_id"), T.minhashKmUdf(8)(col("shingles")).as("sig"))
+        .persist()
+      val bands = sig.select(col("doc_id"),
           explode(T.bandKeys(col("sig"), 4, 2)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.bkey").as("bkey"))
       val a = bands.alias("a")
       val b = bands.alias("b")
       a.join(b, col("a.band") === col("b.band") &&
@@ -114,11 +119,13 @@ object TextOps {
     // N-gram (3-shingle) Jaccard similarity, LSH-bucketed: exact verify on
     // LSH candidates only — the scalable two-phase near-dup plan.
     "q37_jaccard_verify" -> ((s, d) => {
-      val sh = Tables.documents(s, d)
-        .withColumn("shingles", T.shingles(T.tokens(col("text")), 3))
+      val sig = Tables.documents(s, d)
+        .withColumn("shingles", T.shinglesUdf(3)(col("text")))
         .filter(size(col("shingles")) > 0)
-        .withColumn("sig", T.minhashSignature(col("shingles"), 8))
-      val bands = sh.select(col("doc_id"), col("shingles"),
+        .select(col("doc_id"), col("shingles"),
+          T.minhashKmUdf(8)(col("shingles")).as("sig"))
+        .persist()
+      val bands = sig.select(col("doc_id"), col("shingles"),
           explode(T.bandKeys(col("sig"), 4, 2)).as("bk"))
         .select(col("doc_id"), col("shingles"),
           col("bk.band").as("band"), col("bk.bkey").as("bkey"))
@@ -141,10 +148,13 @@ object TextOps {
        range(1, len($ws) - 1),
        i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2]))
        ELSE [] END"""
+  // Kirsch-Mitzenmacher signature, mirroring TextFns.minhashSignatureKM:
+  // one md5 per shingle split into two 56-bit ints, permutation j = h1+j*h2.
   private def duckSig(shingles: String) =
     s"""list_transform(range(0, 8),
        j -> list_min(list_transform($shingles,
-         s -> md5(CAST(j AS VARCHAR) || '|' || s))))"""
+         s -> ('0x' || substr(md5(s), 1, 14))::BIGINT
+            + j * ('0x' || substr(md5(s), 17, 14))::BIGINT)))"""
 
   def oracle: Map[String, String] = Map(
     "q30_token_stats" ->
@@ -194,7 +204,7 @@ object TextOps {
            WHERE len(shingles) > 0),
          bands AS (
            SELECT doc_id, b AS band,
-             md5(sig[2*b + 1] || '#' || sig[2*b + 2]) AS bkey
+             md5(CAST(sig[2*b + 1] AS VARCHAR) || '#' || CAST(sig[2*b + 2] AS VARCHAR)) AS bkey
            FROM sig, (SELECT unnest(range(0, 4)) AS b)),
          pairs AS (
            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -219,7 +229,7 @@ object TextOps {
            WHERE len(shingles) > 0),
          bands AS (
            SELECT doc_id, shingles, b AS band,
-             md5(sig[2*b + 1] || '#' || sig[2*b + 2]) AS bkey
+             md5(CAST(sig[2*b + 1] AS VARCHAR) || '#' || CAST(sig[2*b + 2] AS VARCHAR)) AS bkey
            FROM sig, (SELECT unnest(range(0, 4)) AS b)),
          pairs AS (
            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -49,6 +49,24 @@ class TextFnsSpec extends SparkSpecBase {
     assert(r(1) > 8L)
   }
 
+  test("shinglesUdf ≡ shingles HOF expression (the UDF is the fast path)") {
+    val df = graft.sources.Tables.documents(spark, sf).limit(50)
+    val cmp = df.select(
+      T.shingles(T.tokens($"text"), 3).as("hof"),
+      T.shinglesUdf(3)($"text").as("udf"))
+    assert(cmp.filter(not($"hof" === $"udf")).count() == 0)
+  }
+
+  test("minhashKmUdf ≡ minhashSignatureKM HOF expression") {
+    val df = graft.sources.Tables.documents(spark, sf).limit(50)
+      .select(T.shinglesUdf(3)($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val cmp = df.select(
+      T.minhashSignatureKM($"sh", 8).as("hof"),
+      T.minhashKmUdf(8)($"sh").as("udf"))
+    assert(cmp.filter(not($"hof" === $"udf")).count() == 0)
+  }
+
   test("langIdHeuristic picks marker-majority language, und on no hits") {
     val markers = Map("en" -> Seq("the", "and"), "es" -> Seq("el", "la"))
     val df = Seq("the cat and the dog", "el gato la casa", "xyzzy plugh")

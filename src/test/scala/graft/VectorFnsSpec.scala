@@ -35,7 +35,7 @@ class VectorFnsSpec extends SparkSpecBase {
   test("cosineLshBucket: exact-×2-scaled vector lands in the same bucket (recall proof)") {
     val base = Seq(0.3f, -0.7f, 0.12f, 0.99f, -0.01f, 0.5f, -0.25f, 0.8f)
     val df = Seq(base, base.map(_ * 2.0f), base.map(x => -x)).toDF("v")
-      .select(V.cosineLshBucket($"v", 16).as("b"))
+      .select(V.cosineLshBucket($"v", 16, dims = 8).as("b"))
     val r = df.collect().map(_.getLong(0))
     assert(r(0) == r(1))   // scaled copy: identical bucket, always
     assert(r(0) != r(2))   // antipode: different bucket (all bits flip)

@@ -67,6 +67,26 @@ class StreamOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("S1 analog: events parquet as a real file-source stream → windowed agg") {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros, window}
+    // stage the events file alone in a dir (a file stream reads a directory)
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir.toString).schema
+    val st = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 day")).count()
+    val q = st.writeStream.format("memory").queryName("file_stream_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_stream_out").count() >= 28) // ~30 days
+    } finally q.stop()
+  }
+
   test("ST5 tumbling window shape runs over the events table") {
     val ev = graft.sources.Tables.events(spark, sf)
     val out = ev.groupBy(org.apache.spark.sql.functions.window(
