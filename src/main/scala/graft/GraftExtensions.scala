@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.CosineSimilarityExpr
+
+/** Session extensions: registers the engine's native Catalyst expressions
+  * (SURVEY.md §7.4 tier (b) custom operators). Install with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_fast"),
+      new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_fast"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, "cosine_fast(a, b) takes exactly 2 arguments")
+        CosineSimilarityExpr(args(0), args(1))
+      }))
+  }
+}

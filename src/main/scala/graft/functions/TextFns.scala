@@ -135,6 +135,19 @@ object TextFns {
     bitCols.reduce(_ + _)
   }
 
+  /** SimHash-64 from a PRE-HASHED token/shingle array (array<long>).
+    * Stage the hashes in a persisted projection first — computing them
+    * inline would re-evaluate the hash transform in each of the 64 per-bit
+    * aggregates (lambda scopes block subexpression elimination). */
+  def simhash64FromHashes(hs: Column): Column = {
+    val bitCols = (0 until 64).map { b =>
+      val vote = aggregate(hs, lit(0), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

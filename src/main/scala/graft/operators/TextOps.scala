@@ -116,6 +116,46 @@ object TextOps {
         .orderBy(col("lang"))
     }),
 
+    // SimHash near-dup: 64-bit fingerprints over 3-shingles, banded into
+    // 4×16-bit keys (a pair within hamming distance 3 must agree on ≥1
+    // band — pigeonhole), verified by exact hamming ≤ 3. Planted exact
+    // duplicates (doc_id+1e6 for every 10th doc) are guaranteed recalled
+    // (identical text → identical fingerprint → every band agrees).
+    // NOT oracle-checked: the synthetic corpus's 31-word vocabulary makes
+    // some NATURAL doc pairs land within hamming 1-3 (measured), and
+    // simhash needs xxhash64 which DuckDB lacks — covered by ScalaTest
+    // (planted ⊆ result, hamming bound re-verified on collected output).
+    // Bucketing is a band-equijoin — never all-pairs. Hashing is staged
+    // behind persists: hash each shingle ONCE, then 64 cheap bit-vote
+    // passes — inlining the hash transform into the per-bit aggregates
+    // would recompute it 64× (the CollapseProject trap, cf. q35).
+    "q48_simhash_neardup" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = base.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val hashed = base.union(planted)
+        .select(col("doc_id"), T.shinglesUdf(3)(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), transform(col("sh"), w => xxhash64(w)).as("hs"))
+        .persist()
+      val fp = hashed
+        .select(col("doc_id"), T.simhash64FromHashes(col("hs")).as("fp"))
+        .persist()
+      val bands = fp.select(col("doc_id"), col("fp"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bkey",
+          expr("(fp >> (band * 16)) & 65535"))
+      val a = bands.alias("a")
+      val b = bands.alias("b")
+      a.join(b, col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .filter(T.hamming64(col("a.fp"), col("b.fp")) <= 3)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // N-gram (3-shingle) Jaccard similarity, LSH-bucketed: exact verify on
     // LSH candidates only — the scalable two-phase near-dup plan.
     "q37_jaccard_verify" -> ((s, d) => {

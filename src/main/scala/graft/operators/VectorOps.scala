@@ -43,7 +43,7 @@ object VectorOps {
     val c = e.select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     c.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("sim", V.cosine(col("qv"), col("embedding")))
+      .withColumn("sim", graft.functions.CosineExpr.cosineFast(col("qv"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id"), col("sim"), col("rank"))
@@ -77,7 +77,7 @@ object VectorOps {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     e.join(broadcast(probes), col("label") === col("cell") &&
         col("vec_id") =!= col("qid"))
-      .withColumn("sim", V.cosine(col("qv"), col("embedding")))
+      .withColumn("sim", graft.functions.CosineExpr.cosineFast(col("qv"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id"), col("sim"), col("rank"))
@@ -110,7 +110,7 @@ object VectorOps {
       col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .filter(V.cosine(col("v_a"), col("v_b")) >= threshold)
+      .filter(graft.functions.CosineExpr.cosineFast(col("v_a"), col("v_b")) >= threshold)
       .select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"))
       .distinct()

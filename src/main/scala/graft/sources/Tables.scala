@@ -30,6 +30,11 @@ object Tables {
       spark.read.parquet(s"$sfDir/$n.parquet")
   }
 
+  /** Register every table as a temp view so the engine's full surface is
+    * reachable from `spark.sql(...)` as well as the DataFrame API. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")

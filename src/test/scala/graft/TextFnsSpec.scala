@@ -67,6 +67,25 @@ class TextFnsSpec extends SparkSpecBase {
     assert(cmp.filter(not($"hof" === $"udf")).count() == 0)
   }
 
+  test("q48 simhash near-dup: planted exact dups are all recalled; hamming bound holds") {
+    val result = graft.operators.TextOps.queries("q48_simhash_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = graft.sources.Tables.documents(spark, sf)
+      .filter($"doc_id" % 10 === 0).select($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    assert(planted.subsetOf(result),
+      s"missing planted pairs: ${planted -- result}")
+    // every reported pair really is within hamming 3 (recompute independently)
+    val fps = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", T.simhash64FromHashes(
+        transform(T.shinglesUdf(3)($"text"), w => xxhash64(w))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = fps ++ fps.collect { case (id, fp) if id % 10 == 0 => (id + 1000000L) -> fp }
+    result.foreach { case (a, b) =>
+      assert(java.lang.Long.bitCount(full(a) ^ full(b)) <= 3, s"pair ($a,$b)")
+    }
+  }
+
   test("langIdHeuristic picks marker-majority language, und on no hits") {
     val markers = Map("en" -> Seq("the", "and"), "es" -> Seq("el", "la"))
     val df = Seq("the cat and the dog", "el gato la casa", "xyzzy plugh")

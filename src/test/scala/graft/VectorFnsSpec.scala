@@ -41,6 +41,25 @@ class VectorFnsSpec extends SparkSpecBase {
     assert(r(0) != r(2))   // antipode: different bucket (all bits flip)
   }
 
+  test("cosine_fast codegen Expression ≡ HOF cosine (same fold order → bit-identical)") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val pairs = e.limit(20).select($"embedding".as("a"))
+      .crossJoin(e.limit(20).select($"embedding".as("b")))
+    val diff = pairs.select(
+      V.cosine($"a", $"b").as("hof"),
+      graft.functions.CosineExpr.cosineFast($"a", $"b").as("fast"))
+      .filter(not($"hof" === $"fast"))
+    assert(diff.count() == 0)
+  }
+
+  test("cosine_fast works through plain SQL (extension-registered function)") {
+    graft.sources.Tables.embeddings(spark, sf).limit(3)
+      .createOrReplaceTempView("emb_t")
+    val r = spark.sql(
+      "SELECT cosine_fast(embedding, embedding) AS s FROM emb_t").collect()
+    assert(r.forall(row => math.abs(row.getDouble(0) - 1.0) < 1e-12))
+  }
+
   test("dotExact is the exact decimal sum regardless of float noise order") {
     // 64-dim vectors from the real table: exact-decimal dot must equal
     // numpy-style fold within 1e-9 (it IS exact, double cast at the end)

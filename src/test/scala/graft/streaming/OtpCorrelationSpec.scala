@@ -79,6 +79,36 @@ class OtpCorrelationSpec extends SparkSpecBase {
     assert(timedOut.isRemoved)
   }
 
+  test("unionStreams: typed request + email streams → correlate (full J1 path)") {
+    implicit val s = spark
+    import s.implicits._
+    val reqIn = MemoryStream[LoginRequest](spark)
+    val otpIn = MemoryStream[ParsedEmail](spark)
+    val unioned = OtpCorrelation.unionStreams(reqIn.toDS(), otpIn.toDS())
+    val q = OtpCorrelation.correlate(unioned)
+      .writeStream.format("memory").queryName("union_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    try {
+      reqIn.addData(LoginRequest("zepto_carol", "zepto", "carol", ts(0)))
+      // key derives from platform + to-email local part (main.py:182,303)
+      otpIn.addData(
+        ParsedEmail("no-reply@zepto.co.in", "carol@example.com",
+          Some("5555"), Some("zepto"), ts(20)),
+        ParsedEmail("no-reply@zepto.co.in", "dave@example.com",
+          Some("6666"), Some("zepto"), ts(21)), // no session → dropped
+        ParsedEmail("x@y.com", "carol@example.com",
+          None, Some("zepto"), ts(22)))         // F5: no otp → filtered
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("union_out").count() < 1 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val rows = spark.table("union_out").as[LoginOutcome].collect()
+      assert(rows.toSet == Set(
+        LoginOutcome("zepto_carol", SessionStatus.Success, Some("5555"), "otp received")))
+    } finally q.stop()
+  }
+
   test("end-to-end: unioned MemoryStream through flatMapGroupsWithState") {
     implicit val s = spark
     import s.implicits._
