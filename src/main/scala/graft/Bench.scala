@@ -23,7 +23,7 @@ object Bench {
     // Warm-up: JVM/codegen spin-up and parquet footer reads would otherwise
     // all land on the first timed query (~6 s measured on q01).
     spark.range(1000).selectExpr("sum(id)").collect()
-    Seq("lineitem", "orders", "events", "documents", "embeddings").foreach {
+    graft.sources.Tables.names.foreach {
       t => graft.sources.Tables(spark, sfDir, t).count()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -190,6 +190,29 @@ object Ingest {
         .orderBy(col("c_custkey"))
     }),
 
+    // S1/E1/E3/P2/F1 — the complete Pub/Sub envelope decode (main.py:
+    // 235-252): base64-wrapped JSON payload → unbase64 → from_json with an
+    // explicit schema → field plucks → null-guard on historyId. The
+    // envelope is synthesized from event fields so the whole decode chain
+    // is oracle-checkable (DuckDB from_base64 mirrors unbase64).
+    "q49_pubsub_envelope" -> ((s, d) => {
+      val payloadJson = concat(lit("{\"historyId\": "), col("event_id"),
+        lit(", \"emailAddress\": \"user"), col("user_id"),
+        lit("@example.com\"}"))
+      val envelope = Tables.events(s, d)
+        .withColumn("data_b64", base64(encode(payloadJson, "UTF-8")))
+      val schema = org.apache.spark.sql.types.StructType
+        .fromDDL("historyId BIGINT, emailAddress STRING")
+      envelope
+        .withColumn("decoded", E.b64ToString(col("data_b64")))
+        .withColumn("msg", from_json(col("decoded"), schema))
+        .select(col("event_id"),
+          col("msg.historyId").as("history_id"),
+          col("msg.emailAddress").as("email_address"))
+        .filter(col("history_id").isNotNull) // F1 null-guard
+        .orderBy(col("event_id"))
+    }),
+
     // E5/E8 — the two UDFs end-to-end: synthesize a full RFC-822 message
     // per customer, run the real MIME parser + HTML→text UDFs, extract the
     // ParsedEmail fields. The oracle recomputes the expected values from
@@ -364,6 +387,23 @@ object Ingest {
            nullif(regexp_extract(body, '(?i)Your otp code is (\d{4})', 1), '') AS otp,
            'zepto' AS platform
          FROM built ORDER BY c_custkey""",
+
+    "q49_pubsub_envelope" ->
+      """WITH env AS (
+           SELECT event_id,
+             to_base64(encode('{"historyId": ' || CAST(event_id AS VARCHAR)
+               || ', "emailAddress": "user' || CAST(user_id AS VARCHAR)
+               || '@example.com"}')) AS data_b64
+           FROM events),
+         dec AS (
+           SELECT event_id, decode(from_base64(data_b64)) AS decoded FROM env)
+         SELECT event_id,
+           CAST(json_extract_string(decoded, '$.historyId') AS BIGINT)
+             AS history_id,
+           json_extract_string(decoded, '$.emailAddress') AS email_address
+         FROM dec
+         WHERE json_extract_string(decoded, '$.historyId') IS NOT NULL
+         ORDER BY event_id""",
 
     "q44_mime_udf_pipeline" ->
       """SELECT c_custkey,

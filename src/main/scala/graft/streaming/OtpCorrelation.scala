@@ -96,6 +96,32 @@ object OtpCorrelation {
         GroupStateTimeout.ProcessingTimeTimeout())(transition)
   }
 
+  /** J1 option (a) — the pure stream-stream interval join (SURVEY.md §2.3):
+    * a request matches the first OTP for its key arriving within
+    * [reqTs, reqTs + 5 minutes]. Watermarks bound both join-state buffers,
+    * so state is GC'd at any scale. Compared to the state-machine form
+    * ([[correlate]]) this cannot express terminal-state caching or explicit
+    * timeout outcomes — it is the right tool when only the matched pairs
+    * are needed. */
+  def correlateViaJoin(
+      requests: Dataset[LoginRequest],
+      otps: Dataset[ParsedEmail])(implicit spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val r = requests.toDF().withWatermark("reqTs", "5 minutes")
+    val o = otps.toDF()
+      .filter(col("otp").isNotNull && col("platform").isNotNull) // F5
+      .select(
+        concat_ws("_", col("platform"),
+          substring_index(col("toEmail"), "@", 1)).as("okey"), // E14/E15
+        col("otp"), col("emailTs"))
+      .withWatermark("emailTs", "2 minutes") // ST2 freshness bound
+    r.join(o,
+      expr("""key = okey AND
+              emailTs >= reqTs AND
+              emailTs <= reqTs + INTERVAL 5 MINUTES"""), "inner")
+      .select(col("key"), col("otp"), col("reqTs"), col("emailTs"))
+  }
+
   /** Union helper: merge the two source streams into correlation events
     * (SURVEY.md J1 chosen plan — union + single keyed stateful op). */
   def unionStreams(

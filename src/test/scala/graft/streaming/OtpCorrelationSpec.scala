@@ -109,6 +109,26 @@ class OtpCorrelationSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("J1 option (a): stream-stream interval join matches within the window only") {
+    implicit val s = spark
+    import s.implicits._
+    val reqIn = MemoryStream[LoginRequest](spark)
+    val otpIn = MemoryStream[ParsedEmail](spark)
+    val q = OtpCorrelation.correlateViaJoin(reqIn.toDS(), otpIn.toDS())
+      .writeStream.format("memory").queryName("join_out")
+      .outputMode("append").start()
+    try {
+      reqIn.addData(LoginRequest("zepto_erin", "zepto", "erin", ts(0)))
+      otpIn.addData(
+        ParsedEmail("a@b.c", "erin@example.com", Some("1111"), Some("zepto"), ts(60)),   // in window
+        ParsedEmail("a@b.c", "erin@example.com", Some("2222"), Some("zepto"), ts(600))) // outside 5 min
+      q.processAllAvailable()
+      val rows = spark.table("join_out").select("key", "otp").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows == Set(("zepto_erin", "1111")))
+    } finally q.stop()
+  }
+
   test("end-to-end: unioned MemoryStream through flatMapGroupsWithState") {
     implicit val s = spark
     import s.implicits._
