@@ -98,12 +98,11 @@ object MimeParser extends Serializable {
     }
   }
 
-  /** F8 — first text/html part wins; else first text/plain; else ""
-    * (main.py:100-108). */
+  /** F8 — first text/html part wins; anything else yields "" — the
+    * reference only ever extracts from HTML bodies (multipart walk keeps
+    * the first text/html, non-multipart is used iff html; main.py:100-108). */
   def htmlBody(msg: MimeMessage): String =
-    msg.parts.find(_.contentType == "text/html")
-      .orElse(msg.parts.headOption.filter(_.contentType == "text/html"))
-      .map(_.body).getOrElse("")
+    msg.parts.find(_.contentType == "text/html").map(_.body).getOrElse("")
 
   /** The UDF surface: raw message string → struct(headers, parts). */
   val parseMimeUdf: UserDefinedFunction = udf((raw: String) =>

@@ -43,6 +43,23 @@ object TextOps {
         .limit(20)
     }),
 
+    // BPE-style pre-tokenization (north star "token counting: whitespace +
+    // a BPE-ish regex"): the GPT-2-style pre-tokenizer pattern — runs of
+    // letters / digits / punctuation, each optionally space-prefixed,
+    // contractions split — via regexp_extract_all; identical RE2-safe
+    // pattern in the DuckDB oracle.
+    "q50_bpe_tokens" -> ((s, d) => {
+      val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"
+      Tables.documents(s, d)
+        .withColumn("bpe", regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .select(col("doc_id"),
+          size(col("bpe")).cast("long").as("n_bpe_tokens"),
+          size(T.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+          (size(col("bpe")).cast("double") /
+            size(T.tokens(col("text")))).as("fertility"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Quality scoring: length/stopword signals → keep/flag label.
     "q32_quality_score" -> ((s, d) => {
       val ws = T.tokens(col("text"))
@@ -208,6 +225,17 @@ object TextOps {
       s"""SELECT word, count(*) AS cnt FROM (
            SELECT unnest($duckTokens) AS word FROM documents) t
          GROUP BY word ORDER BY cnt DESC, word LIMIT 20""",
+
+    "q50_bpe_tokens" ->
+      s"""SELECT doc_id,
+         len(regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+'))
+           AS n_bpe_tokens,
+         len($duckTokens) AS n_ws_tokens,
+         CAST(len(regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+'))
+           AS DOUBLE) / len($duckTokens) AS fertility
+         FROM documents ORDER BY doc_id""",
 
     "q32_quality_score" ->
       s"""WITH t AS (SELECT doc_id, $duckTokens AS ws FROM documents),

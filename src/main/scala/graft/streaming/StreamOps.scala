@@ -15,6 +15,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Semantic quirk preserved from the reference, not "fixed" (SURVEY.md
+    * §7.5): the watermark always advances after a successful fetch even if
+    * parsing fails or messages are skipped (`api/main.py:289-290` — the
+    * "Always update history" comment), so notifications can be permanently
+    * skipped; and N new messages still yield ONE parse (only the latest is
+    * fetched, `api/main.py:301`). In the Spark re-expression these
+    * correspond to: source offsets commit per micro-batch regardless of
+    * row-level outcomes, and the latest-per-key top-1 (q24/T1) collapsing
+    * a burst to its newest element. */
+
   /** ST1/F2 — drop duplicate notifications within the watermark window.
     * `dropDuplicates` keeps per-key state garbage-collected by the
     * watermark — bounded state at any scale. */

@@ -67,6 +67,53 @@ class StreamOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("ST2: late data beyond the watermark is dropped from windowed aggs") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[(Timestamp, Double)](spark)
+    val df = input.toDS().toDF("ts", "value")
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("x"))
+    val q = StreamOps.tumblingCounts(df, width = "10 minutes", lateness = "2 minutes")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    def t(min: Long) = new Timestamp(1704100000000L + min * 60000)
+    try {
+      input.addData((t(0), 1.0), (t(1), 1.0))  // window [~0,10)
+      q.processAllAvailable()
+      input.addData((t(30), 1.0))              // advances watermark to 28 min
+      q.processAllAvailable()
+      input.addData((t(2), 99.0))              // LATE: before watermark → dropped
+      input.addData((t(45), 1.0))              // closes the 30-min window too
+      q.processAllAvailable()
+      val rows = spark.table("late_out")
+        .selectExpr("n", "sum_value").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      // the first window emitted n=2 (the late 99.0 row never joined it)
+      assert(rows.contains((2L, 2.0)), s"got ${rows.toSeq}")
+      assert(!rows.exists(_._2 == 101.0), "late row leaked into closed window")
+    } finally q.stop()
+  }
+
+  test("ST4: idempotent foreachBatch sink writes batchId-keyed output") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[(Long, String)](spark)
+    val out = java.nio.file.Files.createTempDirectory("sink_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sink_ckpt").toString
+    val q = StreamOps.idempotentParquetSink(
+      input.toDS().toDF("id", "v"), out, ckpt)
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      val read = spark.read.parquet(s"$out/batch_*").count()
+      assert(read == 3)
+      // batch dirs are keyed by id — a replayed batch overwrites, never dups
+      val dirs = new java.io.File(out).listFiles().map(_.getName).sorted
+      assert(dirs.toSeq == Seq("batch_0", "batch_1"))
+    } finally q.stop()
+  }
+
   test("S1 analog: events parquet as a real file-source stream → windowed agg") {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros, window}
     // stage the events file alone in a dir (a file stream reads a directory)
