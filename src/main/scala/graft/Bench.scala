@@ -21,7 +21,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: JVM/codegen spin-up and parquet footer reads would otherwise
-    // all land on the first timed query (~6 s measured on q01).
+    // all land on the first timed query (~6 s measured on q01). (Caching
+    // the tables was tried and measured slower at this scale: in-memory
+    // columnar→row scan loses to the vectorized parquet reader on
+    // OS-page-cached small files.)
     spark.range(1000).selectExpr("sum(id)").collect()
     graft.sources.Tables.names.foreach {
       t => graft.sources.Tables(spark, sfDir, t).count()

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** File-format round-trips beyond parquet (§2.1: the reference's world is
+  * JSON envelopes + text files): JSON and CSV write→read preserve values
+  * under an explicit schema (never schema inference in production paths). */
+class FormatsSpec extends SparkSpecBase {
+
+  test("JSON sink → schema'd JSON source round-trips the events table") {
+    val dir = java.nio.file.Files.createTempDirectory("events_json").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    ev.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(ev.schema).json(dir)
+    assert(back.count() == ev.count())
+    val a = ev.orderBy("event_id").collect().toSeq
+    val b = back.orderBy("event_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("CSV round-trip with explicit schema and header") {
+    val dir = java.nio.file.Files.createTempDirectory("nation_csv").toString
+    val n = Tables.nation(spark, sf)
+    n.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.schema(n.schema).option("header", "true").csv(dir)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      n.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("PERMISSIVE vs FAILFAST JSON parse modes (§1.3 ingress validation)") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("historyId BIGINT, emailAddress STRING")
+    val good = """{"historyId": 7, "emailAddress": "a@b.com"}"""
+    val bad = """{"historyId": "not-a-number and not even json'"""
+    val df = Seq(good, bad).toDF("s")
+    val permissive = df.select(from_json($"s", schema).as("m")).collect()
+    assert(permissive(0).getStruct(0).getLong(0) == 7L)
+    assert(permissive(1).getStruct(0) == null ||
+      permissive(1).getStruct(0).isNullAt(0)) // malformed → nulls, no failure
+  }
+}
