@@ -158,6 +158,32 @@ object TextFns {
   def prefixFingerprint(ws: Column, k: Int): Column =
     md5(concat_ws(" ", slice(ws, 1, k)))
 
+  /** Rabin-Karp rolling-hash document fingerprints (Manber's mod-p
+    * sampling): Horner-hash every k-char gram (base 257 mod 2^31-1), keep
+    * hashes ≡ 0 (mod p) — a position-independent ~1/p sample of the
+    * document's substrings, the classic containment-detection fingerprint.
+    * Single-pass UDF (the per-position expression form would re-evaluate
+    * the code-point array per gram — the lambda-scope trap, cf. q35);
+    * exactly reproducible in DuckDB via list_reduce Horner over ord(). */
+  def rollingFingerprintsUdf(k: Int, p: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      if (text == null || text.length < k) Array.empty[Long]
+      else {
+        val M = 2147483647L // 2^31-1
+        val B = 257L
+        val out = scala.collection.mutable.SortedSet.empty[Long]
+        var i = 0
+        while (i + k <= text.length) {
+          var h = 0L
+          var j = 0
+          while (j < k) { h = (h * B + text.charAt(i + j)) % M; j += 1 }
+          if (h % p == 0) out += h
+          i += 1
+        }
+        out.toArray
+      }
+    })
+
   /** Jaccard similarity between two (distinct) shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

@@ -122,6 +122,21 @@ object TextOps {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Rolling-hash fingerprint profile: which sampled substring hashes are
+    // shared by the most documents (containment/boilerplate detection —
+    // a fingerprint shared by many docs marks copied spans). Map-only
+    // fingerprinting, then one groupBy on the fingerprint.
+    "q51_rolling_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(T.rollingFingerprintsUdf(8, 4)(col("text"))).as("fp"))
+        .groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("n_docs").desc, col("fp"))
+        .limit(20)
+    }),
+
     // Per-language corpus profile.
     "q36_lang_profile" -> ((s, d) => {
       Tables.documents(s, d)
@@ -279,6 +294,22 @@ object TextOps {
            FROM bands a JOIN bands b
              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
          SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""",
+
+    // Same Rabin-Karp scheme: Horner over code points, base 257 mod 2^31-1,
+    // keep h % 4 = 0. list_reduce folds left like the UDF's loop; ord() on
+    // the ASCII corpus equals Java charAt.
+    "q51_rolling_fingerprint" ->
+      """WITH grams AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, length(text) - 6),
+               i -> list_reduce(
+                 list_transform(range(i, i + 8),
+                   j -> CAST(ord(substr(text, CAST(j AS INT), 1)) AS BIGINT)),
+                 (a, b) -> (a * 257 + b) % 2147483647))) AS fp
+           FROM documents WHERE length(text) >= 8)
+         SELECT fp, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+         FROM grams WHERE fp % 4 = 0
+         GROUP BY fp ORDER BY n_docs DESC, fp LIMIT 20""",
 
     "q36_lang_profile" ->
       """SELECT lang, count(*) AS n_docs,

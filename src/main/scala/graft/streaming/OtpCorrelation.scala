@@ -50,6 +50,11 @@ object OtpCorrelation {
     // Event-time order within the batch (micro-batches don't sort for us).
     events.toSeq.sortBy(e => (e.ts.getTime, e.otp.isDefined)).foreach { ev =>
       (ev.request, ev.otp) match {
+        case (Some(req), _) if req.platform != "zepto" =>
+          // F7 platform whitelist: non-zepto requests are rejected up front
+          // (login_workflow.py:44-45 raises before any work starts).
+          out += LoginOutcome(key, SessionStatus.Error, None,
+            s"unsupported platform: ${req.platform}")
         case (Some(req), _) =>
           state.getOption match {
             case Some(st) if SessionStatus.terminal(st.status) =>

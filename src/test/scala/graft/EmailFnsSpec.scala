@@ -63,6 +63,18 @@ class EmailFnsSpec extends SparkSpecBase {
     assert(decoded.toSeq == bytes.toSeq)
   }
 
+  test("property: URL-safe base64 round-trips arbitrary byte arrays (E2)") {
+    val rnd = new scala.util.Random(7)
+    val cases = (1 to 50).map { _ =>
+      Array.fill(rnd.nextInt(64) + 1)(rnd.nextInt(256).toByte)
+    }
+    val enc = cases.map(b =>
+      java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b))
+    val df = enc.toDF("s").select(E.urlSafeUnbase64($"s").as("b"))
+    val decoded = df.collect().map(_.getAs[Array[Byte]](0).toSeq).toSeq
+    assert(decoded == cases.map(_.toSeq))
+  }
+
   test("E6 RFC-2822 date parse (main.py:94-95)") {
     val ts = one(E.rfc2822Date($"s"), "Tue, 2 Jan 2024 10:30:00 +0530")
       .asInstanceOf[java.sql.Timestamp]

@@ -41,6 +41,16 @@ class OtpCorrelationSpec extends SparkSpecBase {
     assert(out.head.otp.contains("9999"))
   }
 
+  test("F7: non-zepto platform rejected with error, no session opened (login_workflow.py:44)") {
+    val st = freshState
+    val badReq = CorrelationEvent("swiggy_u9", ts(0),
+      Some(LoginRequest("swiggy_u9", "swiggy", "u9", ts(0))), None)
+    val out = OtpCorrelation.transition("swiggy_u9", Iterator(badReq), st).toSeq
+    assert(out.map(_.status) == Seq(SessionStatus.Error))
+    assert(out.head.message.contains("unsupported platform"))
+    assert(!st.exists)
+  }
+
   test("otp with no open session is dropped (fire-and-forget signal)") {
     val st = freshState
     val out = OtpCorrelation.transition("zepto_u3", Iterator(otp("zepto_u3", "1111", 0)), st).toSeq
