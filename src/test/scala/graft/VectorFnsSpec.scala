@@ -60,6 +60,22 @@ class VectorFnsSpec extends SparkSpecBase {
     assert(r.forall(row => math.abs(row.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("multimodal extractFeatures: per-partition decode yields normalized histograms") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Multimodal.mediaTable(spark, sf)
+      .select("doc_id", "media_type", "payload", "byte_len", "content_hash")
+      .as[Multimodal.MediaRecord]
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.feature.length == 8)
+      assert(math.abs(f.feature.sum - 1.0f) < 1e-3, s"doc ${f.doc_id} not normalized")
+      assert(f.width >= 64 && f.height >= 64)
+      if (f.media_type != "video") assert(f.n_frames == 1)
+    }
+  }
+
   test("dotExact is the exact decimal sum regardless of float noise order") {
     // 64-dim vectors from the real table: exact-decimal dot must equal
     // numpy-style fold within 1e-9 (it IS exact, double cast at the end)

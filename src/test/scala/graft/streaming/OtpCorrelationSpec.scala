@@ -119,6 +119,35 @@ class OtpCorrelationSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("volume: 500 concurrent keys all correlate independently") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[CorrelationEvent](spark)
+    val q = OtpCorrelation.correlate(input.toDS())
+      .writeStream.format("memory").queryName("vol_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    try {
+      val n = 500
+      input.addData((0 until n).map(i => req(s"zepto_u$i", i)): _*)
+      // OTPs for even keys only, in one later batch
+      input.addData((0 until n by 2).map(i => otp(s"zepto_u$i", f"$i%04d", 1000 + i)): _*)
+      val deadline = System.currentTimeMillis() + 120000
+      while (spark.table("vol_out").count() < n / 2 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(250)
+      val rows = spark.table("vol_out").as[LoginOutcome].collect()
+      assert(rows.length == n / 2)
+      assert(rows.forall(_.status == SessionStatus.Success))
+      assert(rows.map(_.key).toSet == (0 until n by 2).map(i => s"zepto_u$i").toSet)
+      // each even key got ITS OWN otp, not a neighbor's
+      rows.foreach { o =>
+        val i = o.key.stripPrefix("zepto_u").toInt
+        assert(o.otp.contains(f"$i%04d"), s"key ${o.key} got ${o.otp}")
+      }
+    } finally q.stop()
+  }
+
   test("J1 option (a): stream-stream interval join matches within the window only") {
     implicit val s = spark
     import s.implicits._

@@ -114,6 +114,31 @@ class StreamOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("ST4: restart from the same checkpoint reprocesses nothing (replay safety)") {
+    import org.apache.spark.sql.functions.col
+    val src = java.nio.file.Files.createTempDirectory("restart_src").toString
+    val out = java.nio.file.Files.createTempDirectory("restart_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("restart_ckpt").toString
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("append").json(src)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING")
+    def run(): Unit = {
+      val q = StreamOps.idempotentParquetSink(
+        spark.readStream.schema(schema).json(src), out, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val afterFirst = spark.read.parquet(s"$out/batch_*").count()
+    run() // same checkpoint: committed offsets → nothing new to process
+    val afterSecond = spark.read.parquet(s"$out/batch_*").count()
+    assert(afterFirst == 2 && afterSecond == 2,
+      s"replay must not duplicate (first=$afterFirst second=$afterSecond)")
+    // new data after restart IS processed exactly once
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").json(src)
+    run()
+    assert(spark.read.parquet(s"$out/batch_*").count() == 3)
+  }
+
   test("S1 analog: events parquet as a real file-source stream → windowed agg") {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros, window}
     // stage the events file alone in a dir (a file stream reads a directory)
