@@ -15,6 +15,20 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(r.nonEmpty && r.forall(_.getLong(1) > 0))
   }
 
+  test("approximate sketches: HLL distinct within 5% of exact (built-in, scale path)") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50"))
+      .collect()(0)
+    val exact = r.getLong(0); val approx = r.getLong(1)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"exact=$exact approx=$approx")
+    assert(r.getDouble(2) > 0)
+  }
+
   test("SQL + native function + windowing compose") {
     Tables.registerAll(spark, sf)
     val r = spark.sql(
