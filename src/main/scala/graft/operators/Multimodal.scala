@@ -100,8 +100,11 @@ object Multimodal {
     }),
 
     // Full decode path through the stubbed per-partition extractor —
-    // exercises the mapPartitions batch shape end-to-end. Deterministic,
-    // but not SQL-expressible → rows-only check + ScalaTest.
+    // exercises the mapPartitions batch shape end-to-end. The stub's
+    // metadata outputs are pure functions of payload length, so the oracle
+    // recomputes them in SQL — verifying the whole Dataset[T] round-trip
+    // (encode → mapPartitions decode → DataFrame) against an independent
+    // derivation. The float feature vector is covered by ScalaTest.
     "q47_media_features" -> ((s, d) => {
       import s.implicits._
       val media = mediaTable(s, d)
@@ -128,6 +131,20 @@ object Multimodal {
            max(byte_len) AS max_bytes,
            count(DISTINCT content_hash) AS n_unique
          FROM m GROUP BY media_type ORDER BY media_type""",
+
+    "q47_media_features" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+               ELSE 'video' END AS media_type,
+             octet_length(encode(text)) AS n
+           FROM documents)
+         SELECT doc_id, media_type, CAST(n AS BIGINT) AS byte_len,
+           CAST(64 + (n % 576) AS INT) AS width,
+           CAST(64 + ((n // 7) % 576) AS INT) AS height,
+           CAST(CASE WHEN media_type = 'video' THEN 1 + n % 30 ELSE 1 END
+             AS INT) AS n_frames
+         FROM m ORDER BY doc_id""",
 
     "q46_media_manifest" ->
       """SELECT doc_id,
