@@ -32,22 +32,35 @@ object Bench {
     // min of two timed executions per query: single-shot numbers on this
     // box vary ±20% run-to-run (JIT/GC/scheduler noise); the min is the
     // standard steady-state estimate and is what a resident engine serves.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // noop-format write materializes every output column through the
+        // full physical plan (count() would let Catalyst prune unreferenced
+        // projections and drop sorts, under-measuring projection-heavy
+        // queries).
+        val ok = try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
+        } catch {
+          case e: Throwable =>
+            errors(name) = e.toString.replaceAll("[\"\\\\\n\r]", " ").take(200)
+            false
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // the LSH queries persist intermediates; drop them so repeated
         // executions measure the query, not a growing cache
         spark.catalog.clearCache()
-        dt
+        if (ok) dt else -1.0 // failed queries report negative, never a "pass"
       }
-      name -> times.min
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,11 +40,16 @@ object OtpCorrelation {
       events: Iterator[CorrelationEvent],
       state: GroupState[SessionState]): Iterator[LoginOutcome] = {
     if (state.hasTimedOut) {
-      // ST3: promise expiry → error, state retired.
+      // ST3: promise expiry. Only a session still awaiting its OTP is an
+      // error; terminal states also arm the timeout (as cache GC, below),
+      // and those must expire silently — else every Success would be
+      // followed ~300s later by a spurious timeout Error.
       val st = state.get
       state.remove()
-      return Iterator(LoginOutcome(key, SessionStatus.Error, None,
-        s"otp wait timed out after ${OtpTimeoutMs / 1000}s"))
+      return if (st.status == SessionStatus.WaitingForOtp)
+        Iterator(LoginOutcome(key, SessionStatus.Error, None,
+          s"otp wait timed out after ${OtpTimeoutMs / 1000}s"))
+      else Iterator.empty
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[LoginOutcome]
     // Event-time order within the batch (micro-batches don't sort for us).
@@ -136,7 +141,10 @@ object OtpCorrelation {
     val reqEvents = requests.map(r =>
       CorrelationEvent(r.key, r.reqTs, Some(r), None))
     val otpEvents = otps
-      .filter(e => e.otp.isDefined && e.platform.isDefined) // F5
+      // F5 has-OTP filter, plus null guards: fromEmail/toEmail are null when
+      // neither the body regex nor the header matched (main.py:119-128 can
+      // yield None) — one malformed email must not NPE and kill the query.
+      .filter(e => e.otp.isDefined && e.platform.isDefined && e.toEmail != null)
       .map { e =>
         val username = e.toEmail.split("@")(0) // E14, main.py:303
         val key = s"${e.platform.get}_$username" // E15, main.py:182

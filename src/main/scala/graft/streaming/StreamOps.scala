@@ -25,16 +25,19 @@ object StreamOps {
     * row-level outcomes, and the latest-per-key top-1 (q24/T1) collapsing
     * a burst to its newest element. */
 
-  /** ST1/F2 — drop duplicate notifications within the watermark window.
-    * `dropDuplicates` keeps per-key state garbage-collected by the
-    * watermark — bounded state at any scale. */
+  /** ST1/F2 — drop duplicate notifications within the watermark window,
+    * keyed on the id columns ONLY: a Pub/Sub redelivery carries the same
+    * historyId but a fresh delivery timestamp, so the event-time column
+    * must not be part of the dedup key. `dropDuplicatesWithinWatermark`
+    * keeps per-key state garbage-collected by the watermark — bounded
+    * state at any scale. */
   def dedupNotifications(
       df: DataFrame,
       eventTimeCol: String = "ts",
       idCols: Seq[String] = Seq("historyId"),
       lateness: String = "2 minutes"): DataFrame =
     df.withWatermark(eventTimeCol, lateness)
-      .dropDuplicates(idCols :+ eventTimeCol)
+      .dropDuplicatesWithinWatermark(idCols)
 
   /** ST2 — event-time freshness: rows older than the watermark are dropped
     * by any downstream stateful op; this is the streaming form of the
@@ -111,7 +114,19 @@ object StreamOps {
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        // Write to a hidden temp dir, then publish with an atomic rename:
+        // a crash mid-write leaves only the temp dir (invisible to readers
+        // of batch_*); the retry overwrites the temp dir and renames again.
+        val tmp = s"$outDir/.tmp_batch_$batchId"
+        val dest = s"$outDir/batch_$batchId"
+        batch.write.mode("overwrite").parquet(tmp)
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(conf)
+        val destPath = new org.apache.hadoop.fs.Path(dest)
+        if (fs.exists(destPath)) fs.delete(destPath, true) // retry replay
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), destPath)
+        ()
       }
       .start()
 }

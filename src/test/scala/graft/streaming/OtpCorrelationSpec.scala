@@ -89,6 +89,33 @@ class OtpCorrelationSpec extends SparkSpecBase {
     assert(timedOut.isRemoved)
   }
 
+  test("timeout of a Success-cached state is silent cache GC, not a spurious Error") {
+    val st = freshState
+    OtpCorrelation.transition("k", Iterator(req("k", 0)), st)
+    OtpCorrelation.transition("k", Iterator(otp("k", "4242", 1)), st)
+    assert(st.get.status == SessionStatus.Success)
+    val timedOut = TestGroupState.create[SessionState](
+      optionalState = Optional.of(st.get),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 1000L + OtpCorrelation.OtpTimeoutMs + 1,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = true)
+    val out = OtpCorrelation.transition("k", Iterator.empty, timedOut).toSeq
+    assert(out.isEmpty, s"cached-terminal GC must emit nothing, got $out")
+    assert(timedOut.isRemoved)
+  }
+
+  test("unionStreams drops a null-toEmail email instead of NPE-poisoning the query") {
+    implicit val s = spark
+    import s.implicits._
+    val reqs = Seq(LoginRequest("zepto_carol", "zepto", "carol", ts(0))).toDS()
+    val otps = Seq(
+      ParsedEmail("a@b.c", null, Some("1234"), Some("zepto"), ts(5)), // malformed
+      ParsedEmail("a@b.c", "carol@x.com", Some("5678"), Some("zepto"), ts(6))).toDS()
+    val evs = OtpCorrelation.unionStreams(reqs, otps).collect()
+    assert(evs.count(_.otp.isDefined) == 1)
+    assert(evs.find(_.otp.isDefined).get.key == "zepto_carol")
+  }
+
   test("unionStreams: typed request + email streams → correlate (full J1 path)") {
     implicit val s = spark
     import s.implicits._

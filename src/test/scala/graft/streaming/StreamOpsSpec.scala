@@ -61,7 +61,10 @@ class StreamOpsSpec extends SparkSpecBase {
       .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
     try {
       val t = new Timestamp(1704100000000L)
-      input.addData((1L, t), (1L, t), (2L, t))
+      val t2 = new Timestamp(1704100005000L)
+      // (1L, t2) is a REDELIVERY: same historyId, fresh delivery timestamp —
+      // it must still be dropped (dedup keys on id only, not (id, ts)).
+      input.addData((1L, t), (1L, t), (1L, t2), (2L, t))
       q.processAllAvailable()
       assert(spark.table("dedup_out").count() == 2)
     } finally q.stop()
