@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
   * oracle-verifiable. A 64-bit xxhash64 variant is provided for the
   * performance path.
   */
+/** UDF row type for [[TextFns.shingleSigUdf]]: a doc's distinct k-shingles
+  * plus its KM-MinHash signature, computed in one pass. */
+case class ShingleSig(shingles: Array[String], sig: Array[Long])
+
 object TextFns {
 
   /** Whitespace tokenization, empty tokens dropped. */
@@ -114,6 +118,92 @@ object TextFns {
             java.lang.Long.parseLong(hex.substring(16, 30), 16))
         }
         Array.tabulate(n)(j => pairs.map { case (h1, h2) => h1 + j * h2 }.min)
+      }
+    })
+
+  /** Distinct k-word shingles, single pass — same output as [[shinglesUdf]]
+    * (first-occurrence order, space-joined). */
+  private def distinctShingles(text: String, k: Int): Array[String] = {
+    if (text == null) Array.empty[String]
+    else {
+      val ws = text.split(" ").filter(_.nonEmpty)
+      if (ws.length < k) Array.empty[String]
+      else ws.sliding(k).map(_.mkString(" ")).distinct.toArray
+    }
+  }
+
+  /** md5(s) split into two 56-bit longs — identical to parsing hex
+    * substrings (0,14) and (16,30) as the KM scheme does, but read straight
+    * from the digest bytes (big-endian nibbles): no 32-char hex string is
+    * ever built (the `f"%02x"` formatting was ~half the signature cost). */
+  private def md5Pair(md: java.security.MessageDigest, s: String): (Long, Long) = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h1 = 0L; var h2 = 0L; var i = 0
+    while (i < 7) { h1 = (h1 << 8) | (d(i) & 0xffL); i += 1 }
+    i = 8
+    while (i < 15) { h2 = (h2 << 8) | (d(i) & 0xffL); i += 1 }
+    (h1, h2)
+  }
+
+  private def kmSignature(shingles: Array[String], n: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = Array.fill(n)(Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val (h1, h2) = md5Pair(md, shingles(i))
+      var j = 0; var h = h1
+      while (j < n) { if (h < mins(j)) mins(j) = h; h += h2; j += 1 }
+      i += 1
+    }
+    mins
+  }
+
+  /** Fused text → KM-MinHash signature UDF: tokenize, shingle, and hash in
+    * ONE pass per row (None when the doc has no k-shingle). Byte-identical
+    * to `minhashKmUdf(n)(shinglesUdf(k)(text))` — pinned by TextFnsSpec —
+    * but skips materializing the shingle array column and the per-byte hex
+    * formatting, which together dominated the q35/q37 signature stage. */
+  def minhashSigUdf(k: Int, n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      val sh = distinctShingles(text, k)
+      if (sh.isEmpty) None else Some(kmSignature(sh, n))
+    })
+
+  /** Fused text → (shingles, signature) UDF for pipelines that need both
+    * (q37 verifies Jaccard on the shingle sets of LSH candidates). */
+  def shingleSigUdf(k: Int, n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      val sh = distinctShingles(text, k)
+      ShingleSig(sh, if (sh.isEmpty) Array.empty[Long] else kmSignature(sh, n))
+    })
+
+  /** Fused text → SimHash-64 fingerprint UDF: tokenize, shingle, xxhash64,
+    * and the 64 bit-votes in ONE pass (None when the doc has no k-shingle).
+    * Hashing delegates to Spark's own XxHash64Function (seed 42 over UTF-8
+    * bytes), so the fingerprint is bit-identical to the staged column form
+    * `simhash64FromHashes(transform(shinglesUdf(k)(text), xxhash64))` —
+    * pinned by TextFnsSpec — without materializing two intermediate arrays
+    * per row or running 64 separate aggregate() passes. */
+  def simhashFpUdf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      val sh = distinctShingles(text, k)
+      if (sh.isEmpty) None
+      else {
+        val votes = new Array[Int](64)
+        var i = 0
+        while (i < sh.length) {
+          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(sh(i)),
+            org.apache.spark.sql.types.StringType, 42L)
+          var b = 0
+          while (b < 64) {
+            votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1
+          }
+          i += 1
+        }
+        var fp = 0L; var b = 0
+        while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+        Some(fp)
       }
     })
 

@@ -199,7 +199,7 @@ object Ingest {
       val payloadJson = concat(lit("{\"historyId\": "), col("event_id"),
         lit(", \"emailAddress\": \"user"), col("user_id"),
         lit("@example.com\"}"))
-      val envelope = Tables.events(s, d)
+      val envelope = Tables.spread(Tables.events(s, d))
         .withColumn("data_b64", base64(encode(payloadJson, "UTF-8")))
       val schema = org.apache.spark.sql.types.StructType
         .fromDDL("historyId BIGINT, emailAddress STRING")
@@ -220,7 +220,7 @@ object Ingest {
     // independent implementation, not themselves.
     "q44_mime_udf_pipeline" -> ((s, d) => {
       import graft.functions.MimeParser
-      val raw = Tables.customer(s, d).withColumn("raw_email", concat(
+      val raw = Tables.spread(Tables.customer(s, d)).withColumn("raw_email", concat(
         lit("From: Zepto <no-reply@zepto.co.in>\n"),
         lit("To: "), col("c_name"), lit(" <user"),
         col("c_custkey").cast("string"), lit("@example.com>\n"),

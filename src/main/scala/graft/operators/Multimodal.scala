@@ -54,7 +54,7 @@ object Multimodal {
   /** Build the media table from `documents` (text bytes as stand-in
     * payloads — deterministic, so oracle-checkable). */
   def mediaTable(s: SparkSession, d: String): DataFrame = {
-    graft.sources.Tables.documents(s, d)
+    graft.sources.Tables.spread(graft.sources.Tables.documents(s, d))
       .withColumn("media_type",
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3).cast("int") + 1))

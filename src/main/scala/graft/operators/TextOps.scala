@@ -97,17 +97,19 @@ object TextOps {
     }),
 
     // MinHash-LSH near-dup candidates: 3-word shingles → 8 KM minhashes
-    // (one md5 per shingle) → 4 bands × 2 rows → docs sharing a band
-    // bucket. Only bucket-internal pairs are generated (no all-pairs cross
-    // join at any scale). The signature is persisted: it is consumed by
-    // both sides of the self-join AND by 8 element_at's — without the
-    // barrier CollapseProject would inline (= recompute) it per consumer.
+    // (one md5 per shingle, fused into a single-pass UDF) → 4 bands × 2
+    // rows → docs sharing a band bucket. Only bucket-internal pairs are
+    // generated (no all-pairs cross join at any scale). The signature is
+    // persisted AND materialized before the self-join: both join sides scan
+    // it, and in a single action the two scans race — each would recompute
+    // the full signature stage (CollapseProject would also inline it into
+    // every element_at of the band keys).
     "q35_minhash_lsh" -> ((s, d) => {
-      val sig = Tables.documents(s, d)
-        .withColumn("shingles", T.shinglesUdf(3)(col("text")))
-        .filter(size(col("shingles")) > 0)
-        .select(col("doc_id"), T.minhashKmUdf(8)(col("shingles")).as("sig"))
+      val sig = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), T.minhashSigUdf(3, 8)(col("text")).as("sig"))
+        .filter(col("sig").isNotNull)
         .persist()
+      sig.count()
       val bands = sig.select(col("doc_id"),
           explode(T.bandKeys(col("sig"), 4, 2)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"),
@@ -127,7 +129,7 @@ object TextOps {
     // a fingerprint shared by many docs marks copied spans). Map-only
     // fingerprinting, then one groupBy on the fingerprint.
     "q51_rolling_fingerprint" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"),
           explode(T.rollingFingerprintsUdf(8, 4)(col("text"))).as("fp"))
         .groupBy(col("fp"))
@@ -157,22 +159,22 @@ object TextOps {
     // some NATURAL doc pairs land within hamming 1-3 (measured), and
     // simhash needs xxhash64 which DuckDB lacks — covered by ScalaTest
     // (planted ⊆ result, hamming bound re-verified on collected output).
-    // Bucketing is a band-equijoin — never all-pairs. Hashing is staged
-    // behind persists: hash each shingle ONCE, then 64 cheap bit-vote
-    // passes — inlining the hash transform into the per-bit aggregates
-    // would recompute it 64× (the CollapseProject trap, cf. q35).
+    // Bucketing is a band-equijoin — never all-pairs. The whole per-doc
+    // fingerprint (shingle → xxhash64 → 64 bit-votes) is ONE fused UDF
+    // pass: the staged column form needed two persisted intermediates and
+    // 64 aggregate() traversals per row, and the self-join's two scans
+    // raced to recompute them (measured 17.4 s → the fused form is the
+    // map-only stage this is supposed to be). The tiny (doc_id, fp) table
+    // is materialized before the join so both sides read the cache.
     "q48_simhash_neardup" -> ((s, d) => {
       val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val planted = base.filter(pmod(col("doc_id"), lit(10)) === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      val hashed = base.union(planted)
-        .select(col("doc_id"), T.shinglesUdf(3)(col("text")).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id"), transform(col("sh"), w => xxhash64(w)).as("hs"))
+      val fp = Tables.spread(base.union(planted))
+        .select(col("doc_id"), T.simhashFpUdf(3)(col("text")).as("fp"))
+        .filter(col("fp").isNotNull)
         .persist()
-      val fp = hashed
-        .select(col("doc_id"), T.simhash64FromHashes(col("hs")).as("fp"))
-        .persist()
+      fp.count()
       val bands = fp.select(col("doc_id"), col("fp"),
           explode(sequence(lit(0), lit(3))).as("band"))
         .withColumn("bkey",
@@ -189,26 +191,38 @@ object TextOps {
     }),
 
     // N-gram (3-shingle) Jaccard similarity, LSH-bucketed: exact verify on
-    // LSH candidates only — the scalable two-phase near-dup plan.
+    // LSH candidates only — the scalable two-phase near-dup plan. The band
+    // self-join carries ONLY (doc_id, band, bkey); a doc pair that shares
+    // several bands is collapsed by distinct() BEFORE the shingle sets are
+    // fetched (broadcast of the small pair list back onto the cached docs),
+    // so the expensive array intersection runs once per unique pair — the
+    // previous form shuffled both shingle arrays through every band row and
+    // ran Jaccard per pre-distinct candidate (4× the pairs, ~50× the bytes).
     "q37_jaccard_verify" -> ((s, d) => {
-      val sig = Tables.documents(s, d)
-        .withColumn("shingles", T.shinglesUdf(3)(col("text")))
-        .filter(size(col("shingles")) > 0)
-        .select(col("doc_id"), col("shingles"),
-          T.minhashKmUdf(8)(col("shingles")).as("sig"))
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), T.shingleSigUdf(3, 8)(col("text")).as("ss"))
+        .filter(size(col("ss.shingles")) > 0)
+        .select(col("doc_id"), col("ss.shingles").as("shingles"),
+          col("ss.sig").as("sig"))
         .persist()
-      val bands = sig.select(col("doc_id"), col("shingles"),
+      docs.count()
+      val bands = docs.select(col("doc_id"),
           explode(T.bandKeys(col("sig"), 4, 2)).as("bk"))
-        .select(col("doc_id"), col("shingles"),
-          col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.bkey").as("bkey"))
       val a = bands.alias("a")
       val b = bands.alias("b")
-      a.join(b, col("a.band") === col("b.band") &&
+      val pairs = a.join(b, col("a.band") === col("b.band") &&
           col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          T.jaccard(col("a.shingles"), col("b.shingles")).as("jaccard"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
+      docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+        .join(broadcast(pairs), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"),
+          col("shingles").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          T.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }))
 

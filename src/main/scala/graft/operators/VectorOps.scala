@@ -24,7 +24,8 @@ object VectorOps {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val c = e.select(col("vec_id"), col("embedding"))
+    // spread: the decimal dot products run on the corpus scan's partitions
+    val c = Tables.spread(e.select(col("vec_id"), col("embedding")))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("dot", V.dotExact(col("qv"), col("embedding")))
     val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
@@ -43,7 +44,7 @@ object VectorOps {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val c = e.select(col("vec_id"), col("embedding"))
+    val c = Tables.spread(e.select(col("vec_id"), col("embedding")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     c.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("sim", graft.functions.CosineExpr.cosineFast(col("qv"), col("embedding")))
@@ -58,7 +59,7 @@ object VectorOps {
     * nearest cells and brute-forces only within them. */
   def ivfTopK(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5,
               nprobe: Int = 3): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = Tables.spread(Tables.embeddings(s, d))
     // centroid per cell: elementwise mean via posexplode + groupBy.
     val cent = e.select(col("label").as("cell"),
         posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -100,7 +101,12 @@ object VectorOps {
     * provably unchanged → recall is exactly 1.0 and the result is the exact
     * planted pair set, which makes the whole LSH pipeline oracle-checkable.
     * Scale: candidate generation is a bucket-equijoin (shuffle on bucket),
-    * never a cross join; verification cost ∝ bucket collisions only. */
+    * never a cross join; verification cost ∝ bucket collisions only.
+    * The bucket self-join carries ONLY (vec_id, bucket) — the 16×64-mult
+    * projection runs once per row into a materialized cache instead of once
+    * per join side, and the embedding arrays are never shuffled: the small
+    * candidate-pair list is broadcast back onto the corpus to fetch vectors
+    * for the cosine verify. */
   def cosineNearDup(s: SparkSession, d: String, bits: Int = 16,
                     threshold: Double = 0.999): DataFrame = {
     val e = Tables.embeddings(s, d)
@@ -108,17 +114,22 @@ object VectorOps {
       .select((col("vec_id") + 1000000L).as("vec_id"),
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
     val corpus = e.select(col("vec_id"), col("embedding")).union(planted)
-      .withColumn("bucket", V.cosineLshBucket(col("embedding"), bits))
-    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
-      col("bucket"))
-    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
-      col("bucket"))
-    a.join(b, Seq("bucket"))
+    val bk = Tables.spread(corpus)
+      .select(col("vec_id"), V.cosineLshBucket(col("embedding"), bits).as("bucket"))
+      .persist()
+    bk.count()
+    val cand = bk.select(col("vec_id").as("id_a"), col("bucket"))
+      .join(bk.select(col("vec_id").as("id_b"), col("bucket")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    corpus.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      .join(broadcast(cand), "id_a")
+      .join(corpus.select(col("vec_id").as("id_b"),
+        col("embedding").as("v_b")), "id_b")
       .filter(graft.functions.CosineExpr.cosineFast(col("v_a"), col("v_b")) >= threshold)
       .select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"))
-      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 

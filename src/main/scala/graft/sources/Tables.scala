@@ -30,6 +30,19 @@ object Tables {
       spark.read.parquet(s"$sfDir/$n.parquet")
   }
 
+  /** Widen a scan to the session's default parallelism when the source read
+    * produced fewer partitions — the testdata tables are single small
+    * parquet files, so a CPU-heavy map stage (MinHash, SimHash, MIME parse,
+    * decimal dot products) placed directly on the scan would run on ONE of
+    * 32 cores. Conditional on the actual scan width: at cluster scale the
+    * input is already thousands of splits and this is a no-op (no shuffle),
+    * which is exactly the property an unconditional repartition would lose.
+    * The shuffle it does locally moves only the narrow pre-compute rows. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Register every table as a temp view so the engine's full surface is
     * reachable from `spark.sql(...)` as well as the DataFrame API. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

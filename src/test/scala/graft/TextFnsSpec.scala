@@ -67,6 +67,36 @@ class TextFnsSpec extends SparkSpecBase {
     assert(cmp.filter(not($"hof" === $"udf")).count() == 0)
   }
 
+  test("minhashSigUdf ≡ minhashKmUdf∘shinglesUdf (fused single-pass form)") {
+    val df = graft.sources.Tables.documents(spark, sf).limit(50)
+    val cmp = df.select(
+      T.minhashKmUdf(8)(T.shinglesUdf(3)($"text")).as("staged"),
+      T.minhashSigUdf(3, 8)($"text").as("fused"))
+      .filter(size($"staged") > 0)
+    assert(cmp.filter(not($"staged" === $"fused")).count() == 0)
+  }
+
+  test("shingleSigUdf ≡ (shinglesUdf, minhashKmUdf) pair") {
+    val df = graft.sources.Tables.documents(spark, sf).limit(50)
+    val cmp = df.select(
+      T.shinglesUdf(3)($"text").as("sh"),
+      T.minhashKmUdf(8)(T.shinglesUdf(3)($"text")).as("sig"),
+      T.shingleSigUdf(3, 8)($"text").as("ss"))
+      .filter(size($"sh") > 0)
+    assert(cmp.filter(not($"sh" === $"ss.shingles") ||
+      not($"sig" === $"ss.sig")).count() == 0)
+  }
+
+  test("simhashFpUdf ≡ simhash64FromHashes∘xxhash64∘shinglesUdf (fused form)") {
+    val df = graft.sources.Tables.documents(spark, sf).limit(50)
+      .filter(size(T.shinglesUdf(3)($"text")) > 0)
+    val cmp = df.select(
+      T.simhash64FromHashes(
+        transform(T.shinglesUdf(3)($"text"), w => xxhash64(w))).as("staged"),
+      T.simhashFpUdf(3)($"text").as("fused"))
+    assert(cmp.filter($"staged" =!= $"fused").count() == 0)
+  }
+
   test("q48 simhash near-dup: planted exact dups are all recalled; hamming bound holds") {
     val result = graft.operators.TextOps.queries("q48_simhash_neardup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
