@@ -60,14 +60,12 @@ object VectorOps {
   def ivfTopK(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5,
               nprobe: Int = 3): DataFrame = {
     val e = Tables.spread(Tables.embeddings(s, d))
-    // centroid per cell: elementwise mean via posexplode + groupBy.
-    val cent = e.select(col("label").as("cell"),
-        posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("x")).as("cx"))
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
-      .select(col("cell"), transform(col("pairs"), p => p.getField("cx")).as("centroid"))
+    // centroid per cell: elementwise mean via a typed Aggregator — ONE
+    // shuffle of one (sum[64], count) buffer per key per partition.
+    // (posexplode + groupBy would multiply the shuffle rows 64×.)
+    val cent = e.groupBy(col("label").as("cell"))
+      .agg(graft.functions.ArrayAvgAgg.arrayAvg(64)(col("embedding"))
+        .as("centroid"))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     // assign each query its nprobe nearest cells (centroid table is tiny);
