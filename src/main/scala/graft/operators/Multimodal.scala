@@ -115,6 +115,49 @@ object Multimodal {
         .select(col("doc_id"), col("media_type"), col("byte_len"),
           col("width"), col("height"), col("n_frames"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Resize planning for images: fit-within-224 preserving aspect ratio.
+    // Dims come from the decode stage (mapPartitions); the scale math is
+    // pure INTEGER arithmetic ((w*224) DIV max-side) so the plan is
+    // bit-reproducible across engines — no float rounding to disagree on.
+    // In a real deployment the pixel resample runs inside the same
+    // per-partition decoder pass; the planning columns are what downstream
+    // batching/packing consumes and what is verified here.
+    "q56_media_resize" -> ((s, d) => {
+      import s.implicits._
+      val media = mediaTable(s, d)
+        .select("doc_id", "media_type", "payload", "byte_len", "content_hash")
+        .as[MediaRecord]
+      extractFeatures(media).toDF()
+        .filter(col("media_type") === "image")
+        .withColumn("m", greatest(col("width"), col("height")))
+        .select(col("doc_id"), col("width"), col("height"),
+          when(col("m") > 224,
+            expr("CAST((width * 224) DIV m AS INT)"))
+            .otherwise(col("width")).as("out_w"),
+          when(col("m") > 224,
+            expr("CAST((height * 224) DIV m AS INT)"))
+            .otherwise(col("height")).as("out_h"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Frame sampling for videos: every 5th frame index from the decoded
+    // frame count — the manifest a frame-extraction stage consumes. The
+    // explode is map-side (rows × ≤6 at 30 fps-stub); no shuffle before
+    // the final presentation sort.
+    "q57_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val media = mediaTable(s, d)
+        .select("doc_id", "media_type", "payload", "byte_len", "content_hash")
+        .as[MediaRecord]
+      extractFeatures(media).toDF()
+        .filter(col("media_type") === "video")
+        .select(col("doc_id"), col("n_frames"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(5))).as("fi"))
+        .select(col("doc_id"), col("n_frames"),
+          col("fi").cast("long").as("frame_idx"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -152,5 +195,30 @@ object Multimodal {
              ELSE 'video' END AS media_type,
            octet_length(encode(text)) AS byte_len,
            md5(text) AS content_hash
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+
+    "q56_media_resize" ->
+      """WITH m AS (
+           SELECT doc_id, octet_length(encode(text)) AS n
+           FROM documents WHERE doc_id % 3 = 0),
+         d AS (SELECT doc_id,
+           CAST(64 + (n % 576) AS INT) AS width,
+           CAST(64 + ((n // 7) % 576) AS INT) AS height FROM m)
+         SELECT doc_id, width, height,
+           CAST(CASE WHEN greatest(width, height) > 224
+             THEN (width * 224) // greatest(width, height)
+             ELSE width END AS INT) AS out_w,
+           CAST(CASE WHEN greatest(width, height) > 224
+             THEN (height * 224) // greatest(width, height)
+             ELSE height END AS INT) AS out_h
+         FROM d ORDER BY doc_id""",
+
+    "q57_frame_sample" ->
+      """WITH m AS (
+           SELECT doc_id, octet_length(encode(text)) AS n
+           FROM documents WHERE doc_id % 3 = 2),
+         v AS (SELECT doc_id, CAST(1 + n % 30 AS INT) AS n_frames FROM m)
+         SELECT doc_id, n_frames,
+           CAST(unnest(range(0, n_frames, 5)) AS BIGINT) AS frame_idx
+         FROM v ORDER BY doc_id, frame_idx""")
 }
