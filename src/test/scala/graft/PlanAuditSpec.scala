@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Physical-plan audits: the properties that decide 100 TB behavior, pinned
+  * as tests so a refactor that silently loses a pushdown, a broadcast, or a
+  * top-k specialization fails CI — not just the benchmark.
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("q02: predicate and column pruning reach the parquet scan") {
+    val p = q("q02_filter_pushdown").queryExecution.toString
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    assert(p.contains("GreaterThan") || p.contains("IsNotNull"),
+      s"expected pushed predicates:\n$p")
+    // projection-pruned read schema, not the full 16-column lineitem
+    assert(!p.contains("l_comment"), s"scan reads unneeded columns:\n$p")
+  }
+
+  test("q03: dimension joins broadcast (no shuffle of the fact side for dims)") {
+    val p = plan(q("q03_revenue_by_nation"))
+    assert(p.contains("BroadcastHashJoin"), s"expected BHJ:\n$p")
+  }
+
+  test("q09: global top-k compiles to TakeOrderedAndProject (no full sort)") {
+    val p = plan(q("q09_global_topk"))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort should not materialize for a limit:\n$p")
+  }
+
+  test("q53: eval-gram side broadcasts; corpus side never shuffles pre-join") {
+    val p = plan(q("q53_decontaminate"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast semi-join:\n$p")
+  }
+
+  test("q35: band self-join reads the persisted signature cache on both sides") {
+    val p = plan(q("q35_minhash_lsh"))
+    assert(p.contains("InMemoryTableScan"), s"expected cached scan:\n$p")
+    // the signature UDF must not appear downstream of the cache
+    val afterCache = p.substring(p.indexOf("InMemoryTableScan"))
+    assert(!afterCache.contains("minhashSig"), s"sig recomputed:\n$p")
+  }
+
+  test("aggregations keep partial (map-side) aggregation") {
+    val p = plan(q("q01_pricing_summary"))
+    // two HashAggregate nodes around the exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final aggregate:\n$p")
+  }
+}
