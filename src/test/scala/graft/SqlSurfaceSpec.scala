@@ -29,6 +29,20 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(r.getDouble(2) > 0)
   }
 
+  test("custom UDF tier is SQL-reachable: near-dup candidate SQL runs end-to-end") {
+    Tables.registerAll(spark, sf)
+    graft.functions.SqlFunctions.registerAll(spark)
+    val r = spark.sql(
+      """WITH sig AS (
+           SELECT doc_id, minhash_sig8(text) AS sig FROM documents
+           WHERE size(shingles3(text)) > 0),
+         fp AS (SELECT doc_id, simhash_fp3(text) AS fp FROM documents)
+         SELECT s.doc_id, size(s.sig) AS sig_len, f.fp
+         FROM sig s JOIN fp f ON s.doc_id = f.doc_id
+         ORDER BY s.doc_id LIMIT 20""").collect()
+    assert(r.nonEmpty && r.forall(_.getInt(1) == 8))
+  }
+
   test("SQL + native function + windowing compose") {
     Tables.registerAll(spark, sf)
     val r = spark.sql(
