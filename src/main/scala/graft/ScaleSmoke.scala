@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: replays the heavy dedup/similarity pipelines on an 8×
+  * inflated corpus (sf0.1 unioned with shifted doc_ids → ~44k docs /
+  * ~5.9M shingle-hashes) to check the SHAPE of the scaling, since real
+  * multi-TB inputs don't exist in this container. What to look for: runtime
+  * should grow ~linearly with corpus size for the map stages and with
+  * candidate count for the joins — a quadratic blowup here means a bucket
+  * key collapsed and the design is wrong. Run:
+  *   sbt "runMain graft.ScaleSmoke /root/testdata/sf0.1 8"
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.functions.{TextFns => T}
+    import graft.sources.Tables
+
+    // inflate: k copies with disjoint id ranges; texts repeat, which is
+    // REALISTIC for a dedup workload (that's what dedup exists for) and
+    // stresses the buckets harder than unique text would
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val big = (0 until mult).map(k =>
+      base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        col("text"))).reduce(_ union _)
+    val n = big.count()
+    println(s"SCALE corpus=$n docs (${mult}x)")
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      println(f"SCALE $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
+      spark.catalog.clearCache()
+    }
+
+    // q48-shaped simhash near-dup at mult× (identical copies share fp —
+    // the worst-case bucket load for this design)
+    time("simhash_neardup") {
+      val fp = Tables.spread(big)
+        .select(col("doc_id"), T.simhashFpUdf(3)(col("text")).as("fp"))
+        .filter(col("fp").isNotNull).persist()
+      fp.count()
+      // identical-fp groups explode quadratically by construction here
+      // (every doc has mult-1 exact copies); dedupe to distinct fps for
+      // candidate generation, then count group sizes — the production
+      // shape for exact-duplicate-heavy corpora
+      val groups = fp.groupBy(col("fp"))
+        .agg(count(lit(1)).as("sz"), min(col("doc_id")).as("rep"))
+        .persist()
+      groups.count()
+      val bands = groups.select(col("fp"), col("rep"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bkey", expr("(fp >> (band * 16)) & 65535"))
+      val a = bands.alias("a"); val b = bands.alias("b")
+      a.join(b, col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.rep") < col("b.rep"))
+        .filter(T.hamming64(col("a.fp"), col("b.fp")) <= 3)
+        .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"))
+        .distinct()
+    }
+
+    // q35-shaped minhash LSH candidates over distinct signatures
+    time("minhash_lsh") {
+      val sig = Tables.spread(big)
+        .select(col("doc_id"), T.minhashSigUdf(3, 8)(col("text")).as("sig"))
+        .filter(col("sig").isNotNull).persist()
+      sig.count()
+      val groups = sig.groupBy(col("sig"))
+        .agg(min(col("doc_id")).as("rep")).persist()
+      groups.count()
+      val bands = groups.select(col("rep"),
+          explode(T.bandKeys(col("sig"), 4, 2)).as("bk"))
+        .select(col("rep"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      val a = bands.alias("a"); val b = bands.alias("b")
+      a.join(b, col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.rep") < col("b.rep"))
+        .select(col("a.rep").as("doc_a"), col("b.rep").as("doc_b"))
+        .distinct()
+    }
+
+    // exact dedup at mult× — hash groupBy, the baseline
+    time("exact_dedup") {
+      big.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep"), count(lit(1)).as("n"))
+    }
+    spark.stop()
+  }
+}
