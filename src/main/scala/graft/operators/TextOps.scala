@@ -20,6 +20,28 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** MinHash-LSH candidate pairs (the q35 plan, shared with q58): fused
+    * signature UDF → persisted+materialized (both self-join sides read the
+    * cache) → slim band self-join → distinct pairs. */
+  private def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val sig = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), T.minhashSigUdf(3, 8)(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+      .persist()
+    sig.count()
+    val bands = sig.select(col("doc_id"),
+        explode(T.bandKeys(col("sig"), 4, 2)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey"))
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting (whitespace tokenization).
     "q30_token_stats" -> ((s, d) => {
@@ -104,24 +126,49 @@ object TextOps {
     // it, and in a single action the two scans race — each would recompute
     // the full signature stage (CollapseProject would also inline it into
     // every element_at of the band keys).
-    "q35_minhash_lsh" -> ((s, d) => {
-      val sig = Tables.spread(Tables.documents(s, d))
-        .select(col("doc_id"), T.minhashSigUdf(3, 8)(col("text")).as("sig"))
-        .filter(col("sig").isNotNull)
+    "q35_minhash_lsh" -> ((s, d) =>
+      minhashCandidatePairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
+
+    // Near-dup CLUSTER assignment — the step that turns candidate pairs
+    // into deduplicated output: connected components over the LSH pair
+    // graph by iterative min-label propagation (the simple form of the
+    // large-star/small-star MapReduce CC algorithm), then every document
+    // labeled with its component minimum (singletons label themselves).
+    // Driver-side iteration is ONLY the convergence loop — each step is a
+    // distributed join+groupBy, and near-dup components are tiny cliques,
+    // so the loop runs 1-3 times regardless of corpus size (bounded by
+    // component diameter, not data volume).
+    "q58_dedup_clusters" -> ((s, d) => {
+      val pairs = minhashCandidatePairs(s, d).persist()
+      pairs.count()
+      val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
         .persist()
-      sig.count()
-      val bands = sig.select(col("doc_id"),
-          explode(T.bandKeys(col("sig"), 4, 2)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"),
-          col("bk.bkey").as("bkey"))
-      val a = bands.alias("a")
-      val b = bands.alias("b")
-      a.join(b, col("a.band") === col("b.band") &&
-          col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-        .orderBy(col("doc_a"), col("doc_b"))
+      var labels = edges.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node")).persist()
+      labels.count()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 15) {
+        val next = labels.join(edges, col("node") === col("a"))
+          .select(col("b").as("node"), col("label"))
+          .union(labels)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .persist()
+        next.count()
+        val changed = next.alias("n")
+          .join(labels.alias("o"), col("n.node") === col("o.node"))
+          .filter(col("n.label") =!= col("o.label")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(labels, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster"))
+        .orderBy(col("doc_id"))
     }),
 
     // Rolling-hash fingerprint profile: which sampled substring hashes are
@@ -324,6 +371,40 @@ object TextOps {
          SELECT fp, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
          FROM grams WHERE fp % 4 = 0
          GROUP BY fp ORDER BY n_docs DESC, fp LIMIT 20""",
+
+    // Connected components as a recursive reachability closure + min —
+    // tractable because near-dup components are tiny; mirrors the Spark
+    // side's min-label-propagation fixpoint exactly (both compute the
+    // component minimum).
+    "q58_dedup_clusters" ->
+      s"""WITH RECURSIVE toks AS (
+           SELECT doc_id, $duckTokens AS ws FROM documents),
+         sh AS (
+           SELECT doc_id, ${duckShingles("ws")} AS shingles FROM toks),
+         sig AS (
+           SELECT doc_id, ${duckSig("shingles")} AS sig FROM sh
+           WHERE len(shingles) > 0),
+         bands AS (
+           SELECT doc_id, b AS band,
+             md5(CAST(sig[2*b + 1] AS VARCHAR) || '#' || CAST(sig[2*b + 2] AS VARCHAR)) AS bkey
+           FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT a AS node, b AS peer FROM edges
+           UNION
+           SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.peer),
+         cc AS (
+           SELECT node, least(node, min(peer)) AS cluster
+           FROM reach GROUP BY node)
+         SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster
+         FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+         ORDER BY d.doc_id""",
 
     "q36_lang_profile" ->
       """SELECT lang, count(*) AS n_docs,
