@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump a single SparkEntry query to parquet (targeted oracle checks
+  * without a full Verify sweep): runMain graft.DumpOne <sfDir> <out> <q...> */
+object DumpOne {
+  def main(args: Array[String]): Unit = {
+    val (sfDir, outDir, names) = (args(0), args(1), args.drop(2))
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
+      println(s"DUMPED $name")
+    }
+    spark.stop()
+  }
+}

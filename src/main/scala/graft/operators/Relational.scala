@@ -213,6 +213,24 @@ object Relational {
     // Equi + range join: ship within 30 days of the order date. The equi
     // key carries the shuffle; the range predicate is a post-join filter,
     // so this scales like a plain orderkey join.
+    // Skew-salted fact⋈fact join, oracle-checked against the PLAIN SQL
+    // join: salting must be invisible in the result set (every small-side
+    // key is replicated to all salt values; the salt only reshapes the
+    // shuffle). This pins the rewrite's semantics, not just its plan —
+    // the tool for hot keys beyond AQE's skew handling when neither side
+    // broadcasts.
+    "q59_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      Skew.saltedJoin(li, ord, "l_orderkey", "o_orderkey", 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q17_range_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
       val o = Tables.orders(s, d)
@@ -350,5 +368,11 @@ object Relational {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            AND l_shipdate >= o_orderdate
            AND l_shipdate < o_orderdate + INTERVAL 30 DAY
-         GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q59_salted_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+         ${sqlDsum("l_quantity")} AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
 }
