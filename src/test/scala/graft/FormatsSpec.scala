@@ -30,6 +30,19 @@ class FormatsSpec extends SparkSpecBase {
       n.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("ORC round-trip (columnar alternative; predicate pushdown preserved)") {
+    val dir = java.nio.file.Files.createTempDirectory("lineitem_orc").toString
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
+    li.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).filter(col("l_quantity") > 30)
+    // pushdown reaches the ORC scan too
+    val p = back.queryExecution.toString
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"),
+      s"expected ORC pushdown:\n$p")
+    assert(back.count() == li.filter(col("l_quantity") > 30).count())
+  }
+
   test("PERMISSIVE vs FAILFAST JSON parse modes (§1.3 ingress validation)") {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType
