@@ -17,6 +17,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // cap plan-description strings: a deeply-nested plan must never be
+      // able to dominate wall time via explainString on each action
+      .config("spark.sql.maxPlanStringLength", "65536")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -137,16 +137,25 @@ object TextOps {
     // Driver-side iteration is ONLY the convergence loop — each step is a
     // distributed join+groupBy, and near-dup components are tiny cliques,
     // so the loop runs 1-3 times regardless of corpus size (bounded by
-    // component diameter, not data volume).
+    // component diameter, not data volume). Each iteration's result is
+    // localCheckpoint'ed to TRUNCATE PLAN LINEAGE: persist() alone keeps
+    // the full logical plan, which embeds the previous iteration twice
+    // (join + union) and grows exponentially — by iteration ~10 Catalyst
+    // spends minutes just stringifying/re-analyzing the tree. Lineage
+    // truncation per step is the standard shape for iterative algorithms
+    // (GraphX/Pregel do the same); on a real cluster use reliable
+    // checkpoint(dir) for executor-loss tolerance.
     "q58_dedup_clusters" -> ((s, d) => {
-      val pairs = minhashCandidatePairs(s, d).persist()
-      pairs.count()
-      val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-        .persist()
+      val pairs = minhashCandidatePairs(s, d)
+      // both edge directions in ONE scan of the pair join (a union of two
+      // selects would run the self-join twice inside the eager checkpoint)
+      val edges = pairs.select(explode(array(
+          struct(col("doc_a").as("a"), col("doc_b").as("b")),
+          struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .localCheckpoint() // eager: cuts the minhash pipeline out of the loop's plans
       var labels = edges.select(col("a").as("node")).distinct()
-        .withColumn("label", col("node")).persist()
-      labels.count()
+        .withColumn("label", col("node")).localCheckpoint()
       var converged = false
       var iter = 0
       while (!converged && iter < 15) {
@@ -154,12 +163,10 @@ object TextOps {
           .select(col("b").as("node"), col("label"))
           .union(labels)
           .groupBy(col("node")).agg(min(col("label")).as("label"))
-          .persist()
-        next.count()
+          .localCheckpoint()
         val changed = next.alias("n")
           .join(labels.alias("o"), col("n.node") === col("o.node"))
           .filter(col("n.label") =!= col("o.label")).count()
-        labels.unpersist()
         labels = next
         converged = changed == 0
         iter += 1
