@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
 import graft.functions.{EmailFns => E}
-import graft.operators.{Ingest, Multimodal, PipelineOps, Relational, TextOps, VectorOps}
+import graft.operators.{Ingest, Multimodal, PipelineOps, Relational, SketchOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,10 +47,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Ingest.queries ++ TextOps.queries ++
-      VectorOps.queries ++ Multimodal.queries ++ PipelineOps.queries
+      VectorOps.queries ++ Multimodal.queries ++ PipelineOps.queries ++
+      SketchOps.queries
 
   /** DuckDB-equivalent SQL for every SQL-expressible query above. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Ingest.oracle ++ TextOps.oracle ++
-      VectorOps.oracle ++ Multimodal.oracle ++ PipelineOps.oracle
+      VectorOps.oracle ++ Multimodal.oracle ++ PipelineOps.oracle ++
+      SketchOps.oracle
 }

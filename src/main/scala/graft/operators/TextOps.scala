@@ -278,6 +278,31 @@ object TextOps {
         .select(col("doc_a"), col("doc_b"),
           T.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // PII redaction — the scrub pass every public-web training corpus runs
+    // before tokenization. The synthetic corpus has no natural PII, so each
+    // doc gets a deterministic planted email + phone (derived from doc_id),
+    // then the scrubber masks by pattern. Map-only at any scale (regex per
+    // row, no shuffle); the redacted text is exported as md5 so the oracle
+    // compares full content without hashing megabytes of strings row-wise.
+    "q64_pii_redact" -> ((s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\d{3}-\\d{4}"
+      Tables.documents(s, d)
+        .withColumn("raw", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example ph 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("raw"), lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
     }))
 
   // DuckDB-side reproductions. Lists are 1-based in DuckDB, 1-based in
@@ -438,5 +463,21 @@ object TextOps {
              len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
            FROM bands a JOIN bands b
              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-         SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""")
+         SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""",
+
+    "q64_pii_redact" ->
+      """WITH raw AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@mail.example ph 555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+           FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(raw, '\d{3}-\d{4}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_md5
+         FROM raw ORDER BY doc_id""")
 }
