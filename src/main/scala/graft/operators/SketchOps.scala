@@ -79,17 +79,21 @@ object SketchOps {
     }),
 
     // Quantile sketch vs exact percentiles: one-pass GK sketch
-    // (percentile_approx) checked against the exact sort-based percentile
-    // at 1% relative tolerance; the exact values are the oracle-compared
-    // output (rounded through decimal so double noise can't flip the hash).
+    // (percentile_approx) checked against the exact *discrete* percentile
+    // at 1% relative tolerance. percentile_disc (SQL standard: first value
+    // with cume_dist >= q) returns an actual data value — no interpolation
+    // arithmetic, so the oracle-compared decimals are engine-exact by
+    // construction (the round-3 hash miss came from the interpolated
+    // continuous percentile's double math differing in the last ulp).
+    // Convention verified identical in Spark and DuckDB for even/odd n.
     "q62_quantile_sketch" -> ((s, d) => {
       def rnd(c: org.apache.spark.sql.Column) =
         round(c, 4).cast("decimal(18,4)")
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("percentile(l_extendedprice, 0.5)").as("p50"),
-          expr("percentile(l_extendedprice, 0.99)").as("p99"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").as("p99"),
           expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("a50"),
           expr("percentile_approx(l_extendedprice, 0.99, 10000)").as("a99"))
         .select(col("l_returnflag"),
@@ -138,9 +142,9 @@ object SketchOps {
 
     "q62_quantile_sketch" ->
       """SELECT l_returnflag,
-           CAST(round(quantile_cont(l_extendedprice, 0.5), 4)
+           CAST(round(quantile_disc(l_extendedprice, 0.5), 4)
              AS DECIMAL(18,4)) AS p50,
-           CAST(round(quantile_cont(l_extendedprice, 0.99), 4)
+           CAST(round(quantile_disc(l_extendedprice, 0.99), 4)
              AS DECIMAL(18,4)) AS p99,
            true AS p50_ok, true AS p99_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
