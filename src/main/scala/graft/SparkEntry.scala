@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
 import graft.functions.{EmailFns => E}
-import graft.operators.{Ingest, Multimodal, PipelineOps, Relational, SketchOps, TextOps, VectorOps}
+import graft.operators.{Analytic, Ingest, Multimodal, PipelineOps, Relational, SketchOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,11 +48,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Ingest.queries ++ TextOps.queries ++
       VectorOps.queries ++ Multimodal.queries ++ PipelineOps.queries ++
-      SketchOps.queries
+      SketchOps.queries ++ Analytic.queries
 
   /** DuckDB-equivalent SQL for every SQL-expressible query above. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Ingest.oracle ++ TextOps.oracle ++
       VectorOps.oracle ++ Multimodal.oracle ++ PipelineOps.oracle ++
-      SketchOps.oracle
+      SketchOps.oracle ++ Analytic.oracle
 }

@@ -109,6 +109,31 @@ object SketchOps {
     // row-level filtering / DPP. False positives are removed by the exact
     // join that follows; false negatives don't exist, so the result is
     // bit-identical to the plain join (which is what the oracle runs).
+    // Count-Min-Sketch heavy hitters: a fixed-size frequency sketch over
+    // the full key stream, probed for the exact top-10 keys. CMS counters
+    // are additive, so per-partition sketches merge without shuffling raw
+    // keys (the same mergeability story as the HLL in q61) — at 100 TB the
+    // sketch is KBs-per-executor while the exact groupBy ships every key.
+    // With a fixed seed the merged counters are partition-order-invariant,
+    // so the estimate is deterministic; CMS never underestimates, and at
+    // width 2e5 ≫ distinct keys the overestimate is a few collisions at
+    // most — both bounds exported as the oracle-checked boolean.
+    "q70_cms_heavy_hitters" -> ((s, d) => {
+      val cms = Tables.orders(s, d).select(col("o_custkey"))
+        .stat.countMinSketch("o_custkey", 0.00001, 0.999, 42)
+      val cmsB = s.sparkContext.broadcast(cms)
+      val est = udf((k: Long) => cmsB.value.estimateCount(k))
+      Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("o_custkey"))
+        .limit(10)
+        .withColumn("cms_est", est(col("o_custkey")))
+        .select(col("o_custkey"), col("n_orders"),
+          (col("cms_est") >= col("n_orders") &&
+            col("cms_est") <= col("n_orders") + lit(5)).as("cms_ok"))
+        .orderBy(col("n_orders").desc, col("o_custkey"))
+    }),
+
     "q63_bloom_join" -> ((s, d) => {
       val urgent = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT")
@@ -153,5 +178,10 @@ object SketchOps {
       s"""SELECT count(*) AS n_items, ${sqlDsum("l_quantity")} AS sum_qty,
          count(DISTINCT l_orderkey) AS n_orders
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         WHERE o_orderpriority = '1-URGENT'""")
+         WHERE o_orderpriority = '1-URGENT'""",
+
+    "q70_cms_heavy_hitters" ->
+      """SELECT o_custkey, count(*) AS n_orders, true AS cms_ok
+         FROM orders GROUP BY o_custkey
+         ORDER BY n_orders DESC, o_custkey LIMIT 10""")
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
 import graft.functions.{TextFns => T}
@@ -280,6 +281,123 @@ object TextOps {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Overlapping-window document chunking — the context-window prep step
+    // for embedding/RAG pipelines: 50-token chunks, stride 40 (10-token
+    // overlap so no boundary sentence is lost). Map-only + generator
+    // (sequence→explode), no shuffle: each doc expands to ceil(n/stride)
+    // chunks regardless of corpus size. Chunk text exported as md5 so the
+    // oracle compares content without shipping the strings.
+    "q71_chunk_overlap" -> ((s, d) => {
+      val win = 50
+      val stride = 40
+      Tables.documents(s, d)
+        .withColumn("ws", T.tokens(col("text")))
+        .filter(size(col("ws")) > 0)
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0), size(col("ws")) - 1, lit(stride)))
+            .as("chunk_start"))
+        .select(col("doc_id"),
+          col("chunk_start").cast("long").as("chunk_start"),
+          least(lit(win), size(col("ws")) - col("chunk_start"))
+            .cast("long").as("n_chunk_tokens"),
+          md5(concat_ws(" ",
+            slice(col("ws"), col("chunk_start") + 1, lit(win))))
+            .as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_start"))
+    }),
+
+    // Most-distinctive-term extraction (TF-IDF-shaped, integer-exact):
+    // per doc, the term with the highest term frequency, ties broken by
+    // LOWEST document frequency (rarer = more distinctive), then
+    // lexicographically. Keeping the ranking on (tf, df, word) instead of
+    // the float tf*idf product makes the result engine-exact while
+    // preserving the frequent-but-rare ordering TF-IDF encodes. Two
+    // shuffles (doc-term, then term); the per-term df table is tiny
+    // (vocabulary-sized) and broadcasts back.
+    "q72_top_terms" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("word"))
+      tf.join(broadcast(df), "word")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("word"), col("tf"), col("df"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Text normalization — the canonical-form pass that precedes exact
+    // dedup in every web-corpus pipeline (lowercase, strip non-alnum,
+    // collapse whitespace). Map-only; normalized content exported as md5.
+    "q73_normalize_text" -> ((s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(norm).as("norm_md5"),
+          size(T.tokens(norm)).cast("long").as("n_norm_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Directional containment on the LSH candidate pairs: |A∩B|/|A| and
+    // |A∩B|/|B| over 3-shingle sets. Symmetric Jaccard under-scores
+    // "B = A + appended boilerplate" pairs (the common near-dup shape in
+    // scraped corpora); containment ≈ 1 in the subset direction exposes
+    // them. Same scale plan as q37: slim band self-join → distinct pairs
+    // broadcast back onto the cached shingle table, intersection computed
+    // once per unique pair.
+    "q74_containment" -> ((s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), T.shingleSigUdf(3, 8)(col("text")).as("ss"))
+        .filter(size(col("ss.shingles")) > 0)
+        .select(col("doc_id"), col("ss.shingles").as("shingles"),
+          col("ss.sig").as("sig"))
+        .persist()
+      docs.count()
+      val bands = docs.select(col("doc_id"),
+          explode(T.bandKeys(col("sig"), 4, 2)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.bkey").as("bkey"))
+      val a = bands.alias("a")
+      val b = bands.alias("b")
+      val pairs = a.join(b, col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+        .cast("double")
+      docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+        .join(broadcast(pairs), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"),
+          col("shingles").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (inter / size(col("sh_a"))).as("cont_a_in_b"),
+          (inter / size(col("sh_b"))).as("cont_b_in_a"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Token-length histogram in power-of-two buckets per language — the
+    // length-distribution profile that drives packing/truncation policy.
+    // The bucket is computed with INTEGER arithmetic (1 << (bitlength-1)
+    // via the binary-string length), not floor(log2(n)) — identical in
+    // both engines by construction, immune to libm rounding. Map-only +
+    // one tiny aggregation.
+    "q75_length_histogram" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(T.tokens(col("text"))))
+        .filter(col("n_tokens") > 0)
+        .withColumn("bucket_lo",
+          expr("CAST(shiftleft(CAST(1 AS BIGINT), length(bin(n_tokens)) - 1) AS BIGINT)"))
+        .groupBy(col("lang"), col("bucket_lo"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .orderBy(col("lang"), col("bucket_lo"))
+    }),
+
     // PII redaction — the scrub pass every public-web training corpus runs
     // before tokenization. The synthetic corpus has no natural PII, so each
     // doc gets a deterministic planted email + phone (derived from doc_id),
@@ -464,6 +582,70 @@ object TextOps {
            FROM bands a JOIN bands b
              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""",
+
+    "q71_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS ws FROM documents),
+         s AS (SELECT doc_id, ws, unnest(range(0, len(ws), 40)) AS st
+               FROM t WHERE len(ws) > 0)
+         SELECT doc_id, st AS chunk_start,
+           CAST(least(50, len(ws) - st) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(
+             ws[st + 1 : least(st + 50, len(ws))], ' ')) AS chunk_md5
+         FROM s ORDER BY doc_id, chunk_start""",
+
+    "q72_top_terms" ->
+      s"""WITH w AS (SELECT doc_id, unnest($duckTokens) AS word
+                     FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         r AS (SELECT doc_id, word, tf, df,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tf DESC, df ASC, word) AS rn
+               FROM tf JOIN df USING (word))
+         SELECT doc_id, word, tf, df FROM r WHERE rn = 1 ORDER BY doc_id""",
+
+    "q73_normalize_text" ->
+      """WITH n AS (SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+           FROM documents)
+         SELECT doc_id, md5(norm) AS norm_md5,
+           len(list_filter(string_split(norm, ' '), w -> w <> ''))
+             AS n_norm_tokens
+         FROM n ORDER BY doc_id""",
+
+    "q74_containment" ->
+      s"""WITH toks AS (
+           SELECT doc_id, $duckTokens AS ws FROM documents),
+         sh AS (
+           SELECT doc_id, ${duckShingles("ws")} AS shingles FROM toks),
+         sig AS (
+           SELECT doc_id, shingles, ${duckSig("shingles")} AS sig FROM sh
+           WHERE len(shingles) > 0),
+         bands AS (
+           SELECT doc_id, shingles, b AS band,
+             md5(CAST(sig[2*b + 1] AS VARCHAR) || '#' || CAST(sig[2*b + 2] AS VARCHAR)) AS bkey
+           FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+               len(a.shingles) AS cont_a_in_b,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+               len(b.shingles) AS cont_b_in_a
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a
+         FROM pairs ORDER BY doc_a, doc_b""",
+
+    "q75_length_histogram" ->
+      s"""WITH t AS (SELECT doc_id, lang, len($duckTokens) AS n_tokens
+                     FROM documents)
+         SELECT lang,
+           CAST(1 << (length(bin(n_tokens)) - 1) AS BIGINT) AS bucket_lo,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         FROM t WHERE n_tokens > 0
+         GROUP BY lang, bucket_lo ORDER BY lang, bucket_lo""",
 
     "q64_pii_redact" ->
       """WITH raw AS (
