@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -32,6 +33,43 @@ object Exact {
   /** Order-independent average (exact decimal sum / count). */
   def davg(c: Column, scale: Int = 4): Column =
     sum(dec(c, scale)).cast(DoubleType) / count(c)
+
+  /** Distributed exact discrete percentile (SQL-standard `percentile_disc`:
+    * the smallest value whose cumulative distribution >= q).
+    *
+    * Spark's built-in `percentile_disc` buffers EVERY raw value of a group
+    * inside one aggregation buffer — at 100 TB a single hot group OOMs the
+    * executor. This form never materializes a group on one node:
+    *
+    *   1. `groupBy(group, value).count` — shuffles only DISTINCT values per
+    *      group, with map-side partial combine doing the heavy reduction;
+    *   2. a cumulative-sum window over that (much smaller) distinct-value
+    *      set;
+    *   3. `min(value) where cum/n >= q` — a plain hash aggregate.
+    *
+    * The returned percentile is an actual element of `value` (no
+    * interpolation), so results are bit-identical to the built-in and to
+    * any other engine's percentile_disc — pinned by ExactPercentileSpec.
+    *
+    * Output: one row per group with `group` plus one DOUBLE column per
+    * entry of `qs` (name -> quantile).
+    */
+  def percentileDisc(df: DataFrame, group: Column, value: Column,
+      qs: Map[String, Double]): DataFrame = {
+    val counts = df.groupBy(group.as("_g"), value.as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val cumW = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col("_g"))
+    val cd = counts
+      .withColumn("_cd", sum(col("_c")).over(cumW).cast(DoubleType) /
+        sum(col("_c")).over(totW).cast(DoubleType))
+    val aggs = qs.toSeq.sortBy(_._1).map { case (name, q) =>
+      min(when(col("_cd") >= lit(q), col("_v"))).as(name)
+    }
+    cd.groupBy(col("_g").as(group.toString))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Matching SQL fragments for the DuckDB oracle. */
   def sqlDsum(col: String, scale: Int = 4): String =

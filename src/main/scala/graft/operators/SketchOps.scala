@@ -80,24 +80,27 @@ object SketchOps {
 
     // Quantile sketch vs exact percentiles: one-pass GK sketch
     // (percentile_approx) checked against the exact *discrete* percentile
-    // at 1% relative tolerance. percentile_disc (SQL standard: first value
-    // with cume_dist >= q) returns an actual data value — no interpolation
-    // arithmetic, so the oracle-compared decimals are engine-exact by
-    // construction (the round-3 hash miss came from the interpolated
-    // continuous percentile's double math differing in the last ulp).
-    // Convention verified identical in Spark and DuckDB for even/odd n.
+    // at 1% relative tolerance. The exact side is `Exact.percentileDisc`
+    // (SQL-standard percentile_disc, distributed: value-level counts with
+    // map-side combine, then a cumulative window over the DISTINCT-value
+    // set only) — the built-in `percentile_disc` buffers every raw value
+    // of a group in one aggregator's memory, which is exactly the
+    // single-node collapse a 100 TB group cannot afford. Equivalence with
+    // the built-in is pinned by ExactPercentileSpec. The output columns are
+    // raw DOUBLE data elements (a discrete percentile IS a member of the
+    // column) — no rounding/decimal layer between Spark and the oracle, so
+    // the hash compare is bit-exact by construction.
     "q62_quantile_sketch" -> ((s, d) => {
-      def rnd(c: org.apache.spark.sql.Column) =
-        round(c, 4).cast("decimal(18,4)")
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
+      val exact = percentileDisc(
+        Tables.lineitem(s, d), col("l_returnflag"), col("l_extendedprice"),
+        Map("p50" -> 0.5, "p99" -> 0.99))
+      val approx = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("rf"))
         .agg(
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
-          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").as("p99"),
           expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("a50"),
           expr("percentile_approx(l_extendedprice, 0.99, 10000)").as("a99"))
-        .select(col("l_returnflag"),
-          rnd(col("p50")).as("p50"), rnd(col("p99")).as("p99"),
+      exact.join(approx, col("l_returnflag") === col("rf"))
+        .select(col("l_returnflag"), col("p50"), col("p99"),
           (abs(col("a50") - col("p50")) <= col("p50") * 0.01).as("p50_ok"),
           (abs(col("a99") - col("p99")) <= col("p99") * 0.01).as("p99_ok"))
         .orderBy(col("l_returnflag"))
@@ -115,14 +118,21 @@ object SketchOps {
     // keys (the same mergeability story as the HLL in q61) — at 100 TB the
     // sketch is KBs-per-executor while the exact groupBy ships every key.
     // With a fixed seed the merged counters are partition-order-invariant,
-    // so the estimate is deterministic; CMS never underestimates, and at
-    // width 2e5 ≫ distinct keys the overestimate is a few collisions at
-    // most — both bounds exported as the oracle-checked boolean.
+    // so the estimate is deterministic; CMS never underestimates, and the
+    // sketch's own guarantee bounds the overestimate: est <= actual + eps*N
+    // (eps = the relativeError passed to countMinSketch, N = total stream
+    // length) with probability `confidence`. The oracle-checked boolean
+    // pins exactly those two bounds — with the slack DERIVED from eps*N,
+    // not a constant, so it holds at every scale factor, not just the
+    // fixture (a constant slack of 5 would flip false once eps*N > 5,
+    // i.e. orders > 500k rows).
     "q70_cms_heavy_hitters" -> ((s, d) => {
+      val eps = 0.00001
       val cms = Tables.orders(s, d).select(col("o_custkey"))
-        .stat.countMinSketch("o_custkey", 0.00001, 0.999, 42)
+        .stat.countMinSketch("o_custkey", eps, 0.999, 42)
       val cmsB = s.sparkContext.broadcast(cms)
       val est = udf((k: Long) => cmsB.value.estimateCount(k))
+      val slack = math.ceil(eps * cms.totalCount()).toLong
       Tables.orders(s, d).groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("o_custkey"))
@@ -130,7 +140,7 @@ object SketchOps {
         .withColumn("cms_est", est(col("o_custkey")))
         .select(col("o_custkey"), col("n_orders"),
           (col("cms_est") >= col("n_orders") &&
-            col("cms_est") <= col("n_orders") + lit(5)).as("cms_ok"))
+            col("cms_est") <= col("n_orders") + lit(slack)).as("cms_ok"))
         .orderBy(col("n_orders").desc, col("o_custkey"))
     }),
 
@@ -167,10 +177,8 @@ object SketchOps {
 
     "q62_quantile_sketch" ->
       """SELECT l_returnflag,
-           CAST(round(quantile_disc(l_extendedprice, 0.5), 4)
-             AS DECIMAL(18,4)) AS p50,
-           CAST(round(quantile_disc(l_extendedprice, 0.99), 4)
-             AS DECIMAL(18,4)) AS p99,
+           quantile_disc(l_extendedprice, 0.5) AS p50,
+           quantile_disc(l_extendedprice, 0.99) AS p99,
            true AS p50_ok, true AS p99_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 

@@ -35,7 +35,28 @@ class SketchOpsSpec extends SparkSpecBase {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getBoolean(3) && r.getBoolean(4), s"sketch out of tolerance: $r")
-      assert(r.getDecimal(1).compareTo(r.getDecimal(2)) <= 0, "p50 <= p99")
+      assert(r.getDouble(1) <= r.getDouble(2), "p50 <= p99")
+    }
+  }
+
+  test("Exact.percentileDisc is bit-identical to the built-in percentile_disc") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Exact
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val builtin = li.groupBy(col("l_returnflag")).agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").as("p99"))
+      .orderBy(col("l_returnflag")).collect()
+    val dist = Exact.percentileDisc(li, col("l_returnflag"),
+        col("l_extendedprice"), Map("p50" -> 0.5, "p99" -> 0.99))
+      .orderBy(col("l_returnflag")).collect()
+    assert(builtin.length == dist.length && builtin.nonEmpty)
+    builtin.zip(dist).foreach { case (b, m) =>
+      assert(b.getString(0) == m.getString(0))
+      assert(b.getDouble(b.fieldIndex("p50")) == m.getDouble(m.fieldIndex("p50")),
+        s"p50 diverges for ${b.getString(0)}")
+      assert(b.getDouble(b.fieldIndex("p99")) == m.getDouble(m.fieldIndex("p99")),
+        s"p99 diverges for ${b.getString(0)}")
     }
   }
 

@@ -52,9 +52,17 @@ class OtpCorrelationTwsSpec extends SparkSpecBase {
         input.addData(req("zepto_alice", 0), req("zepto_bob", 0))
         input.addData(otp("zepto_alice", "7777", 30), otp("zepto_nobody", "0000", 31))
         awaitRows("tws_out", 1)
+        // Drain at least one more trigger before asserting the negative
+        // cases (no outcome for bob, dropped OTP for nobody): a sentinel
+        // pair added AFTER the awaited row must complete first, so any
+        // wrongly-emitted extra row for bob/nobody would land before it.
+        input.addData(req("zepto_sentinel", 60))
+        input.addData(otp("zepto_sentinel", "9999", 61))
+        awaitRows("tws_out", 2)
         val rows = s.table("tws_out").as[LoginOutcome].collect()
         assert(rows.toSet == Set(
-          LoginOutcome("zepto_alice", SessionStatus.Success, Some("7777"), "otp received")))
+          LoginOutcome("zepto_alice", SessionStatus.Success, Some("7777"), "otp received"),
+          LoginOutcome("zepto_sentinel", SessionStatus.Success, Some("9999"), "otp received")))
       } finally q.stop()
     }
   }
