@@ -96,9 +96,9 @@ object SketchOps {
         Map("p50" -> 0.5, "p99" -> 0.99))
       val approx = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag").as("rf"))
-        .agg(
-          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("a50"),
-          expr("percentile_approx(l_extendedprice, 0.99, 10000)").as("a99"))
+        .agg(expr("percentile_approx(l_extendedprice, array(0.5, 0.99), 10000)").as("aq"))
+        .select(col("rf"), element_at(col("aq"), 1).as("a50"),
+          element_at(col("aq"), 2).as("a99"))
       exact.join(approx, col("l_returnflag") === col("rf"))
         .select(col("l_returnflag"), col("p50"), col("p99"),
           (abs(col("a50") - col("p50")) <= col("p50") * 0.01).as("p50_ok"),

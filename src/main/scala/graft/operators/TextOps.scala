@@ -155,8 +155,24 @@ object TextOps {
           struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
         .localCheckpoint() // eager: cuts the minhash pipeline out of the loop's plans
-      var labels = edges.select(col("a").as("node")).distinct()
-        .withColumn("label", col("node")).localCheckpoint()
+      // Seed with the one-hop minimum (least of self and all direct
+      // neighbors) instead of identity labels: clique-shaped components —
+      // the dominant near-dup shape, docs sharing one LSH bucket — resolve
+      // in the seed itself, so the loop below usually runs exactly once
+      // (the convergence-confirming pass) instead of diameter+1 times.
+      var labels = edges.groupBy(col("a").as("node"))
+        .agg(min(col("b")).as("mn"))
+        .select(col("node"), least(col("node"), col("mn")).as("label"))
+        .localCheckpoint()
+      // Convergence check: labels only ever DECREASE (min over neighbors ∪
+      // self), and the node set is fixed — so sum(label) is strictly
+      // monotone until the fixed point and "sum unchanged ⟺ converged".
+      // One cheap scalar aggregate per iteration replaces the old
+      // join-the-two-label-tables-and-count-diffs pass (a whole extra
+      // shuffle per iteration at any scale).
+      def labelSum(df: DataFrame): Long =
+        df.agg(coalesce(sum(col("label")), lit(0L))).first().getLong(0)
+      var prevSum = labelSum(labels)
       var converged = false
       var iter = 0
       while (!converged && iter < 15) {
@@ -165,11 +181,10 @@ object TextOps {
           .union(labels)
           .groupBy(col("node")).agg(min(col("label")).as("label"))
           .localCheckpoint()
-        val changed = next.alias("n")
-          .join(labels.alias("o"), col("n.node") === col("o.node"))
-          .filter(col("n.label") =!= col("o.label")).count()
+        val s2 = labelSum(next)
         labels = next
-        converged = changed == 0
+        converged = s2 == prevSum
+        prevSum = s2
         iter += 1
       }
       Tables.documents(s, d).select(col("doc_id"))
