@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.functions.Exact._
 
-/** Analytic-window, subquery, and CDC-shape operators (round 4): the
+/** Analytic-window, subquery, and CDC-shape operators (rounds 4-5): the
   * remaining relational surface a warehouse user expects beyond the
   * §2.2-§2.7 spine — distribution ranks (ntile/percent_rank/cume_dist),
   * EXISTS/IN and scalar subqueries through the SQL surface (exercising
@@ -104,6 +104,85 @@ object Analytic {
         .agg(sum(col("pn")).as("n_rows"),
           sum(col("pq")).cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // CDC MERGE/upsert (round 5): latest-version-wins compaction of a
+    // changelog (insert snapshot + updates + deletes) into current state —
+    // the batch form of what an idempotent foreachBatch sink does per
+    // micro-batch. The changelog is synthesized deterministically from
+    // orders (every 5th key updated, every 7th deleted); the merge is one
+    // row_number window per key — a single shuffle at any scale, and the
+    // standard shape for Delta/Iceberg-style MERGE INTO compaction.
+    "q81_cdc_merge" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          lit(1L).as("version"), lit("I").as("op"))
+      val upd = Tables.orders(s, d)
+        .filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + lit(1000.0)).as("o_totalprice"),
+          lit(2L).as("version"), lit("U").as("op"))
+      val del = Tables.orders(s, d)
+        .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          lit(3L).as("version"), lit("D").as("op"))
+      val w = Window.partitionBy(col("o_orderkey"))
+        .orderBy(col("version").desc)
+      base.union(upd).union(del)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("o_orderkey"), col("o_totalprice"), col("op"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Exact distributed dispersion statistics (round 5): sample stddev and
+    // Pearson correlation from DECIMAL power sums (n, Σx, Σx², Σy, Σy²,
+    // Σxy). Spark's built-in stddev/corr merge per-partition Welford
+    // states in partition order — float results that can never hash-match
+    // an oracle. Power sums in exact decimal are order-independent; each
+    // is cast to double ONCE and the textbook formulas run in IEEE double
+    // with the identical expression tree on both engines → bit-identical.
+    // Same single-pass, map-side-combine plan as any groupBy aggregate.
+    "q82_dispersion_stats" -> ((s, d) => {
+      val x = dec(col("l_extendedprice"))
+      val y = dec(col("l_quantity"))
+      val agg = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(x).cast("double").as("sx"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y).cast("double").as("sy"),
+          sum(y * y).cast("double").as("syy"),
+          sum(x * y).cast("double").as("sxy"))
+      val n = col("n_rows").cast("double")
+      agg.select(col("l_returnflag"), col("n_rows"),
+          (col("sx") / n).as("mean_price"),
+          sqrt((n * col("sxx") - col("sx") * col("sx")) /
+            (n * (n - lit(1.0)))).as("stddev_price"),
+          ((n * col("sxy") - col("sx") * col("sy")) /
+            sqrt((n * col("sxx") - col("sx") * col("sx")) *
+              (n * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Equi-width histogram via width_bucket (round 5): 20 buckets over
+    // [0, 500000) order totals — the one-pass distribution profile that
+    // sizes range partitions / detects value skew before a big sort or
+    // range join. Bucket boundaries are exact doubles (500000/20), so
+    // bucket assignment is engine-exact; one tiny aggregation.
+    "q83_price_histogram" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("bucket",
+          width_bucket(col("o_totalprice"), lit(0.0), lit(500000.0), lit(20))
+            .cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("bucket_lo", ((col("bucket") - 1) * lit(25000)).cast("double"))
+        .select(col("bucket"), col("bucket_lo"), col("n_orders"),
+          col("sum_price"))
+        .orderBy(col("bucket"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -145,5 +224,75 @@ object Analytic {
     "q69_two_phase_agg" ->
       s"""SELECT l_returnflag, count(*) AS n_rows,
          ${sqlDsum("l_quantity")} AS sum_qty
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q81_cdc_merge" ->
+      """WITH log AS (
+           SELECT o_orderkey, o_totalprice, 1 AS version, 'I' AS op
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_totalprice + 1000.0, 2, 'U'
+           FROM orders WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT o_orderkey, o_totalprice, 3, 'D'
+           FROM orders WHERE o_orderkey % 7 = 0),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             ORDER BY version DESC) AS rn
+           FROM log)
+         SELECT o_orderkey, o_totalprice, op
+         FROM ranked WHERE rn = 1 AND op <> 'D'
+         ORDER BY o_orderkey""",
+
+    // Two DuckDB-specific cast details, both needed for bit-equality:
+    // (1) the first operand of each product is DECIMAL(28,4) — DuckDB sizes
+    // a decimal product's storage from operand precisions (18+18 stays
+    // int64-backed and overflows on price*price); 28+18 forces int128.
+    // (2) decimal→double goes through VARCHAR: DuckDB's direct cast
+    // double-rounds once the unscaled value exceeds 2^53 (int128→double,
+    // then /10^scale), while Spark (Java BigDecimal) parses the decimal
+    // string, which is correctly rounded — the string route makes DuckDB
+    // correctly rounded too. A 1-ulp difference here would be amplified
+    // ~1e3× by the cancellation in the corr numerator.
+    "q82_dispersion_stats" ->
+      """WITH a AS (
+           SELECT l_returnflag, count(*) AS n_rows,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+               AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))
+               * CAST(l_extendedprice AS DECIMAL(18,4)))
+               AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+               AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,4))
+               * CAST(l_quantity AS DECIMAL(18,4)))
+               AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))
+               * CAST(l_quantity AS DECIMAL(18,4)))
+               AS VARCHAR) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n_rows,
+           sx / CAST(n_rows AS DOUBLE) AS mean_price,
+           sqrt((CAST(n_rows AS DOUBLE) * sxx - sx * sx) /
+             (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1.0)))
+             AS stddev_price,
+           (CAST(n_rows AS DOUBLE) * sxy - sx * sy) /
+             sqrt((CAST(n_rows AS DOUBLE) * sxx - sx * sx) *
+               (CAST(n_rows AS DOUBLE) * syy - sy * sy)) AS corr_qty_price
+         FROM a ORDER BY l_returnflag""",
+
+    // width_bucket clamp semantics mirrored for scale safety: below-range
+    // values land in bucket 0, at-or-above-range in bucket 21 (num+1) —
+    // matching Spark's WidthBucket even though the test data stays in range.
+    "q83_price_histogram" ->
+      s"""WITH b AS (
+           SELECT o_totalprice,
+             CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+                       WHEN o_totalprice >= 500000.0 THEN 21
+                       ELSE floor(o_totalprice / 25000.0) + 1 END AS BIGINT)
+               AS bucket
+           FROM orders)
+         SELECT bucket, CAST((bucket - 1) * 25000 AS DOUBLE) AS bucket_lo,
+           count(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
+         FROM b GROUP BY 1 ORDER BY 1""")
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Event-stream batch analytics over the `events` table (round 5): the
+  * product-analytics pair every event pipeline serves — ordered-sequence
+  * funnels and cohort retention. Both are the batch duals of the streaming
+  * correlation operators in `graft.streaming` (the reference's OTP flow is
+  * itself a two-stage funnel: request → OTP arrival within a window;
+  * cf. /root/reference/gmail-otp-listener/api/login_workflow.py:117).
+  *
+  * Scale posture: every step is a per-user aggregate (shuffle on user_id
+  * with map-side combine) followed by joins of user-cardinality tables —
+  * never an event×event self-join. At 100 TB the event table is the big
+  * side exactly once per stage, and the per-user stage tables that chain
+  * the funnel are orders of magnitude smaller (bounded by distinct users).
+  */
+object EventOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Ordered-sequence funnel: first 'view', first 'click' AFTER that view,
+    // first 'purchase' AFTER that click, per user; stage = how deep the
+    // user got. The strict ts ordering is what makes this a funnel and not
+    // three independent mins — each stage filters on the previous stage's
+    // timestamp before aggregating.
+    "q76_funnel_stages" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("view_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("click_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+      ev.select(col("user_id")).distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .withColumn("stage",
+          when(col("purchase_ts").isNotNull, 3L)
+            .when(col("click_ts").isNotNull, 2L)
+            .when(col("view_ts").isNotNull, 1L)
+            .otherwise(0L))
+        .select(col("user_id"), col("view_ts"), col("click_ts"),
+          col("purchase_ts"), col("stage"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Cohort retention: users bucketed by first-activity day, activity
+    // counted per whole-week offset from that day. All calendar math is
+    // INTEGER (datediff/7 floored) — no date_trunc('week') whose week-start
+    // convention could differ between engines.
+    "q77_retention_cohorts" -> ((s, d) => {
+      val act = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val firstDay = act.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      act.join(firstDay, "user_id")
+        .withColumn("week_offset",
+          floor(datediff(col("day"), col("cohort_day")) / lit(7)).cast("long"))
+        .groupBy(col("cohort_day"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_day"), col("week_offset"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q76_funnel_stages" ->
+      """WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS click_ts
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.view_ts
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+               FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+               GROUP BY e.user_id)
+         SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+           CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+                     WHEN c.click_ts IS NOT NULL THEN 2
+                     WHEN v.view_ts IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage
+         FROM (SELECT DISTINCT user_id FROM events) u
+         LEFT JOIN v ON u.user_id = v.user_id
+         LEFT JOIN c ON u.user_id = c.user_id
+         LEFT JOIN p ON u.user_id = p.user_id
+         ORDER BY u.user_id""",
+
+    "q77_retention_cohorts" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                      FROM events),
+         f AS (SELECT user_id, min(day) AS cohort_day FROM act
+               GROUP BY user_id)
+         SELECT f.cohort_day,
+           CAST(floor(date_diff('day', f.cohort_day, act.day) / 7) AS BIGINT)
+             AS week_offset,
+           count(DISTINCT act.user_id) AS n_active
+         FROM act JOIN f ON act.user_id = f.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""")
+}

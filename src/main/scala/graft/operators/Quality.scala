@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+import graft.functions.{TextFns => T}
+
+/** Corpus-quality and curation operators over `documents` (round 5):
+  * diversity scoring, sorted-neighborhood fuzzy dedup, and URL/domain
+  * profiling — three more passes from the standard LLM-training-data
+  * pipeline (SURVEY.md §2.11 extensions).
+  *
+  * Determinism notes: the diversity index is Gini-Simpson computed from
+  * INTEGER term frequencies (one exact division at the end — both engines
+  * round the same IEEE quotient), deliberately chosen over Shannon entropy
+  * whose log() calls would tie the oracle to libm rounding. Levenshtein is
+  * the classic DP edit distance — integer, engine-exact — and is computed
+  * on an 80-char prefix so the per-pair cost is bounded regardless of
+  * document length.
+  */
+object Quality {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token-diversity (Gini-Simpson) quality signal: 1 - Σtf²/n² per doc.
+    // Low diversity = repetitive/templated text (the same signal Gopher's
+    // repetition filters target, in one number). Two shuffles on
+    // (doc_id, word) then doc_id, both with map-side combine.
+    "q78_token_diversity" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).cast("long").as("n_tokens"),
+          count(lit(1)).as("n_unique"),
+          sum(col("tf") * col("tf")).cast("long").as("sum_sq"))
+        .withColumn("simpson",
+          lit(1.0) - col("sum_sq").cast("double") /
+            (col("n_tokens") * col("n_tokens")).cast("double"))
+        .select(col("doc_id"), col("n_tokens"), col("n_unique"),
+          col("simpson"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sorted-neighborhood fuzzy dedup (Hernández-Stolfo SNM): sort the
+    // corpus by content, compare each doc to its immediate neighbor with
+    // a bounded edit distance. Complements LSH (q35/q48): SNM catches
+    // small in-place edits that change many shingles, and costs ONE
+    // window pass instead of a self-join. The window partitions by lang,
+    // so at scale each partition sorts locally after one hash exchange —
+    // no global sort. Neighbor pairs with lev(80-char prefix) <= 20 are
+    // flagged.
+    "q79_fuzzy_neighbors" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("text"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("prev_id", lag(col("doc_id"), 1).over(w))
+        .withColumn("prev_text", lag(col("text"), 1).over(w))
+        .filter(col("prev_id").isNotNull)
+        .withColumn("lev80",
+          levenshtein(substring(col("text"), 1, 80),
+            substring(col("prev_text"), 1, 80)).cast("long"))
+        .select(col("lang"), col("doc_id"), col("prev_id"), col("lev80"),
+          (col("lev80") <= 20).as("near_dup"))
+        .orderBy(col("lang"), col("doc_id"), col("prev_id"))
+    }),
+
+    // URL/domain profiling: every web-scraped corpus carries a source URL
+    // whose host distribution drives per-domain quality policy. The
+    // synthetic corpus has no URL column, so a deterministic URL is
+    // planted per doc (same device as q64's planted PII), then parsed
+    // with Spark's parse_url (HOST + QUERY param) — the oracle reproduces
+    // the parse with regexes. Map-only + one host-keyed aggregate.
+    "q80_url_domains" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("url", concat(lit("https://www.site"),
+          pmod(col("doc_id"), lit(40)).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"),
+          lit("?ref="), col("source")))
+        .select(col("doc_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          countDistinct(col("ref")).as("n_refs"))
+        .orderBy(col("host"))
+    }))
+
+  private val duckTokens = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+  def oracle: Map[String, String] = Map(
+    "q78_token_diversity" ->
+      s"""WITH tf AS (
+           SELECT doc_id, word, count(*) AS tf FROM (
+             SELECT doc_id, unnest($duckTokens) AS word FROM documents) t
+           GROUP BY doc_id, word),
+         agg AS (
+           SELECT doc_id, sum(tf) AS n_tokens, count(*) AS n_unique,
+             sum(tf * tf) AS sum_sq
+           FROM tf GROUP BY doc_id)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_unique,
+           1.0 - CAST(sum_sq AS DOUBLE) /
+             CAST(n_tokens * n_tokens AS DOUBLE) AS simpson
+         FROM agg ORDER BY doc_id""",
+
+    "q79_fuzzy_neighbors" ->
+      """WITH w AS (
+           SELECT doc_id, lang, text,
+             lag(doc_id) OVER (PARTITION BY lang ORDER BY text, doc_id)
+               AS prev_id,
+             lag(text) OVER (PARTITION BY lang ORDER BY text, doc_id)
+               AS prev_text
+           FROM documents)
+         SELECT lang, doc_id, prev_id,
+           CAST(levenshtein(substring(text, 1, 80),
+             substring(prev_text, 1, 80)) AS BIGINT) AS lev80,
+           levenshtein(substring(text, 1, 80),
+             substring(prev_text, 1, 80)) <= 20 AS near_dup
+         FROM w WHERE prev_id IS NOT NULL
+         ORDER BY lang, doc_id, prev_id""",
+
+    "q80_url_domains" ->
+      """WITH u AS (
+           SELECT doc_id,
+             'https://www.site' || CAST(doc_id % 40 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+               || '?ref=' || source AS url,
+             source
+           FROM documents)
+         SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+           count(*) AS n_docs, min(doc_id) AS first_doc,
+           count(DISTINCT regexp_extract(url, '[?]ref=(.*)$', 1)) AS n_refs
+         FROM u GROUP BY 1 ORDER BY 1""")
+}
