@@ -88,6 +88,55 @@ object Quality {
           min(col("doc_id")).as("first_doc"),
           countDistinct(col("ref")).as("n_refs"))
         .orderBy(col("host"))
+    }),
+
+    // Vocabulary-growth (Heaps' law) profile: cumulative distinct-word
+    // count vs cumulative token count, checkpointed every 50 docs. The
+    // heavy lifting is distributed (per-word first-occurrence = one
+    // groupBy; per-block token totals = one groupBy); only the final
+    // cumulative window runs over the BLOCK table, whose size is
+    // corpus/50 — pick the block granularity so that table stays small
+    // (a 100 TB corpus profiles in blocks of millions of docs, keeping
+    // the single-partition cumulative window a few thousand rows).
+    "q84_vocab_growth" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("word"))
+      val newWords = tok.groupBy(col("word"))
+        .agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(floor(col("first_doc") / 50).cast("long").as("block"))
+        .agg(count(lit(1)).as("new_words"))
+      val blockTokens = tok
+        .groupBy(floor(col("doc_id") / 50).cast("long").as("block"))
+        .agg(count(lit(1)).as("block_tokens"))
+      val cum = Window.orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      newWords.join(blockTokens, Seq("block"), "full")
+        .select(col("block"),
+          coalesce(col("new_words"), lit(0L)).as("nw"),
+          coalesce(col("block_tokens"), lit(0L)).as("bt"))
+        .select(col("block"),
+          sum(col("nw")).over(cum).cast("long").as("vocab_size"),
+          sum(col("bt")).over(cum).cast("long").as("total_tokens"))
+        .orderBy(col("block"))
+    }),
+
+    // Inverted-index keyword search: rank documents by total term
+    // frequency over a query term set — the retrieval shape (explode →
+    // term filter → per-doc aggregate → global top-k) that backs corpus
+    // search/decontamination lookups. The term filter prunes the exploded
+    // stream BEFORE the shuffle, and the ranking is integer (tf, doc_id)
+    // so the top-k cut is engine-exact.
+    "q85_keyword_search" -> ((s, d) => {
+      val terms = Seq("spark", "window", "join")
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("word"))
+        .filter(col("word").isin(terms: _*))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("total_tf"),
+          countDistinct(col("word")).as("n_terms"))
+        .withColumn("all_terms", col("n_terms") === terms.size)
+        .orderBy(col("total_tf").desc, col("doc_id"))
+        .limit(20)
     }))
 
   private val duckTokens = "list_filter(string_split(text, ' '), w -> w <> '')"
@@ -134,5 +183,41 @@ object Quality {
          SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
            count(*) AS n_docs, min(doc_id) AS first_doc,
            count(DISTINCT regexp_extract(url, '[?]ref=(.*)$', 1)) AS n_refs
-         FROM u GROUP BY 1 ORDER BY 1""")
+         FROM u GROUP BY 1 ORDER BY 1""",
+
+    "q84_vocab_growth" ->
+      s"""WITH tok AS (
+           SELECT doc_id, unnest($duckTokens) AS word FROM documents),
+         nw AS (
+           SELECT CAST(floor(first_doc / 50) AS BIGINT) AS block,
+             count(*) AS new_words
+           FROM (SELECT word, min(doc_id) AS first_doc FROM tok
+                 GROUP BY word) f
+           GROUP BY 1),
+         bt AS (
+           SELECT CAST(floor(doc_id / 50) AS BIGINT) AS block,
+             count(*) AS block_tokens
+           FROM tok GROUP BY 1),
+         m AS (
+           SELECT COALESCE(nw.block, bt.block) AS block,
+             COALESCE(new_words, 0) AS nw,
+             COALESCE(block_tokens, 0) AS bt
+           FROM nw FULL JOIN bt ON nw.block = bt.block)
+         SELECT block,
+           CAST(sum(nw) OVER (ORDER BY block
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS vocab_size,
+           CAST(sum(bt) OVER (ORDER BY block
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS total_tokens
+         FROM m ORDER BY block""",
+
+    "q85_keyword_search" ->
+      s"""SELECT doc_id, count(*) AS total_tf,
+           count(DISTINCT word) AS n_terms,
+           count(DISTINCT word) = 3 AS all_terms
+         FROM (SELECT doc_id, unnest($duckTokens) AS word FROM documents) t
+         WHERE word IN ('spark', 'window', 'join')
+         GROUP BY doc_id
+         ORDER BY total_tf DESC, doc_id LIMIT 20""")
 }
