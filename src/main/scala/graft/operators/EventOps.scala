@@ -66,6 +66,35 @@ object EventOps {
         .groupBy(col("cohort_day"), col("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_active"))
         .orderBy(col("cohort_day"), col("week_offset"))
+    }),
+
+    // Volume-anomaly detection: flag days whose per-type event count
+    // exceeds mean + 2σ of that type's daily history. The stats come from
+    // INTEGER power sums (n_days, Σc, Σc²) — counts are exact, the power
+    // sums stay in long arithmetic, and one identical IEEE expression
+    // produces the threshold on both engines, so even the knife-edge
+    // comparison is deterministic. The per-type stats table is tiny
+    // (one row per event type) and broadcasts back onto the daily counts.
+    "q87_event_anomaly" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val stats = daily.groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("n_events")).cast("long").as("sc"),
+          sum(col("n_events") * col("n_events")).cast("long").as("scc"))
+      val nd = col("n_days").cast("double")
+      daily.join(broadcast(stats), col("event_type") === col("et"))
+        .withColumn("mean_daily", col("sc").cast("double") / nd)
+        .withColumn("sd_daily",
+          sqrt((nd * col("scc").cast("double") -
+            col("sc").cast("double") * col("sc").cast("double")) /
+            (nd * (nd - lit(1.0)))))
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("mean_daily"), col("sd_daily"),
+          (col("n_events").cast("double") >
+            col("mean_daily") + lit(2.0) * col("sd_daily")).as("is_spike"))
+        .orderBy(col("event_type"), col("day"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -101,5 +130,30 @@ object EventOps {
              AS week_offset,
            count(DISTINCT act.user_id) AS n_active
          FROM act JOIN f ON act.user_id = f.user_id
-         GROUP BY 1, 2 ORDER BY 1, 2""")
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q87_event_anomaly" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         stats AS (
+           SELECT event_type AS et, count(*) AS n_days,
+             CAST(sum(n_events) AS BIGINT) AS sc,
+             CAST(sum(n_events * n_events) AS BIGINT) AS scc
+           FROM daily GROUP BY 1)
+         SELECT event_type, day, n_events,
+           CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
+           sqrt((CAST(n_days AS DOUBLE) * CAST(scc AS DOUBLE)
+             - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) /
+             (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)))
+             AS sd_daily,
+           CAST(n_events AS DOUBLE) >
+             CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)
+             + 2.0 * sqrt((CAST(n_days AS DOUBLE) * CAST(scc AS DOUBLE)
+               - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) /
+               (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)))
+             AS is_spike
+         FROM daily JOIN stats ON event_type = et
+         ORDER BY event_type, day""")
 }

@@ -241,6 +241,41 @@ object Relational {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_shipped_30d"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // TPC-H Q5 shape (round 5): the 6-table local-supplier star — the
+    // deepest join tree in the inventory. Join discipline for 100 TB: the
+    // two FACTS (lineitem ⋈ date-filtered orders) shuffle on the orderkey
+    // ONCE; every dimension (customer, supplier, nation, region) is
+    // broadcast, including the theta-ish "local supplier" condition
+    // c_nationkey = s_nationkey which rides the supplier broadcast join
+    // instead of forcing a second fact shuffle. The date filter sits
+    // directly on the orders scan (parquet pushdown prunes row groups).
+    "q86_local_supplier_revenue" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      val n = Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+      val r = Tables.region(s, d)
+        .filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -369,6 +404,21 @@ object Relational {
            AND l_shipdate >= o_orderdate
            AND l_shipdate < o_orderdate + INTERVAL 30 DAY
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q86_local_supplier_revenue" ->
+      s"""SELECT n_name,
+         ${sqlDsumProd("l_extendedprice", "1 - l_discount")} AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+           AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
 
     "q59_salted_join" ->
       s"""SELECT o_orderpriority, count(*) AS n_items,

@@ -55,4 +55,41 @@ class PlanAuditSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       s"expected partial+final aggregate:\n$p")
   }
+
+  test("q86: one fact shuffle, every dimension broadcast, date pushed to scan") {
+    val qe = q("q86_local_supplier_revenue").queryExecution
+    val p = qe.executedPlan.toString
+    // customer, supplier, nation, region all ride broadcast joins
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      s"expected 4+ broadcast dimension joins:\n$p")
+    // the orders date filter reaches the parquet scan
+    val full = qe.toString
+    assert(full.contains("o_orderdate"), s"date filter missing:\n$full")
+    assert(full.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThanOrEqual(o_orderdate") ||
+      full.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date range not pushed to the orders scan:\n$full")
+  }
+
+  test("q83: histogram scan prunes to the single aggregated column") {
+    val p = plan(q("q83_price_histogram"))
+    // of the 6 orders columns only o_totalprice reaches the reader
+    assert(p.contains("ReadSchema: struct<o_totalprice:double>"),
+      s"histogram should read exactly o_totalprice:\n$p")
+  }
+
+  test("q76: event_type filters are pushed into the events scans") {
+    val p = q("q76_funnel_stages").queryExecution.toString
+    assert(p.contains("EqualTo(event_type,view)") ||
+      p.contains("event_type = view") || p.contains("PushedFilters"),
+      s"funnel stage predicate not pushed:\n$p")
+  }
+
+  test("q82/q87: exact power-sum stats stay a single partial+final aggregate") {
+    val p82 = plan(q("q82_dispersion_stats"))
+    assert("Exchange".r.findAllIn(p82).length <= 2,
+      s"dispersion stats should shuffle once (plus output ordering):\n$p82")
+    assert("HashAggregate".r.findAllIn(p82).length >= 2,
+      s"expected partial+final aggregate:\n$p82")
+  }
 }
