@@ -183,6 +183,69 @@ object Analytic {
         .select(col("bucket"), col("bucket_lo"), col("n_orders"),
           col("sum_price"))
         .orderBy(col("bucket"))
+    }),
+
+    // Winsorization (round 5): clamp per-language doc lengths to the exact
+    // [p05, p95] and report the trimmed mean — the robust-statistics pass
+    // that keeps outlier documents from dominating curation thresholds.
+    // The percentiles come from `Exact.percentileDisc` (distributed: never
+    // materializes a group on one node), the per-lang cut table broadcasts
+    // back onto the corpus, and the trimmed mean is an integer sum with
+    // ONE final IEEE division — engine-exact end to end.
+    "q93_winsorize" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("lang"), col("n_chars"))
+      val cuts = percentileDisc(docs, col("lang"), col("n_chars"),
+        Map("p05" -> 0.05, "p95" -> 0.95))
+      docs.join(broadcast(cuts), "lang")
+        .withColumn("clamped",
+          greatest(least(col("n_chars"), col("p95")), col("p05")))
+        .groupBy(col("lang"))
+        .agg(min(col("p05")).as("p05"), min(col("p95")).as("p95"),
+          count(lit(1)).as("n_docs"),
+          (sum(col("clamped")).cast("double") / count(lit(1)))
+            .as("mean_wins"))
+        .orderBy(col("lang"))
+    }),
+
+    // Equi-depth (quantile) histogram (round 5): decile buckets over order
+    // totals — the complement of q83's equi-width form, and the profile
+    // that actually balances range partitions under value skew. The decile
+    // boundaries come from the distributed exact percentile (NOT a global
+    // ntile window, which would funnel every row through one partition's
+    // sort); each row's bucket is then a broadcast compare against the
+    // 9-value cut list, and the histogram is one hash aggregate.
+    "q94_equidepth_histogram" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+        .select(col("o_totalprice"), lit(1).as("g"))
+      val qs = (1 to 9).map(i => s"b$i" -> i / 10.0).toMap
+      val cuts = percentileDisc(orders, col("g"), col("o_totalprice"), qs)
+      val bucket = (1 to 9).map(i =>
+        when(col("o_totalprice") > col(s"b$i"), 1L).otherwise(0L))
+        .reduce(_ + _) + lit(1L)
+      orders.join(broadcast(cuts), "g")
+        .withColumn("bucket", bucket)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Join-key skew profile (round 5): the diagnostic behind every salting
+    // / AQE-skew decision — per-key row counts bucketed by power-of-two
+    // magnitude (bucket = bit width of the count, via the engine-exact
+    // bin() string — no floating log2). Two aggregations, both with
+    // map-side combine; the output is O(64) rows no matter the input
+    // size, so this runs as a cheap pre-pass before any big join.
+    "q95_skew_profile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(length(bin(col("cnt"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("cnt")).cast("long").as("total_rows"),
+          max(col("cnt")).as("max_cnt"))
+        .orderBy(col("bucket"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -294,5 +357,38 @@ object Analytic {
            FROM orders)
          SELECT bucket, CAST((bucket - 1) * 25000 AS DOUBLE) AS bucket_lo,
            count(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
-         FROM b GROUP BY 1 ORDER BY 1""")
+         FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q93_winsorize" ->
+      """WITH cuts AS (
+           SELECT lang, quantile_disc(n_chars, 0.05) AS p05,
+             quantile_disc(n_chars, 0.95) AS p95
+           FROM documents GROUP BY lang)
+         SELECT d.lang, min(c.p05) AS p05, min(c.p95) AS p95,
+           count(*) AS n_docs,
+           CAST(sum(greatest(least(d.n_chars, c.p95), c.p05)) AS DOUBLE)
+             / count(*) AS mean_wins
+         FROM documents d JOIN cuts c ON d.lang = c.lang
+         GROUP BY d.lang ORDER BY d.lang""",
+
+    "q94_equidepth_histogram" ->
+      s"""WITH cuts AS (
+           SELECT ${(1 to 9).map(i =>
+             s"quantile_disc(o_totalprice, 0.$i) AS b$i").mkString(", ")}
+           FROM orders)
+         SELECT CAST(1 ${(1 to 9).map(i =>
+             s"+ CAST(o_totalprice > b$i AS INT)").mkString(" ")}
+             AS BIGINT) AS bucket,
+           count(*) AS n_orders, min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+         FROM orders, cuts GROUP BY 1 ORDER BY 1""",
+
+    "q95_skew_profile" ->
+      """WITH k AS (
+           SELECT l_orderkey, count(*) AS cnt FROM lineitem
+           GROUP BY l_orderkey)
+         SELECT CAST(length(bin(cnt)) AS BIGINT) AS bucket,
+           count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total_rows,
+           max(cnt) AS max_cnt
+         FROM k GROUP BY 1 ORDER BY 1""")
 }

@@ -137,6 +137,100 @@ object Quality {
         .withColumn("all_terms", col("n_terms") === terms.size)
         .orderBy(col("total_tf").desc, col("doc_id"))
         .limit(20)
+    }),
+
+    // BM25 ranked retrieval (round 5): the scoring layer over q85's
+    // inverted-index shape — Okapi BM25 (k1=1.2, b=0.75) for a fixed
+    // 3-term query. Corpus stats (N, avgdl, per-term df) are 1-row /
+    // 3-row aggregates that broadcast onto the per-doc term frequencies;
+    // the candidate set is only docs containing >= 1 query term (the
+    // explode is term-filtered BEFORE its shuffle), so the big table is
+    // scanned once and the scoring join is candidate-sized. The per-doc
+    // score sums the three per-term contributions in FIXED textual order
+    // (no float aggregation). Scores are transcendental (ln), so the
+    // oracle compares the RANKING only (rank, doc_id, integer tf) — the
+    // q41/q42 convention; measured score margins are far above any
+    // cross-engine libm ulp.
+    "q89_bm25_rank" -> ((s, d) => {
+      val terms = Seq("spark", "window", "join")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), T.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+          col("ws"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("ws")).as("word"))
+        .filter(col("word").isin(terms: _*))
+        .groupBy(col("doc_id"), col("dl"))
+        .agg(sum(when(col("word") === terms.head, 1L).otherwise(0L))
+            .as(s"tf_${terms.head}"),
+          terms.tail.map(t => sum(when(col("word") === t, 1L).otherwise(0L))
+            .as(s"tf_$t")): _*)
+      val dfAggs = terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+      val df_ = tf.agg(dfAggs.head, dfAggs.tail: _*)
+      // constants written as the same literals the oracle SQL uses
+      // (k1=1.2, b=0.75 → 1-b=0.25, k1+1=2.2), so both engines round the
+      // identical decimal strings to the identical doubles
+      def contrib(t: String) = {
+        val idf = log((col("n_docs").cast("double") - col(s"df_$t") + 0.5) /
+          (col(s"df_$t") + lit(0.5)))
+        val norm = col(s"tf_$t").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))
+        when(col(s"tf_$t") > 0,
+          idf * (col(s"tf_$t").cast("double") * lit(2.2)) / norm)
+          .otherwise(lit(0.0))
+      }
+      val scored = tf.crossJoin(broadcast(stats)).crossJoin(broadcast(df_))
+        .withColumn("score",
+          contrib("spark") + contrib("window") + contrib("join"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)
+      scored.withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+            .cast("long"))
+        .select(col("rank"), col("doc_id"),
+          (col("tf_spark") + col("tf_window") + col("tf_join"))
+            .as("total_tf"))
+        .orderBy(col("rank"))
+    }),
+
+    // PMI collocations (round 5): adjacent-bigram association strength —
+    // the phrase-mining pass (new-token discovery, tokenizer audits) over
+    // the corpus. Counts are pure integers; the "positively associated"
+    // test pmi > 0 ⟺ c_xy·Nu² > c_x·c_y·Nb is evaluated by EXACT
+    // cross-multiplication in 128-bit-capable arithmetic (Spark
+    // DECIMAL(38,0), DuckDB HUGEINT) — no log() ever happens, so the
+    // boolean is engine-exact at any corpus size whose products fit 38
+    // digits (~1e13 tokens, i.e. beyond 100 TB of text).
+    "q92_pmi_collocations" -> ((s, d) => {
+      val ws = Tables.documents(s, d).select(T.tokens(col("text")).as("ws"))
+      val bigrams = ws.select(explode(when(size(col("ws")) >= 2,
+          transform(sequence(lit(0), size(col("ws")) - 2),
+            i => struct(element_at(col("ws"), i + 1).as("x"),
+              element_at(col("ws"), i + 2).as("y"))))
+          .otherwise(array())).as("bg"))
+        .select(col("bg.x"), col("bg.y"))
+      val cxy = bigrams.groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("c_xy"))
+      val uni = ws.select(explode(col("ws")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      val totals = cxy.agg(sum(col("c_xy")).cast("long").as("nb"))
+        .crossJoin(uni.agg(sum(col("c_w")).cast("long").as("nu")))
+      def d38(c: org.apache.spark.sql.Column) =
+        c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      cxy
+        .join(uni.withColumnRenamed("w", "x").withColumnRenamed("c_w", "c_x"), "x")
+        .join(uni.withColumnRenamed("w", "y").withColumnRenamed("c_w", "c_y"), "y")
+        .crossJoin(broadcast(totals))
+        .withColumn("assoc",
+          d38(col("c_xy")) * d38(col("nu")) * d38(col("nu")) >
+            d38(col("c_x")) * d38(col("c_y")) * d38(col("nb")))
+        .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+          col("assoc"))
+        .orderBy(col("c_xy").desc, col("x"), col("y"))
+        .limit(20)
     }))
 
   private val duckTokens = "list_filter(string_split(text, ' '), w -> w <> '')"
@@ -219,5 +313,77 @@ object Quality {
          FROM (SELECT doc_id, unnest($duckTokens) AS word FROM documents) t
          WHERE word IN ('spark', 'window', 'join')
          GROUP BY doc_id
-         ORDER BY total_tf DESC, doc_id LIMIT 20""")
+         ORDER BY total_tf DESC, doc_id LIMIT 20""",
+
+    // ln() ties the score to libm, so only the integer ranking is
+    // compared (the q41/q42 convention); constants appear as the same
+    // decimal literals the Spark side uses.
+    "q89_bm25_rank" ->
+      s"""WITH d AS (
+           SELECT doc_id, len($duckTokens) AS dl, $duckTokens AS ws
+           FROM documents),
+         stats AS (
+           SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+         tf AS (
+           SELECT doc_id, dl,
+             CAST(sum(CASE WHEN word = 'spark' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tf_spark,
+             CAST(sum(CASE WHEN word = 'window' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tf_window,
+             CAST(sum(CASE WHEN word = 'join' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tf_join
+           FROM (SELECT doc_id, dl, unnest(ws) AS word FROM d) u
+           WHERE word IN ('spark', 'window', 'join')
+           GROUP BY doc_id, dl),
+         dfs AS (
+           SELECT CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_spark,
+             CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_window,
+             CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join
+           FROM tf),
+         scored AS (
+           SELECT doc_id,
+             tf_spark + tf_window + tf_join AS total_tf,
+             (CASE WHEN tf_spark > 0 THEN
+               ln((CAST(n_docs AS DOUBLE) - df_spark + 0.5) / (df_spark + 0.5))
+               * (CAST(tf_spark AS DOUBLE) * 2.2)
+               / (CAST(tf_spark AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+              ELSE 0.0 END)
+             + (CASE WHEN tf_window > 0 THEN
+               ln((CAST(n_docs AS DOUBLE) - df_window + 0.5) / (df_window + 0.5))
+               * (CAST(tf_window AS DOUBLE) * 2.2)
+               / (CAST(tf_window AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+              ELSE 0.0 END)
+             + (CASE WHEN tf_join > 0 THEN
+               ln((CAST(n_docs AS DOUBLE) - df_join + 0.5) / (df_join + 0.5))
+               * (CAST(tf_join AS DOUBLE) * 2.2)
+               / (CAST(tf_join AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+              ELSE 0.0 END) AS score
+           FROM tf, stats, dfs)
+         SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id, total_tf
+         FROM scored ORDER BY score DESC, doc_id LIMIT 15""",
+
+    "q92_pmi_collocations" ->
+      s"""WITH t AS (SELECT $duckTokens AS ws FROM documents),
+         pos AS (
+           SELECT unnest(generate_series(1, len(ws) - 1)) AS i, ws FROM t),
+         bg AS (SELECT ws[i] AS x, ws[i + 1] AS y FROM pos),
+         cxy AS (SELECT x, y, count(*) AS c_xy FROM bg GROUP BY x, y),
+         uni AS (SELECT w, count(*) AS c_w FROM (
+           SELECT unnest(ws) AS w FROM t) u GROUP BY w),
+         tot AS (SELECT
+           (SELECT CAST(sum(c_xy) AS BIGINT) FROM cxy) AS nb,
+           (SELECT CAST(sum(c_w) AS BIGINT) FROM uni) AS nu)
+         SELECT c.x, c.y, c.c_xy, ux.c_w AS c_x, uy.c_w AS c_y,
+           CAST(c.c_xy AS HUGEINT) * nu * nu >
+             CAST(ux.c_w AS HUGEINT) * uy.c_w * nb AS assoc
+         FROM cxy c
+         JOIN uni ux ON c.x = ux.w
+         JOIN uni uy ON c.y = uy.w, tot
+         ORDER BY c.c_xy DESC, c.x, c.y LIMIT 20""")
 }
