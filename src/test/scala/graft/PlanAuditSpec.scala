@@ -92,4 +92,48 @@ class PlanAuditSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p82).length >= 2,
       s"expected partial+final aggregate:\n$p82")
   }
+
+  test("q88: both snapshots pre-aggregate to key cardinality before the full outer join") {
+    val p = plan(q("q88_snapshot_diff"))
+    // the HashAggregates must sit BELOW the join: raw orders rows never
+    // cross the full-outer shuffle
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"expected a sort-merge full outer join:\n$p")
+    assert(p.contains("FullOuter"), s"expected FullOuter join type:\n$p")
+    val below = p.substring(joinIdx)
+    assert("HashAggregate".r.findAllIn(below).length >= 4,
+      s"snapshots must aggregate below the join (partial+final x2):\n$below")
+  }
+
+  test("q93/q94: percentile cut tables ride broadcast joins back onto the data") {
+    val p93 = plan(q("q93_winsorize"))
+    assert(p93.contains("BroadcastHashJoin"),
+      s"winsorize cuts should broadcast:\n$p93")
+    val p94 = plan(q("q94_equidepth_histogram"))
+    assert(p94.contains("BroadcastHashJoin") ||
+      p94.contains("BroadcastNestedLoopJoin"),
+      s"equi-depth cuts should broadcast:\n$p94")
+    // bucket assignment happens map-side on the fact path; the only
+    // Window is percentileDisc's cumulative sum over the DISTINCT value
+    // set, which lives inside the broadcast (cuts) subtree — never on
+    // the raw orders rows
+    val bcast = p94.indexOf("BroadcastExchange")
+    assert(bcast >= 0, s"cuts subtree not broadcast:\n$p94")
+    assert(p94.indexOf("Window") > bcast,
+      s"a Window appears on the fact path (before the broadcast subtree):\n$p94")
+  }
+
+  test("q89: the inverted-index explode is term-filtered before its shuffle") {
+    val p = plan(q("q89_bm25_rank"))
+    // the IN-list term filter must appear in the physical plan BEFORE
+    // (i.e. below) the first Exchange, so the exploded token stream is
+    // pruned to candidate rows pre-shuffle
+    val filterIdx = p.indexOf("INSET") match {
+      case -1 => p.indexOf(" IN (")
+      case i => i
+    }
+    assert(filterIdx >= 0, s"term filter missing from physical plan:\n$p")
+    assert(p.lastIndexOf("Exchange") > filterIdx,
+      s"term filter should sit below the aggregation exchange:\n$p")
+  }
 }
