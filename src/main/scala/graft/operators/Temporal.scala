@@ -96,6 +96,56 @@ object Temporal {
           coalesce(col("cnt"), lit(0L)).as("n_events"),
           col("cnt").isNull.as("is_gap"))
         .orderBy(col("day"))
+    }),
+
+    // Z-order layout profile (round 5b): interleave the low 10 bits of two
+    // clustering dimensions (customer, order day) into a 20-bit Z-value —
+    // the space-filling-curve key behind Delta/Iceberg OPTIMIZE ZORDER —
+    // and profile the top-6-bit Z-ranges: each range must cover a SMALL
+    // span of BOTH dimensions (that bounded min/max spread is exactly why
+    // Z-sorted files let a scan skip on either predicate). The interleave
+    // is pure integer bit arithmetic via a higher-order aggregate (codegen
+    // in the scan projection, no UDF, no shuffle beyond the final tiny
+    // histogram).
+    "q96_zorder_layout" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("x", col("o_custkey").bitwiseAND(lit(1023L)))
+        .withColumn("y",
+          datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01")))
+            .cast("long").bitwiseAND(lit(1023L)))
+        .withColumn("zval", expr(
+          """aggregate(sequence(0, 9), 0L, (acc, i) ->
+             acc + shiftleft(shiftright(x, i) & 1L, 2*i)
+                 + shiftleft(shiftright(y, i) & 1L, 2*i + 1))"""))
+        .groupBy(shiftright(col("zval"), 14).as("zrange"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
+          min(col("y")).as("y_lo"), max(col("y")).as("y_hi"))
+        .orderBy(col("zrange"))
+    }),
+
+    // Incremental aggregate maintenance (round 5b): the materialized-view
+    // refresh shape — a BASE aggregate over history plus a DELTA aggregate
+    // over new arrivals, merged by re-aggregating the partials (sums of
+    // sums, sums of counts). The mid-year cutoff forces real merging
+    // (every status/year group has rows on both sides). Exact DECIMAL
+    // partials are what make this valid: merge(partials) is bit-equal to
+    // the full recompute the oracle runs — the algebraic property that
+    // lets a 100 TB view refresh touch only the delta.
+    "q97_incremental_agg" -> ((s, d) => {
+      val cutoff = to_timestamp(lit("1997-03-15"))
+      def part(f: org.apache.spark.sql.Column) = Tables.orders(s, d)
+        .filter(f)
+        .groupBy(col("o_orderstatus"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev"),
+          count(lit(1)).as("n"))
+      part(col("o_orderdate") < cutoff)
+        .unionByName(part(col("o_orderdate") >= cutoff))
+        .groupBy(col("o_orderstatus"), col("yr"))
+        .agg(sum(col("rev")).cast("double").as("rev"),
+          sum(col("n")).cast("long").as("n_orders"))
+        .orderBy(col("o_orderstatus"), col("yr"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -148,5 +198,40 @@ object Temporal {
          SELECT cal.day, COALESCE(daily.cnt, 0) AS n_events,
            daily.cnt IS NULL AS is_gap
          FROM cal LEFT JOIN daily ON cal.day = daily.day
-         ORDER BY cal.day""")
+         ORDER BY cal.day""",
+
+    "q96_zorder_layout" ->
+      """WITH z AS (
+           SELECT o_custkey & 1023 AS x,
+             datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               & 1023 AS y
+           FROM orders),
+         zv AS (
+           SELECT x, y,
+             CAST(list_sum(list_transform(range(0, 10), i ->
+               (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i + 1))))
+               AS BIGINT) AS zval
+           FROM z)
+         SELECT zval >> 14 AS zrange, count(*) AS n_orders,
+           min(x) AS x_lo, max(x) AS x_hi,
+           min(y) AS y_lo, max(y) AS y_hi
+         FROM zv GROUP BY 1 ORDER BY 1""",
+
+    "q97_incremental_agg" ->
+      """WITH base AS (
+           SELECT o_orderstatus, year(o_orderdate) AS yr,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev,
+             count(*) AS n
+           FROM orders WHERE o_orderdate < TIMESTAMP '1997-03-15'
+           GROUP BY 1, 2),
+         delta AS (
+           SELECT o_orderstatus, year(o_orderdate) AS yr,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev,
+             count(*) AS n
+           FROM orders WHERE o_orderdate >= TIMESTAMP '1997-03-15'
+           GROUP BY 1, 2),
+         u AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+         SELECT o_orderstatus, yr, CAST(sum(rev) AS DOUBLE) AS rev,
+           CAST(sum(n) AS BIGINT) AS n_orders
+         FROM u GROUP BY 1, 2 ORDER BY 1, 2""")
 }

@@ -125,6 +125,40 @@ class Round5bOpsSpec extends SparkSpecBase {
     rows.foreach(r => assert(r.getAs[Long]("n_orders") <= n / 5))
   }
 
+  test("q96 z-order: every z-range bounds BOTH dimensions (locality)") {
+    val rows = Temporal.queries("q96_zorder_layout")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ==
+      Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      // the top 6 z-bits fix bits 9..7 of x AND y, so each range spans
+      // less than 2^7 in each dimension — the skip-scan property
+      assert(r.getAs[Long]("x_hi") - r.getAs[Long]("x_lo") < 128L)
+      assert(r.getAs[Long]("y_hi") - r.getAs[Long]("y_lo") < 128L)
+    }
+  }
+
+  test("q97 incremental agg: merged partials equal the full recompute") {
+    val rows = Temporal.queries("q97_incremental_agg")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val full = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(graft.functions.Exact.dec(col("o_totalprice")))
+          .cast("double").as("rev"),
+        count(lit(1)).as("n_orders"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(rows.length == full.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("o_orderstatus"), r.getAs[Long]("yr"))
+      val (rev, n) = full(k)
+      assert(r.getAs[Double]("rev") == rev, s"rev mismatch for $k")
+      assert(r.getAs[Long]("n_orders") == n)
+    }
+  }
+
   test("q95 skew profile: buckets are bit widths and rows reconcile") {
     val rows = Analytic.queries("q95_skew_profile")(spark, sf).collect()
     assert(rows.nonEmpty)
