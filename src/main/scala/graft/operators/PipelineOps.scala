@@ -117,6 +117,37 @@ object PipelineOps {
         .filter(col("bucket") < col("rate"))
         .select(col("doc_id"), col("lang"), col("bucket"))
         .orderBy(col("doc_id"))
+    }),
+
+    // End-to-end curation funnel (round 5b): the composed pipeline every
+    // pretraining corpus runs — normalize (q73's convention) → token-length
+    // gate → exact dedup (first-doc-wins per normalized text) → md5-bucket
+    // sampling (q55's convention) — reported as per-language attrition
+    // counts. ONE scan computes every stage as a flag column (the dedup
+    // rank is a window over (lang, norm, pass_len)), then one aggregate
+    // folds the funnel; at 100 TB that is one exchange for the window and
+    // one for the language rollup, with no stage rescanning the corpus.
+    "q98_curation_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val normE = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), normE.as("norm"))
+        .withColumn("ntok", size(T.tokens(col("norm"))).cast("long"))
+        .withColumn("pass_len", col("ntok").between(5, 500))
+      val w = Window.partitionBy(col("lang"), col("norm"), col("pass_len"))
+        .orderBy(col("doc_id"))
+      t.withColumn("rn", row_number().over(w))
+        .withColumn("is_rep", col("pass_len") && col("rn") === 1)
+        .withColumn("is_sampled", col("is_rep") &&
+          conv(substring(md5(col("norm")), 1, 8), 16, 10).cast("long")
+            % 100 < 80)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_in"),
+          sum(when(col("pass_len"), 1L).otherwise(0L)).as("n_len"),
+          sum(when(col("is_rep"), 1L).otherwise(0L)).as("n_dedup"),
+          sum(when(col("is_sampled"), 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy(col("lang"))
     }))
 
   private val duckTokens = "list_filter(string_split(text, ' '), w -> w <> '')"
@@ -174,5 +205,32 @@ object PipelineOps {
          FROM documents
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
            < CASE WHEN lang = 'en' THEN 50 ELSE 80 END
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+
+    "q98_curation_funnel" ->
+      """WITH n AS (
+           SELECT doc_id, lang,
+             trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+           FROM documents),
+         t AS (
+           SELECT doc_id, lang, norm,
+             len(list_filter(string_split(norm, ' '), w -> w <> '')) AS ntok
+           FROM n),
+         st AS (
+           SELECT lang, norm, doc_id,
+             (ntok BETWEEN 5 AND 500) AS pass_len,
+             row_number() OVER (
+               PARTITION BY lang, norm, (ntok BETWEEN 5 AND 500)
+               ORDER BY doc_id) AS rn
+           FROM t)
+         SELECT lang, count(*) AS n_in,
+           CAST(sum(CASE WHEN pass_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_len,
+           CAST(sum(CASE WHEN pass_len AND rn = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dedup,
+           CAST(sum(CASE WHEN pass_len AND rn = 1
+             AND ('0x' || substr(md5(norm), 1, 8))::BIGINT % 100 < 80
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         FROM st GROUP BY lang ORDER BY lang""")
 }

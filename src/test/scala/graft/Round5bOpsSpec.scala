@@ -159,6 +159,21 @@ class Round5bOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("q98 curation funnel: stage counts are monotone non-increasing") {
+    val rows = graft.operators.PipelineOps.queries("q98_curation_funnel")(
+      spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_in")).sum ==
+      Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (nIn, nLen) = (r.getAs[Long]("n_in"), r.getAs[Long]("n_len"))
+      val (nDedup, nSamp) = (r.getAs[Long]("n_dedup"), r.getAs[Long]("n_sampled"))
+      assert(nIn >= nLen && nLen >= nDedup && nDedup >= nSamp,
+        s"funnel must only shrink: $nIn >= $nLen >= $nDedup >= $nSamp")
+      assert(nDedup > 0 || nLen == 0)
+    }
+  }
+
   test("q95 skew profile: buckets are bit widths and rows reconcile") {
     val rows = Analytic.queries("q95_skew_profile")(spark, sf).collect()
     assert(rows.nonEmpty)
