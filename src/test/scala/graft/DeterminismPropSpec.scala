@@ -79,6 +79,30 @@ class DeterminismPropSpec extends SparkSpecBase {
     assert(bad == 0, "signature must depend on the SET only")
   }
 
+  test("round-5 aggregates are shuffle-parallelism invariant (bit-equal results)") {
+    // the 100 TB reproducibility property: changing the partial-aggregate
+    // layout (shuffle partition count) must not change a single bit of
+    // the result — exact decimal partials + integer funnels deliver this,
+    // plain double sums would not
+    val names = Seq("q88_snapshot_diff", "q92_pmi_collocations",
+      "q97_incremental_agg", "q98_curation_funnel")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    def runAll(n: String) = {
+      val rows = SparkEntry.queries(n)(spark, sf).collect()
+      rows.map(_.toString).sorted.toSeq
+    }
+    try {
+      names.foreach { n =>
+        spark.conf.set(key, "4")
+        val r4 = runAll(n)
+        spark.conf.set(key, "7")
+        val r7 = runAll(n)
+        assert(r4 == r7, s"$n changed under a different shuffle layout")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("packing seq assignment: budget math is exact for any doc-length mix") {
     val budget = 512
     (1 to 100).foreach { _ =>
