@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.CosineSimilarityExpr
+import graft.functions.{CosineSimilarityExpr, ZOrderInterleaveExpr}
 
 /** Session extensions: registers the engine's native Catalyst expressions
   * (SURVEY.md §7.4 tier (b) custom operators). Install with
@@ -19,6 +19,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(args.length == 2, "cosine_fast(a, b) takes exactly 2 arguments")
         CosineSimilarityExpr(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[ZOrderInterleaveExpr].getName, "zorder2"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, "zorder2(x, y) takes exactly 2 arguments")
+        ZOrderInterleaveExpr(args(0), args(1))
       }))
   }
 }

@@ -104,19 +104,19 @@ object Temporal {
     // and profile the top-6-bit Z-ranges: each range must cover a SMALL
     // span of BOTH dimensions (that bounded min/max spread is exactly why
     // Z-sorted files let a scan skip on either predicate). The interleave
-    // is pure integer bit arithmetic via a higher-order aggregate (codegen
-    // in the scan projection, no UDF, no shuffle beyond the final tiny
-    // histogram).
+    // is the native codegen'd `zorder2` expression (GraftExtensions):
+    // branch-free magic-mask bit spreading in the scan projection — no
+    // UDF, no lambda dispatch, no shuffle beyond the final tiny
+    // histogram. ZOrderExprSpec pins it bit-equal to the higher-order
+    // aggregate formulation the DuckDB oracle runs.
     "q96_zorder_layout" -> ((s, d) => {
       Tables.orders(s, d)
         .withColumn("x", col("o_custkey").bitwiseAND(lit(1023L)))
         .withColumn("y",
           datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01")))
             .cast("long").bitwiseAND(lit(1023L)))
-        .withColumn("zval", expr(
-          """aggregate(sequence(0, 9), 0L, (acc, i) ->
-             acc + shiftleft(shiftright(x, i) & 1L, 2*i)
-                 + shiftleft(shiftright(y, i) & 1L, 2*i + 1))"""))
+        .withColumn("zval",
+          graft.functions.ZOrderExpr.zorder2(col("x"), col("y")))
         .groupBy(shiftright(col("zval"), 14).as("zrange"))
         .agg(count(lit(1)).as("n_orders"),
           min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
