@@ -50,4 +50,24 @@ class SqlSurfaceSpec extends SparkSpecBase {
          FROM embeddings LIMIT 10""").collect()
     assert(r.forall(row => math.abs(row.getDouble(1) - 1.0) < 1e-12))
   }
+
+  test("zorder2 is SQL-reachable: ORDER BY a native Morton key") {
+    Tables.registerAll(spark, sf)
+    val r = spark.sql(
+      """SELECT o_orderkey,
+           zorder2(o_custkey & 1023L, o_orderkey & 1023L) AS z
+         FROM orders ORDER BY z, o_orderkey LIMIT 20""").collect()
+    assert(r.length == 20)
+    // the SQL path produces the same interleave as the Column API
+    val viaCol = Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+        graft.functions.ZOrderExpr.zorder2(
+          org.apache.spark.sql.functions.col("o_custkey")
+            .bitwiseAND(org.apache.spark.sql.functions.lit(1023L)),
+          org.apache.spark.sql.functions.col("o_orderkey")
+            .bitwiseAND(org.apache.spark.sql.functions.lit(1023L))).as("z"))
+      .orderBy("z", "o_orderkey").limit(20).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      viaCol.map(x => (x.getLong(0), x.getLong(1))).toSeq)
+  }
 }
