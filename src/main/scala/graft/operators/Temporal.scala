@@ -182,8 +182,8 @@ object Temporal {
          SELECT day, n_orders, CAST(rev_d AS DOUBLE) AS rev,
            CAST(sum(rev_d) OVER (ORDER BY day_idx
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov7,
-           sum(n_orders) OVER (ORDER BY day_idx
-             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7
+           CAST(sum(n_orders) OVER (ORDER BY day_idx
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7
          FROM daily ORDER BY day""",
 
     "q91_gap_fill" ->

@@ -43,6 +43,41 @@ object TextOps {
       .distinct()
   }
 
+  /** SimHash near-dup pair list (q48's discovery engine): documents plus
+    * planted exact duplicates (doc_id+1e6 for every 10th doc) → fused
+    * 64-bit fingerprint UDF (shingle → xxhash64 → bit-votes in ONE pass:
+    * the staged column form needed two persisted intermediates and 64
+    * aggregate() traversals per row, and the self-join's two scans raced to
+    * recompute them — measured 17.4 s vs 0.9 s) → 4×16-bit band self-join →
+    * exact hamming ≤ 3 → distinct pairs. The tiny (doc_id, fp) table is
+    * materialized before the join so both sides read the cache. Returns
+    * (doc_a, doc_b) including NATURAL near-dup pairs, which are corpus- and
+    * hash-engine-specific — hence the registered q48 query audits planted
+    * recall instead (oracle-exact), and TextFnsSpec property-checks this
+    * full list. */
+  def simhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val planted = base.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val fp = Tables.spread(base.union(planted))
+      .select(col("doc_id"), T.simhashFpUdf(3)(col("text")).as("fp"))
+      .filter(col("fp").isNotNull)
+      .persist()
+    fp.count()
+    val bands = fp.select(col("doc_id"), col("fp"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey",
+        expr("(fp >> (band * 16)) & 65535"))
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .filter(T.hamming64(col("a.fp"), col("b.fp")) <= 3)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting (whitespace tokenization).
     "q30_token_stats" -> ((s, d) => {
@@ -220,44 +255,36 @@ object TextOps {
         .orderBy(col("lang"))
     }),
 
-    // SimHash near-dup: 64-bit fingerprints over 3-shingles, banded into
-    // 4×16-bit keys (a pair within hamming distance 3 must agree on ≥1
-    // band — pigeonhole), verified by exact hamming ≤ 3. Planted exact
-    // duplicates (doc_id+1e6 for every 10th doc) are guaranteed recalled
-    // (identical text → identical fingerprint → every band agrees).
-    // NOT oracle-checked: the synthetic corpus's 31-word vocabulary makes
-    // some NATURAL doc pairs land within hamming 1-3 (measured), and
-    // simhash needs xxhash64 which DuckDB lacks — covered by ScalaTest
-    // (planted ⊆ result, hamming bound re-verified on collected output).
-    // Bucketing is a band-equijoin — never all-pairs. The whole per-doc
-    // fingerprint (shingle → xxhash64 → 64 bit-votes) is ONE fused UDF
-    // pass: the staged column form needed two persisted intermediates and
-    // 64 aggregate() traversals per row, and the self-join's two scans
-    // raced to recompute them (measured 17.4 s → the fused form is the
-    // map-only stage this is supposed to be). The tiny (doc_id, fp) table
-    // is materialized before the join so both sides read the cache.
+    // SimHash near-dup, planted-recall audit form: 64-bit fingerprints over
+    // 3-shingles, banded into 4×16-bit keys (a pair within hamming distance
+    // 3 must agree on ≥1 band — pigeonhole), verified by exact hamming ≤ 3.
+    // Exact duplicates are planted (doc_id+1e6 for every 10th doc with ≥1
+    // shingle); identical text → identical fingerprint → every band agrees
+    // → the pipeline MUST recall each planted pair, so the registered query
+    // reports one row per planted pair with its recall flag — a result the
+    // DuckDB oracle expresses exactly (the q70 convention: pin the
+    // guarantee, not the engine-specific hash values — DuckDB lacks
+    // xxhash64, and the 31-word synthetic vocabulary gives some NATURAL
+    // pairs hamming ≤ 3, so the raw pair list itself is oracle-unsound).
+    // The full pair list (natural pairs included) stays available as
+    // `simhashNearDupPairs` and is property-checked by TextFnsSpec
+    // (planted ⊆ result; every reported pair independently re-verified
+    // within hamming 3). Bucketing is a band-equijoin — never all-pairs.
     "q48_simhash_neardup" -> ((s, d) => {
-      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val planted = base.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      val fp = Tables.spread(base.union(planted))
-        .select(col("doc_id"), T.simhashFpUdf(3)(col("text")).as("fp"))
-        .filter(col("fp").isNotNull)
-        .persist()
-      fp.count()
-      val bands = fp.select(col("doc_id"), col("fp"),
-          explode(sequence(lit(0), lit(3))).as("band"))
-        .withColumn("bkey",
-          expr("(fp >> (band * 16)) & 65535"))
-      val a = bands.alias("a")
-      val b = bands.alias("b")
-      a.join(b, col("a.band") === col("b.band") &&
-          col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .filter(T.hamming64(col("a.fp"), col("b.fp")) <= 3)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-        .orderBy(col("doc_a"), col("doc_b"))
+      val pairs = simhashNearDupPairs(s, d)
+      // ≥3 tokens ⟺ the doc has a 3-shingle ⟺ its fingerprint is non-null
+      // and the planted copy is recallable; mirrored in the oracle SQL.
+      val expected = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(10)) === 0 &&
+          size(T.tokens(col("text"))) >= 3)
+        .select(col("doc_id").as("doc_a"),
+          (col("doc_id") + 1000000L).as("doc_b"))
+      expected
+        .join(pairs.withColumn("found", lit(true)), Seq("doc_a", "doc_b"),
+          "left")
+        .select(col("doc_a"), col("doc_b"),
+          coalesce(col("found"), lit(false)).as("recalled"))
+        .orderBy(col("doc_a"))
     }),
 
     // N-gram (3-shingle) Jaccard similarity, LSH-bucketed: exact verify on
@@ -302,12 +329,18 @@ object TextOps {
     // (sequence→explode), no shuffle: each doc expands to ceil(n/stride)
     // chunks regardless of corpus size. Chunk text exported as md5 so the
     // oracle compares content without shipping the strings.
+    // Empty/null-token docs need no explicit filter: explode() of the
+    // empty (size-1 < 0) or null sequence drops the row, so the guard
+    // would only re-run the tokenizer a second time (the round-5 bench
+    // regression: tokenize evaluated in both Filter and Project — A/B
+    // profiled: dropping the guard + no spread = 0.43 s vs 1.15 s at
+    // sf0.1; `spread` measured NET-NEGATIVE here because the chunk
+    // compute is too cheap to amortize its extra exchange).
     "q71_chunk_overlap" -> ((s, d) => {
       val win = 50
       val stride = 40
       Tables.documents(s, d)
         .withColumn("ws", T.tokens(col("text")))
-        .filter(size(col("ws")) > 0)
         .select(col("doc_id"), col("ws"),
           explode(sequence(lit(0), size(col("ws")) - 1, lit(stride)))
             .as("chunk_start"))
@@ -597,6 +630,18 @@ object TextOps {
            FROM bands a JOIN bands b
              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""",
+
+    // Planted-recall audit: a planted copy has text identical to its
+    // source, so simhash MUST pair them (identical fingerprint → all four
+    // bands agree → hamming 0 ≤ 3) — the oracle enumerates the planted
+    // pairs with recalled=true. ≥3 tokens mirrors the query's "has a
+    // 3-shingle" recallability guard.
+    "q48_simhash_neardup" ->
+      s"""SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
+           true AS recalled
+         FROM documents
+         WHERE doc_id % 10 = 0 AND len($duckTokens) >= 3
+         ORDER BY doc_a""",
 
     "q71_chunk_overlap" ->
       s"""WITH t AS (SELECT doc_id, $duckTokens AS ws FROM documents),

@@ -98,13 +98,19 @@ class TextFnsSpec extends SparkSpecBase {
   }
 
   test("q48 simhash near-dup: planted exact dups are all recalled; hamming bound holds") {
-    val result = graft.operators.TextOps.queries("q48_simhash_neardup")(spark, sf)
+    val result = graft.operators.TextOps.simhashNearDupPairs(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val planted = graft.sources.Tables.documents(spark, sf)
-      .filter($"doc_id" % 10 === 0).select($"doc_id").collect()
+      .filter($"doc_id" % 10 === 0 && size(T.tokens($"text")) >= 3)
+      .select($"doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
     assert(planted.subsetOf(result),
       s"missing planted pairs: ${planted -- result}")
+    // the registered q48 audit form must agree: every planted pair recalled
+    val audit = graft.operators.TextOps.queries("q48_simhash_neardup")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getBoolean(2)))
+    assert(audit.map(_._1).toSet == planted)
+    assert(audit.forall(_._2), "audit row with recalled=false")
     // every reported pair really is within hamming 3 (recompute independently)
     val fps = graft.sources.Tables.documents(spark, sf)
       .select($"doc_id", T.simhash64FromHashes(
