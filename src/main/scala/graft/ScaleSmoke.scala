@@ -92,6 +92,66 @@ object ScaleSmoke {
         .distinct()
     }
 
+    // q58-shaped cluster assignment at mult×: signature-group pre-dedup
+    // collapses the band-join input to DISTINCT signatures (reported
+    // below as docs→reps), so pair enumeration cost is flat in the
+    // duplicate multiplier — only the linear member-expansion joins grow
+    time("dedup_clusters") {
+      val wSig = org.apache.spark.sql.expressions.Window.partitionBy(col("skey"))
+      val sigKeyed = Tables.spread(big)
+        .select(col("doc_id"), T.minhashSigUdf(3, 8)(col("text")).as("sig"))
+        .filter(col("sig").isNotNull)
+        .withColumn("skey", concat_ws(",", col("sig")))
+        .withColumn("rep", min(col("doc_id")).over(wSig))
+        .persist()
+      val nDocs = sigKeyed.count()
+      val reps = sigKeyed.filter(col("doc_id") === col("rep"))
+        .select(col("rep"), col("sig"))
+        .persist()
+      val nReps = reps.count()
+      println(s"SCALE   band-join input: $nDocs docs -> $nReps reps")
+      val bands = reps.select(col("rep"),
+          explode(T.bandKeys(col("sig"), 4, 2)).as("bk"))
+        .select(col("rep"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      val a = bands.alias("a"); val b = bands.alias("b")
+      val pairs = a.join(b, col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.rep") < col("b.rep"))
+        .select(col("a.rep").as("doc_a"), col("b.rep").as("doc_b"))
+        .distinct()
+      val edges = pairs.select(explode(array(
+          struct(col("doc_a").as("a"), col("doc_b").as("b")),
+          struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .localCheckpoint()
+      var labels = edges.groupBy(col("a").as("node"))
+        .agg(min(col("b")).as("mn"))
+        .select(col("node"), least(col("node"), col("mn")).as("label"))
+        .localCheckpoint()
+      def labelSum(df: DataFrame): Long =
+        df.agg(coalesce(sum(col("label")), lit(0L))).first().getLong(0)
+      var prevSum = labelSum(labels)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 15) {
+        val next = labels.join(edges, col("node") === col("a"))
+          .select(col("b").as("node"), col("label"))
+          .union(labels)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .localCheckpoint()
+        val s2 = labelSum(next)
+        labels = next
+        converged = s2 == prevSum
+        prevSum = s2
+        iter += 1
+      }
+      big.select(col("doc_id"))
+        .join(sigKeyed.select(col("doc_id"), col("rep")), Seq("doc_id"), "left")
+        .join(labels, col("rep") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("rep"), col("doc_id")).as("cluster"))
+    }
+
     // exact dedup at mult× — hash groupBy, the baseline
     time("exact_dedup") {
       big.groupBy(md5(col("text")).as("h"))

@@ -72,6 +72,11 @@ object EmailFns {
     to_timestamp(regexp_replace(c, "^[A-Za-z]{3},\\s*", ""),
       "d MMM yyyy HH:mm:ss Z")
 
+  /** E18 — ISO-8601 timestamp formatting, the `datetime.isoformat()` of
+    * the reference's token-expiry bookkeeping (main.py:203). */
+  def isoTimestamp(ts: Column): Column =
+    date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+
   /** F4/ST2 — event-time freshness: ts within `window` of `now` (main.py:96).
     * In batch/oracle contexts pass a deterministic `now` (e.g. max(ts)). */
   def isFresh(ts: Column, now: Column, window: String = "INTERVAL 2 MINUTES"): Column =

@@ -21,7 +21,10 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
-  /** MinHash-LSH candidate pairs (the q35 plan, shared with q58): fused
+  /** MinHash-LSH candidate pairs (the q35 plan; q58 rebuilds the same
+    * banding over signature-group representatives instead — the full pair
+    * list is q35's OUTPUT, so it cannot collapse duplicates, while q58's
+    * cluster output can): fused
     * signature UDF → persisted+materialized (both self-join sides read the
     * cache) → slim band self-join → distinct pairs. */
   private def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
@@ -182,7 +185,45 @@ object TextOps {
     // (GraphX/Pregel do the same); on a real cluster use reliable
     // checkpoint(dir) for executor-loss tolerance.
     "q58_dedup_clusters" -> ((s, d) => {
-      val pairs = minhashCandidatePairs(s, d)
+      // PRE-DEDUP BY SIGNATURE GROUP before the band join: identical
+      // signatures (exact copies, and near-dups that collide on all 8
+      // minhashes) agree on every band, so a same-sig group is one clique.
+      // Collapsing each group to its min-doc_id representative BEFORE the
+      // band self-join makes the pair enumeration quadratic in the number
+      // of DISTINCT signatures, not documents — on a duplicate-heavy
+      // corpus (the dedup workload by definition) that is the difference
+      // between O(groups²·bucket) and O(docs²·bucket). Components and
+      // component minima are preserved exactly: each rep is its group's
+      // minimum, a group's members connect only through their rep's
+      // buckets, and min-over-component = min-over-reps — so the output
+      // (and the DuckDB reachability oracle, which runs on the full doc
+      // graph) is bit-identical to the uncollapsed form.
+      // One shuffle does the whole collapse: window-min over the exact
+      // signature key tags every row with its group's representative
+      // (a groupBy + join-back would shuffle the signatures twice).
+      val wSig = Window.partitionBy(col("skey"))
+      val sigKeyed = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), T.minhashSigUdf(3, 8)(col("text")).as("sig"))
+        .filter(col("sig").isNotNull)
+        .withColumn("skey", concat_ws(",", col("sig"))) // exact group key
+        .withColumn("rep", min(col("doc_id")).over(wSig))
+        .persist()
+      sigKeyed.count() // materialize: every downstream scan reads cache
+      val reps = sigKeyed.filter(col("doc_id") === col("rep"))
+        .select(col("rep"), col("sig"))
+        .persist()
+      reps.count() // both band-join sides read this slim cache
+      val bands = reps.select(col("rep"),
+          explode(T.bandKeys(col("sig"), 4, 2)).as("bk"))
+        .select(col("rep"), col("bk.band").as("band"),
+          col("bk.bkey").as("bkey"))
+      val a = bands.alias("a")
+      val b = bands.alias("b")
+      val pairs = a.join(b, col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.rep") < col("b.rep"))
+        .select(col("a.rep").as("doc_a"), col("b.rep").as("doc_b"))
+        .distinct()
       // both edge directions in ONE scan of the pair join (a union of two
       // selects would run the self-join twice inside the eager checkpoint)
       val edges = pairs.select(explode(array(
@@ -222,10 +263,15 @@ object TextOps {
         prevSum = s2
         iter += 1
       }
+      // Expand back from representatives: each member inherits its rep's
+      // component label (rep itself if the rep hit no cross-group bucket;
+      // own doc_id if the doc had no signature at all). Linear joins —
+      // the quadratic work above only ever saw representatives.
       Tables.documents(s, d).select(col("doc_id"))
-        .join(labels, col("doc_id") === col("node"), "left")
+        .join(sigKeyed.select(col("doc_id"), col("rep")), Seq("doc_id"), "left")
+        .join(labels, col("rep") === col("node"), "left")
         .select(col("doc_id"),
-          coalesce(col("label"), col("doc_id")).as("cluster"))
+          coalesce(col("label"), col("rep"), col("doc_id")).as("cluster"))
         .orderBy(col("doc_id"))
     }),
 

@@ -21,23 +21,36 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Scale posture: state is one (timestamp, int) per key, O(keys) not
   * O(events); alerts are timer-driven so a silent key costs one state
-  * read per interval, not a scan.
+  * read per interval, not a scan. A permanently-abandoned key does NOT
+  * alert forever: after `maxEscalations` silent intervals the key emits
+  * one `terminal = true` alert and its state is REMOVED — alert volume
+  * and state size stay bounded even when keys die and never return (a
+  * later heartbeat simply re-registers the key from scratch).
   */
 object HeartbeatMonitor {
 
   case class Heartbeat(key: String, ts: Timestamp)
   case class HbState(lastSeen: Timestamp, nMissed: Long)
-  case class SilenceAlert(key: String, last_seen: Timestamp, n_missed: Long)
+  case class SilenceAlert(key: String, last_seen: Timestamp, n_missed: Long,
+                          terminal: Boolean = false)
 
   /** Pure transition (unit-testable with TestGroupState). */
-  def transition(silenceMs: Long)(key: String, events: Iterator[Heartbeat],
+  def transition(silenceMs: Long, maxEscalations: Long = Long.MaxValue)(
+      key: String, events: Iterator[Heartbeat],
       state: GroupState[HbState]): Iterator[SilenceAlert] = {
     if (state.hasTimedOut) {
       val s = state.get
       val next = HbState(s.lastSeen, s.nMissed + 1)
-      state.update(next)
-      state.setTimeoutDuration(silenceMs)
-      Iterator.single(SilenceAlert(key, next.lastSeen, next.nMissed))
+      if (next.nMissed >= maxEscalations) {
+        // retire the key: one terminal alert, state dropped, timer dead
+        state.remove()
+        Iterator.single(
+          SilenceAlert(key, next.lastSeen, next.nMissed, terminal = true))
+      } else {
+        state.update(next)
+        state.setTimeoutDuration(silenceMs)
+        Iterator.single(SilenceAlert(key, next.lastSeen, next.nMissed))
+      }
     } else {
       val newest = events.map(_.ts).maxBy(_.getTime)
       val last = state.getOption.map(_.lastSeen)
@@ -48,13 +61,14 @@ object HeartbeatMonitor {
     }
   }
 
-  def monitor(events: Dataset[Heartbeat],
-              silenceMs: Long): Dataset[SilenceAlert] = {
+  def monitor(events: Dataset[Heartbeat], silenceMs: Long,
+              maxEscalations: Long = Long.MaxValue): Dataset[SilenceAlert] = {
     implicit val ke = Encoders.STRING
     implicit val se = Encoders.product[HbState]
     implicit val oe = Encoders.product[SilenceAlert]
     events.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.ProcessingTimeTimeout)(transition(silenceMs))
+        GroupStateTimeout.ProcessingTimeTimeout)(
+        transition(silenceMs, maxEscalations))
   }
 }

@@ -20,6 +20,18 @@ import graft.functions.Exact.dec
   * rename. A crash-and-replay of batch N re-reads the SAME base and
   * overwrites the SAME destination — the view never double-counts.
   *
+  * Storage stays bounded: after each successful publish, snapshots older
+  * than the newest `retainVersions` are garbage-collected. The retained
+  * window must include the newest snapshot's predecessor (a crash between
+  * publish and checkpoint-commit replays the LATEST batch, which re-reads
+  * the newest version strictly below it), so `retainVersions` ≥ 2 is
+  * enforced. Atomicity caveat: `fs.rename` is atomic on HDFS-like
+  * filesystems but NOT on object stores (S3 renames are copy+delete);
+  * object-store deployments should publish through a manifest/commit-file
+  * protocol (write data, then atomically PUT a small manifest naming the
+  * live version) — the version-numbering scheme here carries over
+  * unchanged.
+  *
   * Scale posture: the delta aggregates map-side to group cardinality
   * before the merge, and the merge joins two group-cardinality tables —
   * the stream's raw volume never touches the stored view. Exact DECIMAL
@@ -44,7 +56,8 @@ object ViewMaintenance {
   }
 
   /** Merge one micro-batch into the view, idempotently for `batchId`. */
-  def mergeBatch(batch: DataFrame, batchId: Long, viewDir: String): Unit = {
+  def mergeBatch(batch: DataFrame, batchId: Long, viewDir: String,
+                 retainVersions: Int = 3): Unit = {
     val spark = batch.sparkSession
     val delta = batch
       .groupBy(col("o_orderstatus"),
@@ -71,6 +84,12 @@ object ViewMaintenance {
     val destPath = new Path(dest)
     if (fs.exists(destPath)) fs.delete(destPath, true) // replay overwrite
     fs.rename(new Path(tmp), destPath)
+    // GC: the view would otherwise grow one full snapshot per batch.
+    // Keep the newest `retainVersions` (min 2 — the newest's predecessor
+    // must survive for a latest-batch replay to find its base).
+    val keep = math.max(2, retainVersions)
+    versions(spark, viewDir).sorted.dropRight(keep)
+      .foreach(v => fs.delete(new Path(s"$viewDir/v=$v"), true))
   }
 
   /** Wire a stream of order rows into the maintained view. */

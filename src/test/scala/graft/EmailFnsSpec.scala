@@ -81,6 +81,12 @@ class EmailFnsSpec extends SparkSpecBase {
     assert(ts.toInstant.toString == "2024-01-02T05:00:00Z")
   }
 
+  test("E18 isoTimestamp formats like datetime.isoformat (main.py:203)") {
+    val s = one(E.isoTimestamp(E.rfc2822Date($"s")),
+      "Tue, 2 Jan 2024 10:30:00 +0000")
+    assert(s == "2024-01-02T10:30:00") // session TZ is UTC
+  }
+
   test("F4 freshness boundary: exactly at the window edge is fresh (main.py:96)") {
     val df = Seq(
       ("2024-01-01 10:00:00", "2024-01-01 10:02:00"), // exactly 2 min old

@@ -36,4 +36,63 @@ class MultimodalSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet
     assert(r.map(_.getLong(0)).toSet.subsetOf(videoIds))
   }
+
+  test("MediaCodec PNG round-trip: dims and exact pixel histogram") {
+    import graft.operators.Multimodal.MediaCodec
+    val (w, h, seed) = (37, 21, 42L)
+    val bytes = MediaCodec.makePng(w, h, seed)
+    // PNG magic — the payload is a real file, not a labeled blob
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte &&
+      bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte)
+    val (dw, dh, nf, hist) = MediaCodec.decode(bytes, "image")
+    assert(dw == w && dh == h && nf == 1)
+    // recompute the histogram from the generator's pixel formula — PNG is
+    // lossless, so the decoded histogram must match exactly
+    val expected = new Array[Float](8)
+    for (y <- 0 until h; x <- 0 until w)
+      expected(((x * 7 + y * 13 + seed * 31) & 0xff).toInt % 8) += 1f
+    val total = (w * h).toFloat
+    (0 until 8).foreach { i =>
+      assert(math.abs(hist(i) - expected(i) / total) < 1e-6f, s"bin $i")
+    }
+  }
+
+  test("MediaCodec WAV round-trip: RIFF header parsed, sample count exact") {
+    import graft.operators.Multimodal.MediaCodec
+    val bytes = MediaCodec.makeWav(1234, 7L)
+    assert(new String(bytes, 0, 4, "US-ASCII") == "RIFF")
+    val (n, one, nf, hist) = MediaCodec.decode(bytes, "audio")
+    assert(n == 1234 && one == 1 && nf == 1)
+    assert(math.abs(hist.sum - 1.0f) < 1e-5f)
+  }
+
+  test("MediaCodec GIF round-trip: frame count and dims from real decode") {
+    import graft.operators.Multimodal.MediaCodec
+    val bytes = MediaCodec.makeGif(24, 18, 7, 99L)
+    assert(new String(bytes, 0, 3, "US-ASCII") == "GIF")
+    val (w, h, nf, hist) = MediaCodec.decode(bytes, "video")
+    assert(w == 24 && h == 18 && nf == 7)
+    assert(math.abs(hist.sum - 1.0f) < 1e-5f)
+  }
+
+  test("q47 decoded dims equal the generator formulas (full pipeline)") {
+    val r = Multimodal.queries("q47_media_features")(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val id = row.getLong(0)
+      val (w, h, nf) = (row.getInt(2), row.getInt(3), row.getInt(4))
+      (id % 3) match {
+        case 0 =>
+          assert(w == 16 + id % 48 + (if (id % 5 == 0) 240 else 0))
+          assert(h == 16 + (id / 3) % 48 + (if (id % 7 == 0) 240 else 0))
+          assert(nf == 1)
+        case 1 =>
+          assert(w == 800 + id % 1600 && h == 1 && nf == 1)
+        case _ =>
+          assert(w == 16 + id % 32)
+          assert(h == 16 + (id / 3) % 32)
+          assert(nf == 1 + id % 10)
+      }
+    }
+  }
 }

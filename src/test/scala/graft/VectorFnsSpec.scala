@@ -61,18 +61,16 @@ class VectorFnsSpec extends SparkSpecBase {
   }
 
   test("multimodal extractFeatures: per-partition decode yields normalized histograms") {
-    import spark.implicits._
     import graft.operators.Multimodal
-    val media = Multimodal.mediaTable(spark, sf)
-      .select("doc_id", "media_type", "payload", "byte_len", "content_hash")
-      .as[Multimodal.MediaRecord]
-    val feats = Multimodal.extractFeatures(media).collect()
+    val feats = Multimodal.extractFeatures(
+      Multimodal.realMediaTable(spark, sf)).collect()
     assert(feats.nonEmpty)
     feats.foreach { f =>
       assert(f.feature.length == 8)
       assert(math.abs(f.feature.sum - 1.0f) < 1e-3, s"doc ${f.doc_id} not normalized")
-      assert(f.width >= 64 && f.height >= 64)
+      assert(f.width >= 16 && f.height >= 1)
       if (f.media_type != "video") assert(f.n_frames == 1)
+      else assert(f.n_frames >= 1 && f.n_frames <= 10)
     }
   }
 

@@ -41,6 +41,15 @@ class HeartbeatMonitorSpec extends SparkSpecBase {
     assert(a2 == Seq(SilenceAlert("k", ts(9), 2L)))
   }
 
+  test("escalation cap: terminal alert retires the key and clears state") {
+    val st = state(Some(HbState(ts(9), 2L)), timedOut = true)
+    val out = HeartbeatMonitor.transition(silenceMs, maxEscalations = 3L)(
+      "k", Iterator.empty, st).toSeq
+    assert(out == Seq(SilenceAlert("k", ts(9), 3L, terminal = true)))
+    assert(!st.exists, "state must be removed at the cap")
+    assert(!st.getTimeoutTimestampMs.isPresent, "timer must not re-arm")
+  }
+
   test("a new heartbeat resets the escalation count") {
     val st = state(Some(HbState(ts(9), 3L)), timedOut = false)
     assert(step("k", Iterator(Heartbeat("k", ts(60))), st).isEmpty)
@@ -81,5 +90,67 @@ class HeartbeatMonitorSpec extends SparkSpecBase {
       assert(quiet.forall(_.last_seen == ts(0)))
       assert(quiet.map(_.n_missed).min == 1L)
     } finally q.stop()
+  }
+
+  test("escalation counter survives checkpoint restart; cap retires the key") {
+    implicit val s = spark
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val ckpt = java.nio.file.Files.createTempDirectory("hb_ckpt").toString
+    val input = MemoryStream[Heartbeat](spark)
+    val cap = 6L
+    // batchId-keyed sink: a replayed batch OVERWRITES its slot, so the
+    // collected alerts are exactly-once even if stop() cuts a batch
+    // between output and commit (the foreachBatch idempotence contract;
+    // the memory sink cannot recover from a checkpoint, foreachBatch can)
+    val sink = new java.util.concurrent.ConcurrentHashMap[Long, Array[SilenceAlert]]()
+    def alerts = sink.values.asScala.flatten.toArray
+    def start() =
+      HeartbeatMonitor.monitor(input.toDS(), silenceMs = 800L,
+          maxEscalations = cap)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime("250 milliseconds"))
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[SilenceAlert], id: Long) =>
+          sink.put(id, ds.collect()); ()
+        }
+        .start()
+    // phase 1: let the key go silent and escalate at least twice, then
+    // kill the query MID-escalation (well before the cap)
+    val q1 = start()
+    try {
+      input.addData(Heartbeat("k", ts(0)))
+      val deadline = System.currentTimeMillis() + 60000
+      while (alerts.length < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q1.stop()
+    val a1 = alerts
+    assert(a1.nonEmpty, "escalation must begin before the restart")
+    val maxBefore = a1.map(_.n_missed).max
+    assert(maxBefore < cap, "restart must land mid-escalation")
+    // phase 2: recover from the checkpoint — the escalation counter must
+    // RESUME (no reset to 1, no duplicate level), reach the cap exactly
+    // once, and then go silent because the key's state was removed
+    val q2 = start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!alerts.exists(_.terminal) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val all = alerts
+      assert(all.exists(_.terminal), "cap must be reached after recovery")
+      assert(all.count(_.terminal) == 1, "terminal alert fires exactly once")
+      // the counter continued PAST the pre-restart progress (state, not
+      // just offsets, survived), hit the cap, and never duplicated or
+      // skipped a level across the restart
+      assert(all.map(_.n_missed).max == cap)
+      assert(all.map(_.n_missed).distinct.length == all.length,
+        "no duplicate escalation level across the restart")
+      assert(all.map(_.n_missed).toSet == (1L to cap).toSet,
+        "no skipped escalation level across the restart")
+      // retired: silent for 4+ intervals after the terminal alert
+      val n = alerts.length
+      Thread.sleep(3500)
+      assert(alerts.length == n, "retired key must emit no further alerts")
+    } finally q2.stop()
   }
 }

@@ -58,6 +58,25 @@ class ViewMaintenanceSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("snapshot GC bounds storage; latest-batch replay still finds its base") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("mv_gc").toString
+    val batches = (0L to 5L).map(i =>
+      i -> Seq(ord(i * 10 + 1, "O", "1997-01-10", 10.0 + i)))
+    batches.foreach { case (id, rows) =>
+      ViewMaintenance.mergeBatch(rows.toDS().toDF(), id, dir, retainVersions = 2)
+    }
+    val left = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.drop(2).toLong).sorted
+    assert(left.toSeq == Seq(4L, 5L), s"GC must keep newest 2, kept: $left")
+    assert(viewAsMap(dir) == fullRecompute(batches.flatMap(_._2)))
+    // crash-and-replay of the LATEST batch: its base (v=4) must survive GC
+    ViewMaintenance.mergeBatch(batches.last._2.toDS().toDF(), 5L, dir,
+      retainVersions = 2)
+    assert(viewAsMap(dir) == fullRecompute(batches.flatMap(_._2)))
+  }
+
   test("batch replay is idempotent: same batchId never double-counts") {
     implicit val s = spark
     import s.implicits._
