@@ -261,12 +261,22 @@ object TextFns {
       else {
         val M = 2147483647L // 2^31-1
         val B = 257L
+        // true O(n) Rabin-Karp: slide by subtracting the outgoing char's
+        // B^(k-1) term (all mod M, so values are IDENTICAL to the
+        // per-window Horner form the DuckDB oracle computes — the naive
+        // recompute was O(n·k), 24× the work at the q100 window size)
+        var pk = 1L // B^(k-1) mod M
+        var e = 0
+        while (e < k - 1) { pk = pk * B % M; e += 1 }
         val out = scala.collection.mutable.SortedSet.empty[Long]
-        var i = 0
+        var h = 0L
+        var j = 0
+        while (j < k) { h = (h * B + text.charAt(j)) % M; j += 1 }
+        if (h % p == 0) out += h
+        var i = 1
         while (i + k <= text.length) {
-          var h = 0L
-          var j = 0
-          while (j < k) { h = (h * B + text.charAt(i + j)) % M; j += 1 }
+          val drop = text.charAt(i - 1) * pk % M
+          h = ((h - drop + M) % M * B + text.charAt(i + k - 1)) % M
           if (h % p == 0) out += h
           i += 1
         }

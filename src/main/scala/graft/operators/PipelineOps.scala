@@ -127,20 +127,70 @@ object PipelineOps {
     // rank is a window over (lang, norm, pass_len)), then one aggregate
     // folds the funnel; at 100 TB that is one exchange for the window and
     // one for the language rollup, with no stage rescanning the corpus.
+    // Domain/source temperature resampling (the Pile / DoReMi-style
+    // source reweighting): flatten the source distribution toward
+    // uniform with temperature 2 — target share ∝ sqrt(tokens) — by
+    // computing a per-source keep-rate anchored so the SMALLEST source
+    // keeps 100%: rate_d = sqrt(S_min / S_d). Every per-doc decision is
+    // a deterministic md5 threshold (reproducible shards, no RNG state).
+    // Exactness: the only float ops are one division, one sqrt, one
+    // multiply — each IEEE-754 correctly-rounded, so DuckDB reproduces
+    // the integer threshold bit-for-bit; all outputs are integers.
+    // Scale: pass 1 reduces the corpus to one (tokens, docs) row per
+    // source; the tiny rate table is BROADCAST back for the map-side
+    // keep decision (a real pipeline persists pass 1's stats — the
+    // two scans here are the standard stats+apply shape, never a
+    // corpus-sized shuffle or collect).
+    "q99_domain_reweight" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(T.tokens(col("text"))).cast("long").as("ntok"))
+      val stats = tok.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("s_tok"))
+      val rates = stats
+        .crossJoin(broadcast(stats.agg(min(col("s_tok")).as("s_min"))))
+        .withColumn("thr",
+          floor(sqrt(col("s_min").cast("double") / col("s_tok").cast("double"))
+            * 1000000d).cast("long"))
+        .select(col("source"), col("n_docs"), col("s_tok"), col("thr"))
+      tok.join(broadcast(rates), Seq("source"))
+        .withColumn("keep",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 1000000L < col("thr"))
+        .groupBy(col("source"))
+        .agg(first(col("n_docs")).as("n_docs"),
+          first(col("s_tok")).as("tok_total"),
+          first(col("thr")).as("thr"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("ntok")).otherwise(0L)).as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
+
     "q98_curation_funnel" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val normE = trim(regexp_replace(
         regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      // The dedup window partitions by md5(norm), NOT norm itself: the
+      // normalized document body never crosses the shuffle — only a
+      // 32-char digest does (at 100 TB the difference between shuffling
+      // the corpus and shuffling ~3% of it). DuckDB's md5 is identical,
+      // so the oracle mirrors the hashed key exactly; is_sampled reuses
+      // the same digest, saving the second md5 pass.
+      // (Tables.spread measured NET-NEGATIVE here: it would repartition
+      // the full text upfront, while the hashed dedup key below means no
+      // document bytes ever need to shuffle at all.)
       val t = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), normE.as("norm"))
         .withColumn("ntok", size(T.tokens(col("norm"))).cast("long"))
         .withColumn("pass_len", col("ntok").between(5, 500))
-      val w = Window.partitionBy(col("lang"), col("norm"), col("pass_len"))
+        .select(col("doc_id"), col("lang"), md5(col("norm")).as("nh"),
+          col("pass_len"))
+      val w = Window.partitionBy(col("lang"), col("nh"), col("pass_len"))
         .orderBy(col("doc_id"))
       t.withColumn("rn", row_number().over(w))
         .withColumn("is_rep", col("pass_len") && col("rn") === 1)
         .withColumn("is_sampled", col("is_rep") &&
-          conv(substring(md5(col("norm")), 1, 8), 16, 10).cast("long")
+          conv(substring(col("nh"), 1, 8), 16, 10).cast("long")
             % 100 < 80)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_in"),
@@ -207,6 +257,31 @@ object PipelineOps {
            < CASE WHEN lang = 'en' THEN 50 ELSE 80 END
          ORDER BY doc_id""",
 
+    "q99_domain_reweight" ->
+      s"""WITH tok AS (
+           SELECT doc_id, source, len($duckTokens) AS ntok FROM documents),
+         st AS (
+           SELECT source, count(*) AS n_docs,
+             CAST(sum(ntok) AS BIGINT) AS s_tok
+           FROM tok GROUP BY source),
+         mn AS (SELECT min(s_tok) AS s_min FROM st),
+         r AS (
+           SELECT source, n_docs, s_tok,
+             CAST(floor(sqrt(CAST(s_min AS DOUBLE) / CAST(s_tok AS DOUBLE))
+               * 1000000) AS BIGINT) AS thr
+           FROM st, mn),
+         k AS (
+           SELECT t.source, t.ntok, r.n_docs, r.s_tok, r.thr,
+             (('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 1000000 < r.thr) AS keep
+           FROM tok t JOIN r USING (source))
+         SELECT source, any_value(n_docs) AS n_docs,
+           any_value(s_tok) AS tok_total, any_value(thr) AS thr,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep THEN ntok ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+         FROM k GROUP BY source ORDER BY source""",
+
     "q98_curation_funnel" ->
       """WITH n AS (
            SELECT doc_id, lang,
@@ -218,10 +293,10 @@ object PipelineOps {
              len(list_filter(string_split(norm, ' '), w -> w <> '')) AS ntok
            FROM n),
          st AS (
-           SELECT lang, norm, doc_id,
+           SELECT lang, md5(norm) AS nh, doc_id,
              (ntok BETWEEN 5 AND 500) AS pass_len,
              row_number() OVER (
-               PARTITION BY lang, norm, (ntok BETWEEN 5 AND 500)
+               PARTITION BY lang, md5(norm), (ntok BETWEEN 5 AND 500)
                ORDER BY doc_id) AS rn
            FROM t)
          SELECT lang, count(*) AS n_in,
@@ -230,7 +305,7 @@ object PipelineOps {
            CAST(sum(CASE WHEN pass_len AND rn = 1 THEN 1 ELSE 0 END)
              AS BIGINT) AS n_dedup,
            CAST(sum(CASE WHEN pass_len AND rn = 1
-             AND ('0x' || substr(md5(norm), 1, 8))::BIGINT % 100 < 80
+             AND ('0x' || substr(nh, 1, 8))::BIGINT % 100 < 80
              THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          FROM st GROUP BY lang ORDER BY lang""")
 }

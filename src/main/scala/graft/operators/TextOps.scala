@@ -290,6 +290,38 @@ object TextOps {
         .limit(20)
     }),
 
+    // Span-level containment (winnowing-style copied-span detection):
+    // q51's rolling Rabin-Karp scheme at a 24-char window (≈ a phrase —
+    // the 8-char grain is too short to mean "copied"), deduped per doc,
+    // ubiquitous fingerprints dropped (df cap — boilerplate shared by
+    // >50 docs is noise AND the bucket bound: with df ≤ 50 the fp
+    // self-join emits at most df²/2 rows per fingerprint, so pair
+    // enumeration stays bounded at any corpus size — the winnowing
+    // analog of the LSH band bucket), then doc pairs sharing ≥ 5
+    // surviving fingerprints, with the count. Complements doc-level
+    // dedup (q33/q35/q48): catches PARTIAL copies — a paragraph lifted
+    // into an otherwise-unique document.
+    "q100_span_containment" -> ((s, d) => {
+      val fps = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), // UDF output is a per-doc sorted SET already
+          explode(T.rollingFingerprintsUdf(24, 4)(col("text"))).as("fp"))
+        .persist()
+      fps.count() // df table + both self-join sides read this cache
+      val rare = fps.groupBy(col("fp"))
+        .agg(count(lit(1)).as("df")) // fps are per-doc distinct already
+        .filter(col("df").between(2, 50))
+        .select(col("fp"))
+      val f2 = fps.join(rare, Seq("fp"))
+      val a = f2.alias("a")
+      val b = f2.alias("b")
+      a.join(b, col("a.fp") === col("b.fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Per-language corpus profile.
     "q36_lang_profile" -> ((s, d) => {
       Tables.documents(s, d)
@@ -615,6 +647,29 @@ object TextOps {
          SELECT fp, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
          FROM grams WHERE fp % 4 = 0
          GROUP BY fp ORDER BY n_docs DESC, fp LIMIT 20""",
+
+    // Same Rabin-Karp scheme as q51 at window 24; per-doc distinct,
+    // df-capped, self-joined on fp, pair-counted. count(*) is exact
+    // because the fps CTE is per-doc DISTINCT on both engines.
+    "q100_span_containment" ->
+      """WITH grams AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, length(text) - 22),
+               i -> list_reduce(
+                 list_transform(range(i, i + 24),
+                   j -> CAST(ord(substr(text, CAST(j AS INT), 1)) AS BIGINT)),
+                 (a, b) -> (a * 257 + b) % 2147483647))) AS fp
+           FROM documents WHERE length(text) >= 24),
+         fps AS (SELECT DISTINCT doc_id, fp FROM grams WHERE fp % 4 = 0),
+         rare AS (SELECT fp FROM fps GROUP BY fp
+                  HAVING count(*) BETWEEN 2 AND 50),
+         f2 AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp)),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS n_shared
+               FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+         FROM p WHERE n_shared >= 5 ORDER BY doc_a, doc_b""",
 
     // Connected components as a recursive reachability closure + min —
     // tractable because near-dup components are tiny; mirrors the Spark

@@ -85,7 +85,8 @@ class DeterminismPropSpec extends SparkSpecBase {
     // the result — exact decimal partials + integer funnels deliver this,
     // plain double sums would not
     val names = Seq("q88_snapshot_diff", "q92_pmi_collocations",
-      "q97_incremental_agg", "q98_curation_funnel")
+      "q97_incremental_agg", "q98_curation_funnel",
+      "q99_domain_reweight", "q100_span_containment")
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     def runAll(n: String) = {

@@ -69,6 +69,44 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("q99 domain reweight: smallest source fully kept, rates monotone in size") {
+    val r = PipelineOps.queries("q99_domain_reweight")(spark, sf).collect()
+    assert(r.nonEmpty)
+    val bySize = r.sortBy(_.getAs[Long]("tok_total"))
+    // the anchor: the token-smallest source has thr = 1e6 => keeps all docs
+    val smallest = bySize.head
+    assert(smallest.getAs[Long]("thr") == 1000000L)
+    assert(smallest.getAs[Long]("n_kept") == smallest.getAs[Long]("n_docs"))
+    // temperature flattening: keep-rate never increases with source size
+    val thrs = bySize.map(_.getAs[Long]("thr"))
+    assert(thrs.zip(thrs.tail).forall { case (a, b) => b <= a },
+      "thresholds must be non-increasing in source token mass")
+    // kept counts are consistent with the threshold being a % filter
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_kept") <= row.getAs[Long]("n_docs"))
+      assert(row.getAs[Long]("kept_tokens") <= row.getAs[Long]("tok_total"))
+    }
+  }
+
+  test("q100 span containment: reported pairs really share >= 5 fingerprints") {
+    import graft.functions.{TextFns => T}
+    val pairs = graft.operators.TextOps.queries("q100_span_containment")(spark, sf).collect()
+    assert(pairs.nonEmpty, "synthetic corpus must contain copied spans")
+    // independent recompute: fingerprint sets per doc via the same UDF,
+    // then set-intersect in Scala (no df cap here, so the shared count
+    // can only be >= the query's df-capped n_shared)
+    val fpSets = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), T.rollingFingerprintsUdf(24, 4)(col("text")).as("fps"))
+      .collect()
+      .map(row => row.getLong(0) -> row.getSeq[Long](1).toSet).toMap
+    pairs.foreach { row =>
+      val (a, b, n) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      val shared = fpSets(a).intersect(fpSets(b)).size
+      assert(shared >= n, s"pair ($a,$b): uncapped shared $shared < reported $n")
+      assert(n >= 5)
+    }
+  }
+
   test("ArrayAvgAgg ≡ posexplode elementwise mean (1e-12)") {
     val e = graft.sources.Tables.embeddings(spark, sf)
     val agg = e.groupBy($"label")

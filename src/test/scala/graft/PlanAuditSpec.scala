@@ -49,6 +49,19 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!afterCache.contains("minhashSig"), s"sig recomputed:\n$p")
   }
 
+  test("q99: rate table broadcasts; corpus never shuffles for the apply pass") {
+    val p = plan(q("q99_domain_reweight"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast rate join:\n$p")
+  }
+
+  test("q100: fp self-join is an equijoin on the cached fingerprint table") {
+    val p = plan(q("q100_span_containment"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay a bucketed equijoin:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"expected cached fp scan:\n$p")
+  }
+
   test("aggregations keep partial (map-side) aggregation") {
     val p = plan(q("q01_pricing_summary"))
     // two HashAggregate nodes around the exchange = partial + final
