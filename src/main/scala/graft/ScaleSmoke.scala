@@ -157,6 +157,43 @@ object ScaleSmoke {
       big.groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("keep"), count(lit(1)).as("n"))
     }
+
+    // q43-shaped embedding near-dup at mult× (exact vector copies share a
+    // hyperplane bucket — like the text stages, the worst bucket load)
+    time("embedding_neardup") {
+      import graft.functions.{VectorFns => V}
+      val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+      // even copies are identical (collapse into reps); odd copies are
+      // ×(k+1)-scaled — DISTINCT vectors with cosine exactly 1 to their
+      // source, so they survive the collapse and the verify stage must
+      // recall them (rows > 0 proves the pair path end-to-end)
+      val bigE = (0 until mult).map(k =>
+        e.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          (if (k % 2 == 0) col("embedding")
+           else transform(col("embedding"), x => x * lit((k + 1).toFloat)))
+            .as("embedding"))).reduce(_ union _)
+      // identical VECTORS collapse to a representative (the q58 move —
+      // same vector ⟹ same bucket and same cosine to everything), so
+      // bucket pairs are quadratic in DISTINCT vectors, not copies
+      val groups = Tables.spread(bigE)
+        .groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
+        .persist()
+      println(s"SCALE   bucket-join input: ${bigE.count()} vecs -> " +
+        s"${groups.count()} reps")
+      val bk = groups
+        .select(col("rep"), V.cosineLshBucket(col("embedding"), 16).as("bucket"))
+      val cand = bk.select(col("rep").as("id_a"), col("bucket"))
+        .join(bk.select(col("rep").as("id_b"), col("bucket")), Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+      groups.select(col("rep").as("id_a"), col("embedding").as("v_a"))
+        .join(broadcast(cand), "id_a")
+        .join(groups.select(col("rep").as("id_b"),
+          col("embedding").as("v_b")), "id_b")
+        .filter(graft.functions.CosineExpr.cosineFast(col("v_a"), col("v_b")) >= 0.999)
+        .select(col("id_a"), col("id_b"))
+    }
     spark.stop()
   }
 }
