@@ -269,6 +269,41 @@ object Multimodal {
     }
   }
 
+  /** Corrupt-tolerant variant: at fleet scale a handful of truncated or
+    * mislabeled payloads are a statistical certainty, and one throwing
+    * row would fail its task 4 times and kill the whole 1000-executor
+    * job. Undecodable rows are DROPPED here, not errored — callers that
+    * need the rejects for quarantine/audit get them from
+    * [[extractRejects]] (same decode pass, inverted filter) rather than
+    * from a job failure. */
+  def extractFeaturesSafe(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        scala.util.Try(MediaCodec.decode(r.payload, r.media_type)).toOption
+          .map { case (w, h, f, feat) =>
+            MediaFeatures(r.doc_id, r.media_type, r.byte_len, w, h, f, feat)
+          }
+      }
+    }
+  }
+
+  /** The rows [[extractFeaturesSafe]] dropped: (doc_id, media_type,
+    * byte_len, error). The quarantine manifest of a curation run. */
+  def extractRejects(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        scala.util.Try(MediaCodec.decode(r.payload, r.media_type)) match {
+          case scala.util.Failure(e) =>
+            Some((r.doc_id, r.media_type, r.byte_len,
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+          case _ => None
+        }
+      }
+    }.toDF("doc_id", "media_type", "byte_len", "error")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Metadata projection + per-type profile — stays fully relational; the
     // payload column is never deserialized (column pruning drops it).

@@ -75,6 +75,26 @@ class MultimodalSpec extends SparkSpecBase {
     assert(math.abs(hist.sum - 1.0f) < 1e-5f)
   }
 
+  test("corrupt payloads: safe extractor drops them, rejects manifest catches them") {
+    import graft.operators.Multimodal.{MediaCodec, MediaRecord}
+    val good = MediaCodec.makePng(20, 20, 1L)
+    val truncated = good.take(30) // cut mid-IHDR: undecodable
+    val mislabeled = MediaCodec.makeWav(100, 2L) // WAV bytes labeled image
+    val rows = Seq(
+      MediaRecord(1L, "image", good, good.length.toLong, "a"),
+      MediaRecord(2L, "image", truncated, 30L, "b"),
+      MediaRecord(3L, "image", mislabeled, mislabeled.length.toLong, "c"),
+      MediaRecord(4L, "audio", Array[Byte](1, 2, 3), 3L, "d"))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[MediaRecord])
+    val ok = Multimodal.extractFeaturesSafe(ds).collect()
+    assert(ok.map(_.doc_id).toSet == Set(1L), "only the intact PNG decodes")
+    assert(ok.head.width == 20 && ok.head.height == 20)
+    val rejects = Multimodal.extractRejects(ds).collect()
+    assert(rejects.map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+    rejects.foreach(r => assert(r.getString(3).nonEmpty, "reject carries a reason"))
+  }
+
   test("q47 decoded dims equal the generator formulas (full pipeline)") {
     val r = Multimodal.queries("q47_media_features")(spark, sf).collect()
     assert(r.nonEmpty)
