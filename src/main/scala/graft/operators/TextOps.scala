@@ -81,6 +81,117 @@ object TextOps {
       .distinct()
   }
 
+  /** Connected components by iterative min-label propagation over a
+    * SYMMETRIZED edge list (a,b) — the simple form of the large-star/
+    * small-star MapReduce CC algorithm. Returns (node, label) where label
+    * = the component's minimum node id; nodes absent from `edges` are
+    * absent from the result (callers default them to self). Driver-side
+    * iteration is ONLY the convergence loop — each step is a distributed
+    * join+groupBy, and near-dup components are tiny cliques, so the loop
+    * runs 1-3 times regardless of corpus size (bounded by component
+    * diameter, not data volume). Each iteration localCheckpoints to
+    * TRUNCATE PLAN LINEAGE: persist() alone keeps the full logical plan,
+    * which embeds the previous iteration twice (join + union) and grows
+    * exponentially (the GraphX/Pregel shape; on a real cluster use
+    * reliable checkpoint(dir) for executor-loss tolerance).
+    *
+    * Seeded with the one-hop minimum (least of self and all direct
+    * neighbors): clique-shaped components — the dominant near-dup shape —
+    * resolve in the seed itself, so the loop usually runs exactly once
+    * (the convergence-confirming pass) instead of diameter+1 times.
+    * Convergence check: labels only ever DECREASE and the node set is
+    * fixed, so sum(label) is strictly monotone until the fixed point and
+    * "sum unchanged ⟺ converged" — one cheap scalar aggregate per
+    * iteration instead of a join-and-count-diffs shuffle. */
+  def minLabelPropagate(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce => fnCoalesce}
+    var labels = edges.groupBy(col("a").as("node"))
+      .agg(min(col("b")).as("mn"))
+      .select(col("node"), least(col("node"), col("mn")).as("label"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      df.agg(fnCoalesce(sum(col("label")), lit(0L))).first().getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 15) {
+      val next = labels.join(edges, col("node") === col("a"))
+        .select(col("b").as("node"), col("label"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val s2 = labelSum(next)
+      labels = next
+      converged = s2 == prevSum
+      prevSum = s2
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup cluster assignment over an arbitrary (doc_id, text) corpus —
+    * the q58 engine, reusable by the batch query and by the streaming
+    * incremental maintainer ([[graft.streaming.IncrementalDedup]]'s
+    * ground truth). Returns (doc_id, cluster), unordered.
+    *
+    * PRE-DEDUP BY SIGNATURE GROUP before the band join: identical
+    * signatures (exact copies, and near-dups that collide on all 8
+    * minhashes) agree on every band, so a same-sig group is one clique.
+    * Collapsing each group to its min-doc_id representative BEFORE the
+    * band self-join makes the pair enumeration quadratic in the number of
+    * DISTINCT signatures, not documents — on a duplicate-heavy corpus
+    * (the dedup workload by definition) that is the difference between
+    * O(groups²·bucket) and O(docs²·bucket). Components and component
+    * minima are preserved exactly: each rep is its group's minimum, a
+    * group's members connect only through their rep's buckets, and
+    * min-over-component = min-over-reps — so the output (and the DuckDB
+    * reachability oracle, which runs on the full doc graph) is
+    * bit-identical to the uncollapsed form. One shuffle does the whole
+    * collapse: window-min over the exact signature key (a groupBy +
+    * join-back would shuffle the signatures twice). */
+  def clusterAssignments(docs: DataFrame): DataFrame = {
+    val wSig = Window.partitionBy(col("skey"))
+    val sigKeyed = docs
+      .select(col("doc_id"), T.minhashSigUdf(3, 8)(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+      .withColumn("skey", concat_ws(",", col("sig"))) // exact group key
+      .withColumn("rep", min(col("doc_id")).over(wSig))
+      .persist()
+    sigKeyed.count() // materialize: every downstream scan reads cache
+    val reps = sigKeyed.filter(col("doc_id") === col("rep"))
+      .select(col("rep"), col("sig"))
+      .persist()
+    reps.count() // both band-join sides read this slim cache
+    val bands = reps.select(col("rep"),
+        explode(T.bandKeys(col("sig"), 4, 2)).as("bk"))
+      .select(col("rep"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey"))
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    val pairs = a.join(b, col("a.band") === col("b.band") &&
+        col("a.bkey") === col("b.bkey") &&
+        col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("doc_a"), col("b.rep").as("doc_b"))
+      .distinct()
+    // both edge directions in ONE scan of the pair join (a union of two
+    // selects would run the self-join twice inside the eager checkpoint)
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("a"), col("doc_b").as("b")),
+        struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .localCheckpoint() // eager: cuts the minhash pipeline out of the loop's plans
+    val labels = minLabelPropagate(edges)
+    // Expand back from representatives: each member inherits its rep's
+    // component label (rep itself if the rep hit no cross-group bucket;
+    // own doc_id if the doc had no signature at all). Linear joins —
+    // the quadratic work above only ever saw representatives.
+    docs.select(col("doc_id"))
+      .join(sigKeyed.select(col("doc_id"), col("rep")), Seq("doc_id"), "left")
+      .join(labels, col("rep") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("rep"), col("doc_id")).as("cluster"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting (whitespace tokenization).
     "q30_token_stats" -> ((s, d) => {
@@ -184,96 +295,10 @@ object TextOps {
     // truncation per step is the standard shape for iterative algorithms
     // (GraphX/Pregel do the same); on a real cluster use reliable
     // checkpoint(dir) for executor-loss tolerance.
-    "q58_dedup_clusters" -> ((s, d) => {
-      // PRE-DEDUP BY SIGNATURE GROUP before the band join: identical
-      // signatures (exact copies, and near-dups that collide on all 8
-      // minhashes) agree on every band, so a same-sig group is one clique.
-      // Collapsing each group to its min-doc_id representative BEFORE the
-      // band self-join makes the pair enumeration quadratic in the number
-      // of DISTINCT signatures, not documents — on a duplicate-heavy
-      // corpus (the dedup workload by definition) that is the difference
-      // between O(groups²·bucket) and O(docs²·bucket). Components and
-      // component minima are preserved exactly: each rep is its group's
-      // minimum, a group's members connect only through their rep's
-      // buckets, and min-over-component = min-over-reps — so the output
-      // (and the DuckDB reachability oracle, which runs on the full doc
-      // graph) is bit-identical to the uncollapsed form.
-      // One shuffle does the whole collapse: window-min over the exact
-      // signature key tags every row with its group's representative
-      // (a groupBy + join-back would shuffle the signatures twice).
-      val wSig = Window.partitionBy(col("skey"))
-      val sigKeyed = Tables.spread(Tables.documents(s, d))
-        .select(col("doc_id"), T.minhashSigUdf(3, 8)(col("text")).as("sig"))
-        .filter(col("sig").isNotNull)
-        .withColumn("skey", concat_ws(",", col("sig"))) // exact group key
-        .withColumn("rep", min(col("doc_id")).over(wSig))
-        .persist()
-      sigKeyed.count() // materialize: every downstream scan reads cache
-      val reps = sigKeyed.filter(col("doc_id") === col("rep"))
-        .select(col("rep"), col("sig"))
-        .persist()
-      reps.count() // both band-join sides read this slim cache
-      val bands = reps.select(col("rep"),
-          explode(T.bandKeys(col("sig"), 4, 2)).as("bk"))
-        .select(col("rep"), col("bk.band").as("band"),
-          col("bk.bkey").as("bkey"))
-      val a = bands.alias("a")
-      val b = bands.alias("b")
-      val pairs = a.join(b, col("a.band") === col("b.band") &&
-          col("a.bkey") === col("b.bkey") &&
-          col("a.rep") < col("b.rep"))
-        .select(col("a.rep").as("doc_a"), col("b.rep").as("doc_b"))
-        .distinct()
-      // both edge directions in ONE scan of the pair join (a union of two
-      // selects would run the self-join twice inside the eager checkpoint)
-      val edges = pairs.select(explode(array(
-          struct(col("doc_a").as("a"), col("doc_b").as("b")),
-          struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
-        .localCheckpoint() // eager: cuts the minhash pipeline out of the loop's plans
-      // Seed with the one-hop minimum (least of self and all direct
-      // neighbors) instead of identity labels: clique-shaped components —
-      // the dominant near-dup shape, docs sharing one LSH bucket — resolve
-      // in the seed itself, so the loop below usually runs exactly once
-      // (the convergence-confirming pass) instead of diameter+1 times.
-      var labels = edges.groupBy(col("a").as("node"))
-        .agg(min(col("b")).as("mn"))
-        .select(col("node"), least(col("node"), col("mn")).as("label"))
-        .localCheckpoint()
-      // Convergence check: labels only ever DECREASE (min over neighbors ∪
-      // self), and the node set is fixed — so sum(label) is strictly
-      // monotone until the fixed point and "sum unchanged ⟺ converged".
-      // One cheap scalar aggregate per iteration replaces the old
-      // join-the-two-label-tables-and-count-diffs pass (a whole extra
-      // shuffle per iteration at any scale).
-      def labelSum(df: DataFrame): Long =
-        df.agg(coalesce(sum(col("label")), lit(0L))).first().getLong(0)
-      var prevSum = labelSum(labels)
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 15) {
-        val next = labels.join(edges, col("node") === col("a"))
-          .select(col("b").as("node"), col("label"))
-          .union(labels)
-          .groupBy(col("node")).agg(min(col("label")).as("label"))
-          .localCheckpoint()
-        val s2 = labelSum(next)
-        labels = next
-        converged = s2 == prevSum
-        prevSum = s2
-        iter += 1
-      }
-      // Expand back from representatives: each member inherits its rep's
-      // component label (rep itself if the rep hit no cross-group bucket;
-      // own doc_id if the doc had no signature at all). Linear joins —
-      // the quadratic work above only ever saw representatives.
-      Tables.documents(s, d).select(col("doc_id"))
-        .join(sigKeyed.select(col("doc_id"), col("rep")), Seq("doc_id"), "left")
-        .join(labels, col("rep") === col("node"), "left")
-        .select(col("doc_id"),
-          coalesce(col("label"), col("rep"), col("doc_id")).as("cluster"))
-        .orderBy(col("doc_id"))
-    }),
+    "q58_dedup_clusters" -> ((s, d) =>
+      clusterAssignments(Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"))),
 
     // Rolling-hash fingerprint profile: which sampled substring hashes are
     // shared by the most documents (containment/boilerplate detection —

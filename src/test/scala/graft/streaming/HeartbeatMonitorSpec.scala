@@ -106,7 +106,7 @@ class HeartbeatMonitorSpec extends SparkSpecBase {
     val sink = new java.util.concurrent.ConcurrentHashMap[Long, Array[SilenceAlert]]()
     def alerts = sink.values.asScala.flatten.toArray
     def start() =
-      HeartbeatMonitor.monitor(input.toDS(), silenceMs = 800L,
+      HeartbeatMonitor.monitor(input.toDS(), silenceMs = 500L,
           maxEscalations = cap)
         .writeStream
         .option("checkpointLocation", ckpt)
@@ -133,10 +133,18 @@ class HeartbeatMonitorSpec extends SparkSpecBase {
     // once, and then go silent because the key's state was removed
     val q2 = start()
     try {
-      val deadline = System.currentTimeMillis() + 60000
-      while (!alerts.exists(_.terminal) &&
-        System.currentTimeMillis() < deadline) Thread.sleep(200)
-      val all = alerts
+      def kAlerts = alerts.filter(_.key == "k")
+      // a cleanly-stopped checkpoint has no uncommitted batch to replay,
+      // and the engine schedules no timeout-only batches until at least
+      // one batch has run after recovery — feed a throwaway key to kick
+      // it; generous deadline for full-suite load
+      val deadline = System.currentTimeMillis() + 120000
+      while (!kAlerts.exists(_.terminal) &&
+        System.currentTimeMillis() < deadline) {
+        input.addData(Heartbeat("nudge", ts(1)))
+        Thread.sleep(200)
+      }
+      val all = kAlerts
       assert(all.exists(_.terminal), "cap must be reached after recovery")
       assert(all.count(_.terminal) == 1, "terminal alert fires exactly once")
       // the counter continued PAST the pre-restart progress (state, not
@@ -147,10 +155,14 @@ class HeartbeatMonitorSpec extends SparkSpecBase {
         "no duplicate escalation level across the restart")
       assert(all.map(_.n_missed).toSet == (1L to cap).toSet,
         "no skipped escalation level across the restart")
-      // retired: silent for 4+ intervals after the terminal alert
-      val n = alerts.length
-      Thread.sleep(3500)
-      assert(alerts.length == n, "retired key must emit no further alerts")
+      // retired: silent for 4+ intervals after the terminal alert (the
+      // nudge key keeps batches flowing, so silence here is state
+      // removal, not a stalled engine)
+      val n = kAlerts.length
+      (1 to 10).foreach { _ =>
+        input.addData(Heartbeat("nudge", ts(1))); Thread.sleep(350)
+      }
+      assert(kAlerts.length == n, "retired key must emit no further alerts")
     } finally q2.stop()
   }
 }
