@@ -124,27 +124,7 @@ object ScaleSmoke {
           struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
         .localCheckpoint()
-      var labels = edges.groupBy(col("a").as("node"))
-        .agg(min(col("b")).as("mn"))
-        .select(col("node"), least(col("node"), col("mn")).as("label"))
-        .localCheckpoint()
-      def labelSum(df: DataFrame): Long =
-        df.agg(coalesce(sum(col("label")), lit(0L))).first().getLong(0)
-      var prevSum = labelSum(labels)
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 15) {
-        val next = labels.join(edges, col("node") === col("a"))
-          .select(col("b").as("node"), col("label"))
-          .union(labels)
-          .groupBy(col("node")).agg(min(col("label")).as("label"))
-          .localCheckpoint()
-        val s2 = labelSum(next)
-        labels = next
-        converged = s2 == prevSum
-        prevSum = s2
-        iter += 1
-      }
+      val labels = graft.operators.TextOps.minLabelPropagate(edges)
       big.select(col("doc_id"))
         .join(sigKeyed.select(col("doc_id"), col("rep")), Seq("doc_id"), "left")
         .join(labels, col("rep") === col("node"), "left")

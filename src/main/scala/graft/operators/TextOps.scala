@@ -95,38 +95,72 @@ object TextOps {
     * exponentially (the GraphX/Pregel shape; on a real cluster use
     * reliable checkpoint(dir) for executor-loss tolerance).
     *
-    * Seeded with the one-hop minimum (least of self and all direct
-    * neighbors): clique-shaped components — the dominant near-dup shape —
-    * resolve in the seed itself, so the loop usually runs exactly once
-    * (the convergence-confirming pass) instead of diameter+1 times.
-    * Convergence check: labels only ever DECREASE and the node set is
-    * fixed, so sum(label) is strictly monotone until the fixed point and
-    * "sum unchanged ⟺ converged" — one cheap scalar aggregate per
-    * iteration instead of a join-and-count-diffs shuffle. */
+    * Implemented as alternating LARGE-STAR / SMALL-STAR edge rewrites
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * large-star hangs every larger neighbor of a node onto the node's
+    * neighborhood minimum; small-star does the same for smaller
+    * neighbors. Each round is two groupBy+join passes over the edge
+    * list, and the edge set provably converges to per-component STARS
+    * (every node → component minimum) in O(log n) rounds on ANY graph
+    * shape. This replaced plain min-label propagation, which is
+    * O(diameter) and was measured still unconverged after 15 rounds on
+    * the collision-heavy synthetic corpus at sf0.1 (long chain
+    * components; a pointer-jumping variant stalls the same way on
+    * local-minimum barriers — validated in simulation). Convergence =
+    * edge-set fixpoint, detected by count + order-independent hash
+    * checksum; non-convergence inside the generous cap throws — loudly
+    * wrong beats silently-truncated clusters. */
   def minLabelPropagate(edges: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce => fnCoalesce}
-    var labels = edges.groupBy(col("a").as("node"))
-      .agg(min(col("b")).as("mn"))
-      .select(col("node"), least(col("node"), col("mn")).as("label"))
+    def canon(df: DataFrame): DataFrame =
+      df.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    var e = canon(edges.select(col("a").as("u"), col("b").as("v")))
       .localCheckpoint()
-    def labelSum(df: DataFrame): Long =
-      df.agg(fnCoalesce(sum(col("label")), lit(0L))).first().getLong(0)
-    var prevSum = labelSum(labels)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .union(e.select(col("v").as("x"), col("u").as("y")))
+      val m = sym.groupBy(col("x")).agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      canon(sym.join(m, "x").filter(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is canonical (u > v): every neighbor under key u is smaller
+      val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val fromN = e.join(m, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val fromU = m.select(col("u"), col("m").as("v"))
+      canon(fromN.union(fromU))
+    }
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+      // decimal sum: ANSI mode makes a Long sum of 2^63-range hashes throw
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO))).first()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var prev = checksum(e)
     var converged = false
     var iter = 0
-    while (!converged && iter < 15) {
-      val next = labels.join(edges, col("node") === col("a"))
-        .select(col("b").as("node"), col("label"))
-        .union(labels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      val s2 = labelSum(next)
-      labels = next
-      converged = s2 == prevSum
-      prevSum = s2
+    while (!converged && iter < 60) {
+      val e2 = smallStar(largeStar(e)).localCheckpoint()
+      val c2 = checksum(e2)
+      converged = c2 == prev
+      prev = c2
+      e = e2
       iter += 1
     }
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components failed to converge in $iter rounds")
+    // fixpoint edges are stars: (node, componentMin) — plus the root
+    // labeling itself
+    e.select(col("u").as("node"), col("v").as("label"))
+      .union(e.select(col("v").as("node"), col("v").as("label")))
+      .groupBy(col("node")).agg(min(col("label")).as("label"))
   }
 
   /** Near-dup cluster assignment over an arbitrary (doc_id, text) corpus —
