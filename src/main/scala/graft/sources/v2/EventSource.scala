@@ -3,9 +3,11 @@ package graft.sources.v2
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -21,20 +23,42 @@ import org.apache.spark.unsafe.types.UTF8String
   * for. Column pruning is honored the same way: the reader materializes
   * only the columns Catalyst requires.
   *
+  * Besides BATCH_READ the table supports MICRO_BATCH_READ — the
+  * connector-level analog of the reference's offset-based CDC loop
+  * (api/main.py:235-249 push notification + :278-287 `history.list(
+  * startHistoryId=...)`): the checkpointable [[EventOffset]] is the
+  * `event_id` high-watermark (exclusive), exactly the role
+  * `last_history_id.txt` plays (api/main.py:257-290), and admission
+  * control (`maxPerTrigger`, via [[SupportsAdmissionControl]]) bounds
+  * each micro-batch the way `maxResults` bounds a history page. Offsets
+  * are committed by the engine's checkpoint, so a killed-and-restarted
+  * query resumes from the persisted watermark with no duplicated or
+  * skipped event_id — the F2/ST1 monotone-watermark semantics at the
+  * source layer instead of the query layer. Streaming partition pruning
+  * is offset-range pruning: each batch plans only the chunks
+  * intersecting [start, end), the same arithmetic the batch path uses
+  * for pushed event_id ranges (`startId` bounds the stream's initial
+  * offset; pushed batch filters are honored too if the engine offers
+  * them to a streaming scan).
+  *
   * The rows here are deterministic functions of `event_id` (this
-  * container has no live broker), which makes the connector's pushdown
-  * and pruning behavior testable exactly: the spec asserts planned
-  * partition counts shrink under pushed range filters, non-pushable
-  * predicates still apply as residuals, and values match the formulas.
+  * container has no live broker), which makes the connector's pushdown,
+  * pruning, and resume behavior testable exactly: the spec asserts
+  * planned partition counts shrink under pushed range filters,
+  * non-pushable predicates still apply as residuals, values match the
+  * formulas, and a kill-and-restart drains every id exactly once.
   *
   * Usage:
   *   spark.read.format("graftevents")
   *     .option("events", 100000).option("chunk", 4096).load()
+  *   spark.readStream.format("graftevents")
+  *     .option("events", 100000).option("maxPerTrigger", 1000).load()
   *
   * Wiring: registered under the short name via DataSourceRegister
-  * (META-INF/services), capabilities = BATCH_READ, one [[EventRange]]
-  * per planned chunk, readers are per-partition and allocation-free per
-  * row beyond the InternalRow.
+  * (META-INF/services), capabilities = BATCH_READ + MICRO_BATCH_READ,
+  * one [[EventRange]] per planned chunk; readers fill one reusable
+  * values array + InternalRow per partition (the DSv2 reader contract
+  * allows returning the same mutable row from `get()`).
   */
 class EventSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -45,7 +69,9 @@ class EventSource extends TableProvider
       properties: util.Map[String, String]): Table = {
     val events = Option(properties.get("events")).map(_.toLong).getOrElse(10000L)
     val chunk = Option(properties.get("chunk")).map(_.toLong).getOrElse(1024L)
-    new EventTable(events, math.max(1L, chunk))
+    val startId = Option(properties.get("startId")).map(_.toLong).getOrElse(0L)
+    val maxPerTrigger = Option(properties.get("maxPerTrigger")).map(_.toLong)
+    new EventTable(events, math.max(1L, chunk), startId, maxPerTrigger)
   }
 }
 
@@ -65,23 +91,36 @@ object EventSource {
   def userId(id: Long): Long = id % 97
   def eventType(id: Long): String = types((id % 3).toInt)
   def payload(id: Long): String = s"""{"event":$id,"u":${userId(id)}}"""
+
+  /** Chunk-aligned partition planning over an id range — shared by the
+    * batch scan (post-pushdown) and every micro-batch (post-offset), so
+    * pruning behavior is identical on both paths. */
+  def partitionsFor(lo: Long, hi: Long, chunk: Long): Array[InputPartition] = {
+    val first = lo / chunk
+    val last = if (hi <= lo) first - 1 else (hi - 1) / chunk
+    (first to last).map { c =>
+      EventRange(math.max(lo, c * chunk), math.min(hi, (c + 1) * chunk))
+    }.toArray
+  }
 }
 
-class EventTable(events: Long, chunk: Long) extends Table with SupportsRead {
+class EventTable(events: Long, chunk: Long, startId: Long,
+    maxPerTrigger: Option[Long]) extends Table with SupportsRead {
   override def name(): String = s"graftevents($events)"
   override def schema(): StructType = EventSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EventScanBuilder(events, chunk)
+    new EventScanBuilder(events, chunk, startId, maxPerTrigger)
 }
 
 /** Consumes event_id range predicates; everything else stays a residual
   * Catalyst filter (returned from pushFilters), so correctness never
   * depends on what the source understands. */
-class EventScanBuilder(events: Long, chunk: Long) extends ScanBuilder
+class EventScanBuilder(events: Long, chunk: Long, startId: Long,
+    maxPerTrigger: Option[Long]) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
-  private var lo = 0L                  // inclusive
+  private var lo = startId             // inclusive
   private var hi = events              // exclusive
   private var pushed = Array.empty[Filter]
   private var required = EventSource.schema
@@ -113,26 +152,83 @@ class EventScanBuilder(events: Long, chunk: Long) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new EventScan(lo, math.max(lo, hi), chunk, required)
+  override def build(): Scan =
+    new EventScan(lo, math.max(lo, hi), chunk, required, maxPerTrigger)
 }
 
-class EventScan(lo: Long, hi: Long, chunk: Long, required: StructType)
-    extends Scan with Batch {
+class EventScan(lo: Long, hi: Long, chunk: Long, required: StructType,
+    maxPerTrigger: Option[Long]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graftevents range=[$lo,$hi) chunk=$chunk cols=${required.fieldNames.mkString(",")}"
   // partition planning AFTER pushdown: only chunks intersecting the
   // pushed range exist — the pruning the spec pins
-  override def planInputPartitions(): Array[InputPartition] = {
-    val first = lo / chunk
-    val last = if (hi <= lo) first - 1 else (hi - 1) / chunk
-    (first to last).map { c =>
-      EventRange(math.max(lo, c * chunk), math.min(hi, (c + 1) * chunk))
-    }.toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    EventSource.partitionsFor(lo, hi, chunk)
   override def createReaderFactory(): PartitionReaderFactory =
     new EventReaderFactory(required)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new EventMicroBatchStream(lo, hi, chunk, required, maxPerTrigger)
+}
+
+/** Offset = event_id high-watermark (exclusive): "everything below this id
+  * has been emitted". JSON form is the bare number, mirroring the
+  * reference's `last_history_id.txt` single-value watermark file. */
+case class EventOffset(id: Long) extends Offset {
+  override def json(): String = id.toString
+}
+
+/** Micro-batch view of the event range: each batch covers offsets
+  * [start, end) where `end - start <= maxPerTrigger` when admission
+  * control is configured. The engine persists committed offsets in the
+  * query checkpoint; on restart it hands back the deserialized watermark
+  * instead of calling initialOffset, which is what makes resume
+  * exactly-once with no source-side state. */
+class EventMicroBatchStream(lo: Long, hi: Long, chunk: Long,
+    required: StructType, maxPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  // Trigger.AvailableNow pins the drain target at query start; without
+  // SupportsTriggerAvailableNow the engine falls back to Trigger.Once
+  // (ONE batch, read limits ignored) — the opposite of admitted CDC.
+  @volatile private var availableNowTarget: Long = hi
+  override def prepareForTriggerAvailableNow(): Unit = availableNowTarget = hi
+
+  override def initialOffset(): Offset = EventOffset(lo)
+  override def deserializeOffset(json: String): Offset = EventOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  // The engine calls the admission-controlled overload because we
+  // implement SupportsAdmissionControl; the no-arg variant is dead code
+  // kept loud rather than silently unbounded.
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-controlled entry point")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[EventOffset].id
+    val cap = math.min(hi, availableNowTarget)
+    def maxRowsOf(l: ReadLimit): Option[Long] = l match {
+      case m: ReadMaxRows => Some(m.maxRows())
+      case c: CompositeReadLimit =>
+        c.getReadLimits.toSeq.flatMap(maxRowsOf(_)).minOption
+      case _ => None
+    }
+    EventOffset(maxRowsOf(limit).fold(cap)(n => math.min(cap, s + n)))
+  }
+  override def reportLatestOffset(): Offset = EventOffset(hi)
+
+  // Offset-range pruning: identical chunk arithmetic to the batch path.
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    EventSource.partitionsFor(
+      start.asInstanceOf[EventOffset].id, end.asInstanceOf[EventOffset].id, chunk)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EventReaderFactory(required)
+
+  // Rows below a committed offset are immutable history; nothing to GC.
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class EventRange(lo: Long, hi: Long) extends InputPartition
@@ -150,9 +246,16 @@ class EventReaderFactory(required: StructType) extends PartitionReaderFactory {
     }
     new PartitionReader[InternalRow] {
       private var id = lo - 1
+      // one reusable backing array + row per partition; the consumer
+      // copies (unsafe projection) before buffering, per DSv2 contract
+      private val values = new Array[Any](cols.length)
+      private val row = new GenericInternalRow(values)
       override def next(): Boolean = { id += 1; id < hi }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(cols.toSeq.map(f => f(id)))
+      override def get(): InternalRow = {
+        var i = 0
+        while (i < cols.length) { values(i) = cols(i)(id); i += 1 }
+        row
+      }
       override def close(): Unit = ()
     }
   }

@@ -70,4 +70,103 @@ class EventSourceSpec extends SparkSpecBase {
     assert(agg.values.sum == 2400L)
     assert(agg("view") == 800L && agg("click") == 800L && agg("purchase") == 800L)
   }
+
+  // ---- MICRO_BATCH_READ: the connector-level CDC surface (SURVEY S1/S2) ----
+
+  import org.apache.spark.sql.streaming.Trigger
+  import graft.sources.v2.{EventMicroBatchStream, EventOffset}
+
+  private def streamEvents(n: Long, chunk: Long, maxPerTrigger: Long) =
+    spark.readStream.format("graftevents")
+      .option("events", n).option("chunk", chunk)
+      .option("maxPerTrigger", maxPerTrigger).load()
+
+  private def drainedIds(outDir: String): Seq[Long] =
+    spark.read.parquet(outDir).select("event_id").collect()
+      .map(_.getLong(0)).toSeq.sorted
+
+  test("streaming: admission control bounds every micro-batch (maxPerTrigger)") {
+    val out = java.nio.file.Files.createTempDirectory("ev_mb_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ev_mb_ckpt").toString
+    val q = streamEvents(1000, chunk = 100, maxPerTrigger = 137)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val perBatch = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+    assert(perBatch.nonEmpty && perBatch.forall(_ <= 137),
+      s"admission violated: $perBatch")
+    assert(perBatch.length >= 8, s"expected >=8 admitted batches, got $perBatch")
+    assert(drainedIds(out) == (0L until 1000L), "drain must cover every id once")
+  }
+
+  test("streaming: kill-and-restart resumes from checkpointed offsets exactly once") {
+    val out = java.nio.file.Files.createTempDirectory("ev_rs_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ev_rs_ckpt").toString
+    // phase 1: continuous trigger, killed mid-stream after >=2 commits
+    val q1 = streamEvents(1000, chunk = 100, maxPerTrigger = 113)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    q1.stop() // the "kill": offsets for completed batches are checkpointed
+    val afterKill = drainedIds(out)
+    assert(afterKill.nonEmpty && afterKill.size < 1000,
+      s"kill should land mid-stream, committed=${afterKill.size}")
+    assert(afterKill == (0L until afterKill.size.toLong),
+      "committed prefix must be dense — no skips before the kill")
+    // phase 2: restart against the same checkpoint drains the remainder
+    val q2 = streamEvents(1000, chunk = 100, maxPerTrigger = 113)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    assert(drainedIds(out) == (0L until 1000L),
+      "restart must resume at the watermark: every event_id exactly once")
+  }
+
+  test("streaming: growing the backlog and restarting picks up only new ids") {
+    // run 1 drains a 600-id backlog; run 2 sees the source grown to 1000
+    // and must emit exactly the 400 new ids — the reference's
+    // startHistoryId=last_history_id incremental scan (api/main.py:278-287)
+    val out = java.nio.file.Files.createTempDirectory("ev_gr_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ev_gr_ckpt").toString
+    def run(n: Long): Unit = {
+      val q = streamEvents(n, chunk = 100, maxPerTrigger = 250)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    run(600)
+    assert(drainedIds(out) == (0L until 600L))
+    run(1000)
+    assert(drainedIds(out) == (0L until 1000L),
+      "second run must append exactly ids 600..999, no re-reads")
+  }
+
+  test("streaming: per-batch partition planning is offset-range pruned") {
+    // same chunk arithmetic as the pushed batch path, applied per batch:
+    // offsets [850,960) over chunk=100 plan exactly 2 partitions
+    val stream = new EventMicroBatchStream(0L, 1000L, 100L,
+      EventSource.schema, maxPerTrigger = Some(110L))
+    val parts = stream.planInputPartitions(EventOffset(850L), EventOffset(960L))
+    assert(parts.length == 2, s"expected 2 pruned partitions, got ${parts.length}")
+    // admission-controlled latestOffset advances by at most maxPerTrigger
+    val lim = stream.getDefaultReadLimit
+    assert(stream.latestOffset(EventOffset(850L), lim) == EventOffset(960L))
+    assert(stream.latestOffset(EventOffset(950L), lim) == EventOffset(1000L))
+    // startId bounds the stream's initial offset (CDC "start from here")
+    val t = new EventSource().getTable(EventSource.schema,
+        Array.empty, java.util.Map.of("events", "1000", "startId", "500"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+    val mb = t.newScanBuilder(
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build().toMicroBatchStream("unused")
+    assert(mb.initialOffset() == EventOffset(500L))
+    // offsets round-trip through their checkpoint JSON form
+    assert(mb.deserializeOffset(EventOffset(777L).json()) == EventOffset(777L))
+  }
 }
