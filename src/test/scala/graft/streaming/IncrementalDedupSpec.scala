@@ -86,6 +86,87 @@ class IncrementalDedupSpec extends SparkSpecBase {
     assert(m(10L) == 10L && m(11L) == 11L)
   }
 
+  // ---- deletion/retraction support ----
+
+  private def opsDF(rows: Seq[(Long, String, String)]): DataFrame =
+    rows.toDF("doc_id", "text", "op")
+
+  /** 13 docs on an alpha→bravo vocabulary gradient: doc p = p alpha-words
+    * then 12-p bravo-words. Empirically (pinned by the first assertion)
+    * their 4×2 minhash band graph is one component where doc 8 is a CUT
+    * VERTEX — its removal disconnects {9..12} from {0,1,3,4,5,6}. */
+  private def gradientDocs: Seq[(Long, String)] = {
+    val vocabA = (0 until 12).map(i => s"alpha$i")
+    val vocabB = (0 until 12).map(i => s"bravo$i")
+    (0 to 12).map(p =>
+      (p.toLong, (vocabA.take(p) ++ vocabB.take(12 - p)).mkString(" ")))
+  }
+
+  test("deleting a bridge doc splits the stored cluster (matches recompute)") {
+    val dir = Files.createTempDirectory("inc_split").toString
+    val docs = gradientDocs
+    IncrementalDedup.mergeBatch(
+      opsDF(docs.map { case (id, t) => (id, t, "add") }), 0L, dir)
+    val before = labelsMap(dir)
+    assert(before == truth(docs), "append batch must match recompute")
+    // pin the fixture's shape: 8 bridges the two sides pre-deletion
+    assert(before(9L) == before(0L) && before(12L) == before(4L),
+      s"fixture drifted — expected one component across the gradient: $before")
+    IncrementalDedup.mergeBatch(opsDF(Seq((8L, "", "del"))), 1L, dir)
+    val survivors = docs.filterNot(_._1 == 8L)
+    val after = labelsMap(dir)
+    assert(after == truth(survivors),
+      "post-deletion labels must match the recompute on the surviving corpus")
+    assert(!after.contains(8L), "deleted doc must leave the assignment")
+    assert(after(9L) != after(0L),
+      s"deleting the bridge must SPLIT the component: $after")
+  }
+
+  test("deleting the component minimum relabels the survivors") {
+    val dir = Files.createTempDirectory("inc_delmin").toString
+    IncrementalDedup.mergeBatch(opsDF(Seq(
+      (1L, "p q r s t u v w", "add"),
+      (5L, "p q r s t u v w", "add"),
+      (9L, "far away unrelated words entirely", "add"))), 0L, dir)
+    assert(labelsMap(dir) == Map(1L -> 1L, 5L -> 1L, 9L -> 9L))
+    // delete the label-carrying doc AND a doc_id that never existed
+    IncrementalDedup.mergeBatch(opsDF(Seq(
+      (1L, "", "del"), (12345L, "", "del"))), 1L, dir)
+    assert(labelsMap(dir) == Map(5L -> 5L, 9L -> 9L),
+      "survivor must take over as its own label; unknown deletes are no-ops")
+  }
+
+  test("interleaved appends and deletes match the recompute after every batch") {
+    val base = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    val n = base.length
+    val (b1, rest) = base.splitAt(n / 3)
+    val (b2, b3) = rest.splitAt(n / 3)
+    // batch 1: adds; batch 2: adds + delete every 7th of b1;
+    // batch 3: adds + delete every 5th of b2 + REINSTATE (same text, new
+    // id) two docs deleted in batch 2 — they must rejoin their clusters
+    val del1 = b1.zipWithIndex.collect { case ((id, _), i) if i % 7 == 0 => id }
+    val del2 = b2.zipWithIndex.collect { case ((id, _), i) if i % 5 == 0 => id }
+    val reinstated = b1.filter(d => del1.take(2).contains(d._1))
+      .map { case (id, t) => (id + 2000000L, t) }
+    val batches: Seq[Seq[(Long, String, String)]] = Seq(
+      b1.map { case (id, t) => (id, t, "add") },
+      b2.map { case (id, t) => (id, t, "add") } ++
+        del1.map(id => (id, "", "del")),
+      (b3 ++ reinstated).map { case (id, t) => (id, t, "add") } ++
+        del2.map(id => (id, "", "del")))
+    val dir = Files.createTempDirectory("inc_mixed").toString
+    var live = Map.empty[Long, String]
+    batches.zipWithIndex.foreach { case (batch, i) =>
+      IncrementalDedup.mergeBatch(opsDF(batch), i.toLong, dir)
+      val dels = batch.collect { case (id, _, "del") => id }.toSet
+      live = (live -- dels) ++
+        batch.collect { case (id, t, "add") => id -> t }.toMap
+      assert(labelsMap(dir) == truth(live.toSeq), s"divergence after batch $i")
+    }
+  }
+
   test("maintain(): streamed batches land in the versioned state") {
     implicit val s = spark
     val dir = Files.createTempDirectory("inc_stream").toString
