@@ -63,7 +63,16 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver records only the tail of stdout, which truncates the
+    // per-query map once it outgrows the window — so ALSO persist the
+    // complete map to the repo root. tools/bench_gate.py reads this file
+    // (current vs last committed version) to gate regressions over every
+    // query, not just the ones that fit in the tail.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"BENCH_full.json write failed: $e") }
     spark.stop()
   }
 }

@@ -73,9 +73,14 @@ object EmailFns {
       "d MMM yyyy HH:mm:ss Z")
 
   /** E18 — ISO-8601 timestamp formatting, the `datetime.isoformat()` of
-    * the reference's token-expiry bookkeeping (main.py:203). */
+    * the reference's token-expiry bookkeeping (main.py:203). Python's
+    * isoformat(timespec='auto') appends exactly six fractional digits
+    * when microsecond != 0 and none otherwise — mirror both branches so
+    * sub-second expiries reproduce the reference output byte-for-byte. */
   def isoTimestamp(ts: Column): Column =
-    date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+    when(date_format(ts, "SSSSSS") === "000000",
+      date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"))
+    .otherwise(date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
 
   /** F4/ST2 — event-time freshness: ts within `window` of `now` (main.py:96).
     * In batch/oracle contexts pass a deterministic `now` (e.g. max(ts)). */

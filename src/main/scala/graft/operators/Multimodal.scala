@@ -159,6 +159,11 @@ object Multimodal {
           while (dataOff < 0 && off + 8 <= payload.length) {
             val id = new String(payload, off, 4, "US-ASCII")
             val len = le32(off + 4)
+            // corrupt lengths must throw (→ quarantine), not wedge the walk:
+            // len = -8/-9 makes the step zero and the loop would never
+            // terminate — a hang Try cannot catch, unlike this require
+            require(len >= 0 && off.toLong + 8 + len <= payload.length,
+              s"corrupt WAV chunk length $len at offset $off")
             if (id == "data") { dataOff = off + 8; dataLen = len }
             else off += 8 + len + (len & 1)
           }

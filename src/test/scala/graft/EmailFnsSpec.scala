@@ -85,6 +85,12 @@ class EmailFnsSpec extends SparkSpecBase {
     val s = one(E.isoTimestamp(E.rfc2822Date($"s")),
       "Tue, 2 Jan 2024 10:30:00 +0000")
     assert(s == "2024-01-02T10:30:00") // session TZ is UTC
+    // Python isoformat(timespec='auto'): six fractional digits iff
+    // microsecond != 0 — datetime(...,500).isoformat() ends ".000500"
+    val sub = Seq("2024-01-02 10:30:00.0005", "2024-01-02 10:30:00")
+      .toDF("s").select(E.isoTimestamp(to_timestamp($"s")).as("i"))
+      .collect().map(_.getString(0)).toSeq
+    assert(sub == Seq("2024-01-02T10:30:00.000500", "2024-01-02T10:30:00"))
   }
 
   test("F4 freshness boundary: exactly at the window edge is fresh (main.py:96)") {

@@ -1,14 +1,20 @@
 #!/usr/bin/env python3
-"""Per-query bench regression gate (round-6 tooling).
+"""Per-query bench regression gate (round-6 tooling; full-map since round 7).
 
-Compares the newest two BENCH_r*.json files in the repo root (or two files
-given explicitly) and fails (exit 1) when any query regresses by more than
-RATIO x AND by more than ABS_FLOOR seconds absolute -- the floor keeps
+Compares two bench runs and fails (exit 1) when any query regresses by more
+than RATIO x AND by more than ABS_FLOOR seconds absolute -- the floor keeps
 sub-100ms queries from tripping the gate on scheduler noise, which on this
 box is +/-20% run-to-run.
 
+Default comparison source is BENCH_full.json (the complete per-query map
+graft.Bench writes in the repo root every run): current working-tree file
+vs the newest committed version with different content. This covers ALL
+queries; the driver's BENCH_r*.json files keep only a tail of stdout, which
+truncates the map (round 6: everything before q42 was invisible). Falls
+back to the newest two BENCH_r*.json tails when no full history exists.
+
 Usage:
-  python3 tools/bench_gate.py                 # newest two rounds
+  python3 tools/bench_gate.py                 # BENCH_full git history (or round tails)
   python3 tools/bench_gate.py OLD.json NEW.json
   python3 tools/bench_gate.py --ratio 1.5 --abs 0.3
 """
@@ -17,21 +23,55 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-def load_queries(path):
-    with open(path) as f:
-        data = json.load(f)
+
+def parse_queries(data):
     if "queries" in data:
         return data["queries"]
     # driver wraps (and truncates) the bench line into {"tail": "..."}:
     # regex-scan for the per-query entries instead of parsing the line.
     text = data.get("tail", "")
     pairs = re.findall(r'"(q\d+_\w+)":(-?\d+(?:\.\d+)?)', text)
-    if not pairs:
-        sys.exit(f"no per-query bench entries found in {path}")
     return {name: float(t) for name, t in pairs}
+
+
+def load_queries(path):
+    with open(path) as f:
+        data = json.load(f)
+    q = parse_queries(data)
+    if not q:
+        sys.exit(f"no per-query bench entries found in {path}")
+    return q
+
+
+def full_history_pair():
+    """(old_queries, new_queries, old_label, new_label) from BENCH_full.json
+    working tree vs its newest committed version with different content, or
+    None when there is no such pair."""
+    cur_path = os.path.join(REPO, "BENCH_full.json")
+    if not os.path.exists(cur_path):
+        return None
+    with open(cur_path) as f:
+        cur_text = f.read()
+    try:
+        revs = subprocess.run(
+            ["git", "-C", REPO, "log", "--format=%h", "--", "BENCH_full.json"],
+            capture_output=True, text=True, check=True).stdout.split()
+    except subprocess.CalledProcessError:
+        return None
+    for rev in revs:
+        old_text = subprocess.run(
+            ["git", "-C", REPO, "show", f"{rev}:BENCH_full.json"],
+            capture_output=True, text=True, check=True).stdout
+        if old_text.strip() != cur_text.strip():
+            return (parse_queries(json.loads(old_text)),
+                    parse_queries(json.loads(cur_text)),
+                    f"BENCH_full.json@{rev}", "BENCH_full.json")
+    return None
 
 
 def main():
@@ -41,16 +81,23 @@ def main():
     ap.add_argument("--abs", dest="abs_floor", type=float, default=0.3)
     args = ap.parse_args()
 
+    base_old = base_new = None
     if len(args.files) == 2:
         old_path, new_path = args.files
+        old, new = load_queries(old_path), load_queries(new_path)
+        base_old, base_new = os.path.basename(old_path), os.path.basename(new_path)
     else:
-        rounds = sorted(glob.glob(os.path.join(
-            os.path.dirname(__file__), "..", "BENCH_r*.json")))
-        if len(rounds) < 2:
-            sys.exit("need at least two BENCH_r*.json rounds")
-        old_path, new_path = rounds[-2], rounds[-1]
-
-    old, new = load_queries(old_path), load_queries(new_path)
+        pair = full_history_pair()
+        if pair is not None:
+            old, new, base_old, base_new = pair
+        else:
+            rounds = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+            if len(rounds) < 2:
+                sys.exit("need BENCH_full.json git history or two BENCH_r*.json rounds")
+            old_path, new_path = rounds[-2], rounds[-1]
+            old, new = load_queries(old_path), load_queries(new_path)
+            base_old = os.path.basename(old_path)
+            base_new = os.path.basename(new_path)
     regressions, improvements = [], []
     for name, t_new in sorted(new.items()):
         t_old = old.get(name)
@@ -61,15 +108,15 @@ def main():
         elif t_old > t_new * args.ratio and t_old - t_new > args.abs_floor:
             improvements.append((name, t_old, t_new))
 
-    base_old = os.path.basename(old_path)
-    base_new = os.path.basename(new_path)
     for name, a, b in improvements:
         print(f"IMPROVED  {name:30s} {a:7.3f}s -> {b:7.3f}s  ({a/b:.1f}x)")
     for name, a, b in regressions:
         print(f"REGRESSED {name:30s} {a:7.3f}s -> {b:7.3f}s  ({b/a:.1f}x)")
     tot_old = sum(t for t in old.values() if t > 0)
     tot_new = sum(t for t in new.values() if t > 0)
+    covered = sum(1 for n, t in new.items() if t > 0 and old.get(n, 0) > 0)
     print(f"TOTAL {base_old} {tot_old:.1f}s -> {base_new} {tot_new:.1f}s; "
+          f"{covered}/{len(new)} queries gated; "
           f"{len(regressions)} regression(s) at >{args.ratio}x and "
           f">{args.abs_floor}s")
     sys.exit(1 if regressions else 0)
