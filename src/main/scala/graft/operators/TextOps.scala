@@ -110,14 +110,29 @@ object TextOps {
     * edge-set fixpoint, detected by count + order-independent hash
     * checksum; non-convergence inside the generous cap throws — loudly
     * wrong beats silently-truncated clusters. */
-  def minLabelPropagate(edges: DataFrame): DataFrame = {
+  def minLabelPropagate(edges: DataFrame,
+      localMaxEdges: Long = 1L << 22): DataFrame = {
     def canon(df: DataFrame): DataFrame =
       df.select(greatest(col("u"), col("v")).as("u"),
           least(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-    var e = canon(edges.select(col("a").as("u"), col("b").as("v")))
+    // SIZE-GATED LOCAL FAST PATH: after canonicalization the edge list of
+    // a near-dup rep-graph is tiny relative to the corpus (sf0.1: a few
+    // thousand rows after signature pre-collapse), yet every distributed
+    // star round pays ~6 shuffle stages of fixed scheduling cost —
+    // measured ~0.4 s/round × 6 rounds of pure overhead at local[32].
+    // Below the gate (4M edges ≈ 64 MB — the same order as a broadcast
+    // -join threshold) we collect the canonical edges and run union-find
+    // on the driver: identical labels (component minimum), microseconds
+    // of CPU. Above the gate — the 100 TB shape — the distributed
+    // O(log n) star loop below runs unchanged; the property spec pins
+    // both paths against each other.
+    val canonEdges = canon(edges.select(col("a").as("u"), col("b").as("v")))
       .localCheckpoint()
+    if (canonEdges.count() <= localMaxEdges)
+      return localUnionFind(canonEdges)
+    var e = canonEdges
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("u").as("x"), col("v").as("y"))
         .union(e.select(col("v").as("x"), col("u").as("y")))
@@ -146,8 +161,8 @@ object TextOps {
     var converged = false
     var iter = 0
     while (!converged && iter < 60) {
-      val e2 = smallStar(largeStar(e)).localCheckpoint()
-      val c2 = checksum(e2)
+      val e2 = smallStar(largeStar(e)).localCheckpoint(false)
+      val c2 = checksum(e2) // materializes e2's checkpoint in the same job
       converged = c2 == prev
       prev = c2
       e = e2
@@ -161,6 +176,40 @@ object TextOps {
     e.select(col("u").as("node"), col("v").as("label"))
       .union(e.select(col("v").as("node"), col("v").as("label")))
       .groupBy(col("node")).agg(min(col("label")).as("label"))
+  }
+
+  /** Driver-side union-find over a collected canonical edge list — the
+    * sub-gate resolver for [[minLabelPropagate]]. Union-by-minimum with
+    * path compression, so every root IS its component's minimum node id
+    * and the labeling is bit-identical to the distributed star fixpoint. */
+  private def localUnionFind(canonEdges: DataFrame): DataFrame = {
+    val spark = canonEdges.sparkSession
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x
+      while (parent.getOrDefault(c, c) != r) {
+        val nx = parent.get(c); parent.put(c, r); c = nx
+      }
+      r
+    }
+    val rows = canonEdges.collect()
+    rows.foreach { row =>
+      val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    // emit (node, root) for every node seen in an edge
+    val seen = new java.util.HashSet[Long]()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    rows.foreach { row =>
+      Seq(row.getLong(0), row.getLong(1)).foreach { v =>
+        if (seen.add(v)) buf += ((v, find(v)))
+      }
+    }
+    import spark.implicits._
+    spark.sparkContext.parallelize(buf.toSeq,
+      math.max(1, buf.length / 500000)).toDF("node", "label")
   }
 
   /** Near-dup cluster assignment over an arbitrary (doc_id, text) corpus —
@@ -209,11 +258,13 @@ object TextOps {
       .distinct()
     // both edge directions in ONE scan of the pair join (a union of two
     // selects would run the self-join twice inside the eager checkpoint)
+    // no checkpoint here: minLabelPropagate lazily checkpoints canon(edges)
+    // itself, so the band join runs exactly once (inside the seed-checksum
+    // job) and the loop's plans never see the minhash pipeline
     val edges = pairs.select(explode(array(
         struct(col("doc_a").as("a"), col("doc_b").as("b")),
         struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
-      .localCheckpoint() // eager: cuts the minhash pipeline out of the loop's plans
     val labels = minLabelPropagate(edges)
     // Expand back from representatives: each member inherits its rep's
     // component label (rep itself if the rep hit no cross-group bucket;

@@ -36,20 +36,28 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     (0 until n).map(v => v.toLong -> minOf(find(v))).toMap
   }
 
-  private def ccLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def ccLabels(edges: Seq[(Long, Long)],
+      localMaxEdges: Long): Map[Long, Long] = {
     val sym = edges.toDF("a", "b")
       .union(edges.map(_.swap).toDF("a", "b"))
-    TextOps.minLabelPropagate(sym).collect()
+    TextOps.minLabelPropagate(sym, localMaxEdges).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
   private def check(n: Int, edges: Seq[(Long, Long)], what: String): Unit = {
     val truth = unionFind(n, edges)
-    val got = ccLabels(edges)
-    // minLabelPropagate only labels nodes that appear in edges
-    val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
-    touched.foreach { v =>
-      assert(got(v) == truth(v), s"$what: node $v got ${got(v)}, want ${truth(v)}")
+    // BOTH resolver paths must match the ground truth: the sub-gate
+    // driver union-find (default gate) and the distributed star loop
+    // (gate forced to 0)
+    Seq("local" -> Long.MaxValue, "distributed" -> 0L).foreach {
+      case (path, gate) =>
+        val got = ccLabels(edges, gate)
+        // minLabelPropagate only labels nodes that appear in edges
+        val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        touched.foreach { v =>
+          assert(got(v) == truth(v),
+            s"$what[$path]: node $v got ${got(v)}, want ${truth(v)}")
+        }
     }
   }
 
