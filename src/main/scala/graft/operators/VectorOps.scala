@@ -20,8 +20,11 @@ import graft.functions.{VectorFns => V}
 object VectorOps {
 
   /** Brute-force exact-decimal dot-product top-k (oracle-verified). */
-  def dotTopK(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5): DataFrame = {
-    val e = Tables.embeddings(s, d)
+  def dotTopK(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5): DataFrame =
+    dotTopKFrom(Tables.embeddings(s, d), nQueries, k)
+
+  /** DataFrame form of [[dotTopK]] (any (vec_id, embedding) corpus). */
+  def dotTopKFrom(e: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     // spread: the decimal dot products run on the corpus scan's partitions
@@ -132,6 +135,12 @@ object VectorOps {
     * exact-decimal dot re-rank (q40's convention — so the reported dot is
     * hash-comparable, not rank-only).
     *
+    * `cells = 0` (the default for the DataFrame form) derives the cell
+    * count from the corpus: max(4, round(√N)) — the standard IVF sizing,
+    * so the quantizer granularity scales with the corpus instead of
+    * sitting at a constant. q42 pins cells = 8 explicitly because the
+    * DuckDB oracle reproduces that exact configuration.
+    *
     * Scale shape: centroid UPDATE is one groupBy carrying a single
     * (sum[64], count) integer buffer per cell per partition
     * (ArrayLongSumAgg — posexplode would 64× the shuffle rows); centroid
@@ -139,21 +148,52 @@ object VectorOps {
     * one-row array via collect_list and cross-joined broadcast, and the
     * argmin runs as a fused per-row UDF pass over the K candidates (a
     * window over corpus×K rows would shuffle the whole corpus K times). Search
-    * probes cells by equijoin on the assigned cell id; on a real cluster
-    * the corpus would be written bucketed by cell so a probe is a
-    * partition-pruned read. All arithmetic is exact (integer sums, one
-    * final double per comparison key), so assignments — and therefore the
-    * probe sets and the result — are reproducible at any parallelism and
-    * in the DuckDB oracle. */
+    * probes cells by equijoin on the assigned cell id; [[writeIvfIndex]] /
+    * [[probeIvfIndex]] persist the assignment partitioned by cell so a
+    * probe is a partition-PRUNED read (plan-pinned by IvfIndexSpec), not
+    * a shuffle. All arithmetic is exact (integer sums, one final double
+    * per comparison key), so assignments — and therefore the probe sets
+    * and the result — are reproducible at any parallelism and in the
+    * DuckDB oracle.
+    *
+    * Recall posture (IvfIndexSpec's sweep): on a corpus WITH cluster
+    * structure the trained quantizer concentrates neighbors — ≥0.9
+    * recall probing 2 of 8 cells on the planted-cluster corpus. On a
+    * UNIFORM random corpus (the driver table) no partitioning scheme can
+    * beat the scan fraction, and the measured curve tracks it
+    * (nprobe/cells 3/8 → 0.6, 7/8 → ≥0.8, 8/8 → exactly 1.0 — probing
+    * every cell IS the exact search). */
   def ivfTopK(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5,
-              nprobe: Int = 3, cells: Int = 8): DataFrame = {
+              nprobe: Int = 3, cells: Int = 8): DataFrame =
+    ivfTopKFrom(Tables.embeddings(s, d), nQueries, k, nprobe, cells)
+
+  /** DataFrame form of [[ivfTopK]] (any (vec_id, embedding) corpus). */
+  def ivfTopKFrom(corpus: DataFrame, nQueries: Int = 5, k: Int = 5,
+                  nprobe: Int = 3, cells: Int = 0): DataFrame = {
+    val (a2, c2, base) = trainAssign(corpus, cells)
+    val out = probeAssigned(a2, c2,
+      queriesOf(base, nQueries), k, nprobe)
+    base.unpersist()
+    out
+  }
+
+  private def queriesOf(base: DataFrame, nQueries: Int): DataFrame =
+    base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("iv").as("qiv"))
+
+  /** Train the two-pass Lloyd quantizer and assign the corpus; returns
+    * (assigned corpus, centroids, cached base). `cells = 0` → √N auto. */
+  private def trainAssign(corpus: DataFrame,
+      cells: Int): (DataFrame, DataFrame, DataFrame) = {
     // no `spread`: after the fused-UDF assign, per-row work is too cheap
     // to amortize the widening exchange (the q71 lesson) — and the cache
     // below already decouples downstream stages from the scan width.
-    val e = Tables.embeddings(s, d)
-    val base = e.select(col("vec_id"), col("embedding"),
+    val base = corpus.select(col("vec_id"), col("embedding"),
       intVec(col("embedding")).as("iv")).persist()
-    base.count()
+    val n = base.count()
+    val k = if (cells > 0) cells
+      else math.max(4, math.round(math.sqrt(n.toDouble)).toInt)
 
     // one centroid-update: cell → (elementwise integer sum, member count)
     def update(assigned: DataFrame): DataFrame =
@@ -174,7 +214,7 @@ object VectorOps {
 
     val seeded = base.withColumn("cell",
       conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % cells)
+        .cast("long") % k)
     val c1 = update(seeded)   // Lloyd pass 1: centroids of the hash seed
     val a1 = assignNearest(c1)
     // Lloyd pass 2: trained centroids. Persisted (K rows) because both the
@@ -182,14 +222,15 @@ object VectorOps {
     // the a1 assignment pass would run once per consumer.
     val c2 = update(a1).persist()
     c2.count()
-    val a2 = assignNearest(c2)
+    (assignNearest(c2), c2, base)
+  }
 
-    // per-query probe ranking under c2 — the SAME centroids that defined
-    // a2, so query probes and corpus cells use one assignment function —
-    // then exact-decimal re-rank inside the probed cells only.
-    val q = base.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        col("iv").as("qiv"))
+  /** Probe `nprobe` nearest cells per query under the c2 centroids — the
+    * SAME centroids that defined the assignment, so query probes and
+    * corpus cells use one assignment function — then exact-decimal dot
+    * re-rank inside the probed cells only. */
+  private def probeAssigned(assigned: DataFrame, c2: DataFrame,
+      q: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val wq = Window.partitionBy(col("qid")).orderBy(col("dkey"), col("cell"))
     val probes = q.join(broadcast(c2))
       .withColumn("dkey", distKey(col("qiv"), col("csum"), col("cn")))
@@ -197,7 +238,7 @@ object VectorOps {
       .filter(col("crank") <= nprobe)
       .select(col("qid"), col("qv"), col("cell").as("pcell"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
-    a2.join(broadcast(probes), col("cell") === col("pcell") &&
+    assigned.join(broadcast(probes), col("cell") === col("pcell") &&
         col("vec_id") =!= col("qid"))
       .withColumn("dot", V.dotExact(col("qv"), col("embedding")))
       .withColumn("rank", row_number().over(w))
@@ -205,6 +246,51 @@ object VectorOps {
       .select(col("qid"), col("vec_id"), col("dot"),
         col("rank").cast("long").as("rank"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Persist the trained index: the assigned corpus laid out PARTITIONED
+    * BY CELL (so a probe is a directory-pruned read, not a scan + filter)
+    * plus the centroid table. The 100 TB shape: training writes once;
+    * every search afterwards opens only its nprobe directories. */
+  def writeIvfIndex(corpus: DataFrame, path: String, cells: Int = 0): Unit = {
+    val (a2, c2, base) = trainAssign(corpus, cells)
+    a2.write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    c2.write.mode("overwrite").parquet(s"$path/centroids")
+    base.unpersist()
+    c2.unpersist()
+  }
+
+  /** Search a written index: rank cells per query against the stored
+    * centroids, then read ONLY the probed cell partitions (the `cell IN
+    * (...)` filter prunes at the parquet directory level — asserted on
+    * the executed plan by IvfIndexSpec) and exact-decimal re-rank. */
+  def probeIvfIndex(s: SparkSession, path: String, nQueries: Int = 5,
+                    k: Int = 5, nprobe: Int = 3): DataFrame = {
+    val c2 = s.read.parquet(s"$path/centroids")
+    val corpus = s.read.parquet(s"$path/corpus")
+    val q = queriesOf(corpus, nQueries)
+    val wq = Window.partitionBy(col("qid")).orderBy(col("dkey"), col("cell"))
+    val probes = q.join(broadcast(c2))
+      .withColumn("dkey", distKey(col("qiv"), col("csum"), col("cn")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .select(col("qid"), col("qv"), col("cell").as("pcell"))
+      .persist()
+    // the probed cell set is tiny (≤ nQueries·nprobe ids) — collect it so
+    // the corpus read carries a literal IN-list partition filter
+    val probedCells = probes.select(col("pcell")).distinct()
+      .collect().map(_.getLong(0))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
+    val out = corpus.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(probes), col("cell") === col("pcell") &&
+        col("vec_id") =!= col("qid"))
+      .withColumn("dot", V.dotExact(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("dot"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("qid"), col("rank"))
+    out
   }
 
   /** Embedding near-dup detection via random-hyperplane LSH bucketing,

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorOps
+
+/** The IVF-at-scale contract: the written index probes as a
+  * partition-PRUNED read, cell count scales ≈ √N by default, and the
+  * recall/cost curve is pinned — high recall at low nprobe on clustered
+  * data (where a quantizer can help), scan-fraction recall on uniform
+  * data (where nothing can), exact search when every cell is probed. */
+class IvfIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def topkSet(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("written index: probe is partition-pruned and reproduces the in-memory search") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val corpus = graft.sources.Tables.embeddings(spark, sf)
+    VectorOps.writeIvfIndex(corpus, path, cells = 8)
+    // 8 cell directories on disk
+    val dirs = new java.io.File(s"$path/corpus").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(dirs.length == 8, s"expected 8 cell partitions, got ${dirs.toSeq}")
+    val probed = VectorOps.probeIvfIndex(spark, path, nprobe = 3)
+    // identical result to the fully in-memory pipeline (training is
+    // exact-integer deterministic, so write → read → probe loses nothing)
+    assert(probed.collect().toSeq ==
+      VectorOps.ivfTopK(spark, sf, nprobe = 3, cells = 8).collect().toSeq)
+    // plan pin: the corpus scan carries a cell partition filter — the
+    // probe opens nprobe-worth of directories, it does not scan-and-filter
+    val scan = spark.read.parquet(s"$path/corpus")
+      .filter(col("cell").isin(0L, 1L, 2L))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe read is not partition-pruned:\n$plan")
+    // the files the scan actually selected (inputFiles ignores pruning)
+    val scanExec = scan.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val listing = scanExec.selectedPartitions
+    assert(listing.partitionCount == 3,
+      s"expected 3 selected cell partitions, got ${listing.partitionCount}")
+    val files = listing.toPartitionArray.map(_.filePath.toString)
+    assert(files.nonEmpty && files.forall(f =>
+        f.contains("cell=0") || f.contains("cell=1") || f.contains("cell=2")),
+      s"scan selected files outside the probed cell directories: ${files.toSeq}")
+  }
+
+  test("cells defaults to ~sqrt(N) when unspecified") {
+    val corpus = graft.sources.Tables.embeddings(spark, sf) // 500 rows
+    val r = VectorOps.ivfTopKFrom(corpus, nprobe = 3) // cells = 0 → auto
+    assert(r.groupBy($"qid").count().collect().forall(_.getLong(1) == 5))
+    val path = java.nio.file.Files.createTempDirectory("ivf_auto").toString
+    VectorOps.writeIvfIndex(corpus, path) // auto cells
+    val dirs = new java.io.File(s"$path/corpus").listFiles()
+      .count(_.getName.startsWith("cell="))
+    // √500 ≈ 22.4 → 22 trained cells (empty cells may collapse, so allow
+    // a small deficit but reject the old constant-8 sizing)
+    assert(dirs >= 16 && dirs <= 23, s"expected ~22=√500 cells, got $dirs")
+  }
+
+  test("recall sweep on the uniform corpus: scan-fraction curve, exact at nprobe=cells") {
+    val exact = topkSet(VectorOps.dotTopK(spark, sf))
+    def recallAt(np: Int): Double = {
+      val got = topkSet(VectorOps.ivfTopK(spark, sf, nprobe = np, cells = 8))
+      (exact & got).size.toDouble / exact.size
+    }
+    // uniform random embeddings have no cluster structure: recall tracks
+    // the probed fraction (measured 0.36/0.60/0.84/1.00 at 1/3/7/8 —
+    // deterministic, every quantizer step is exact-integer arithmetic)
+    val r1 = recallAt(1); val r3 = recallAt(3); val r7 = recallAt(7)
+    assert(r1 < r3 && r3 < r7, s"recall not increasing: $r1 $r3 $r7")
+    assert(r3 >= 0.5, s"nprobe=3 recall $r3 under pinned 0.5 (measured 0.6)")
+    assert(r7 >= 0.8, s"nprobe=7 recall $r7 under pinned 0.8 (measured 0.84)")
+    assert(recallAt(8) == 1.0,
+      "probing every cell IS the exact search — recall must be exactly 1")
+  }
+
+  test("recall on a clustered corpus: >=0.9 probing 2 of 8 cells") {
+    // 8 planted clusters: deterministic centers, small perturbations —
+    // the shape a trained quantizer exists for. 64-dim, 400 vectors.
+    val rnd = new scala.util.Random(7L)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    val rows = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f).toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val exact = topkSet(VectorOps.dotTopKFrom(corpus))
+    val got = topkSet(VectorOps.ivfTopKFrom(corpus, nprobe = 2, cells = 8))
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.9,
+      s"trained quantizer must exploit cluster structure: recall $recall")
+  }
+}
