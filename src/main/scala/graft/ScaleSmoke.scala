@@ -138,6 +138,66 @@ object ScaleSmoke {
         .agg(min(col("doc_id")).as("keep"), count(lit(1)).as("n"))
     }
 
+    // q100-shaped winnowing span-containment at mult×: the dup-heavy
+    // corpus is exactly what the df cap exists for — every fingerprint's
+    // document frequency multiplies by the copy count, so without the
+    // 2..50 df bound the fp self-join would blow up quadratically in
+    // copies. Production shape mirrors q58's: collapse EXACT copies to a
+    // representative first (one md5 groupBy), fingerprint only reps —
+    // span analysis cost then scales with distinct text, not copies.
+    time("span_containment") {
+      val reps = big.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+        .persist()
+      println(s"SCALE   fp input: ${big.count()} docs -> ${reps.count()} reps")
+      val fps = Tables.spread(reps)
+        .select(col("doc_id"),
+          explode(T.rollingFingerprintsUdf(24, 4)(col("text"))).as("fp"))
+        .persist()
+      fps.count()
+      val rare = fps.groupBy(col("fp"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 50))
+        .select(col("fp"))
+      val f2 = fps.join(rare, Seq("fp"))
+      val a = f2.alias("a"); val b = f2.alias("b")
+      a.join(b, col("a.fp") === col("b.fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+    }
+
+    // Incremental cluster maintenance: bulk-load most of the corpus, then
+    // measure a SMALL append batch and a retraction batch against the
+    // stored state. The point of the design is that batch cost is
+    // O(batch + affected members), not O(corpus) — so the small batches
+    // must come in far under the bulk load despite the full-size state.
+    {
+      import graft.streaming.IncrementalDedup
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("smoke_inc").toString
+      val bulk = big.filter(pmod(col("doc_id"), lit(100)) < 97)
+      val small = big.filter(pmod(col("doc_id"), lit(100)) === 97)
+      def timed(name: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        f
+        println(f"SCALE $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      timed("inc_bulk_load") {
+        IncrementalDedup.mergeBatch(bulk, 0L, stateDir)
+      }
+      timed("inc_small_append") {
+        IncrementalDedup.mergeBatch(small, 1L, stateDir)
+      }
+      timed("inc_retraction") {
+        IncrementalDedup.mergeBatch(
+          big.filter(pmod(col("doc_id"), lit(100)) === 0)
+            .select(col("doc_id"), col("text"), lit("del").as("op")), 2L, stateDir)
+      }
+      spark.catalog.clearCache()
+    }
+
     // q43-shaped embedding near-dup at mult× (exact vector copies share a
     // hyperplane bucket — like the text stages, the worst bucket load)
     time("embedding_neardup") {

@@ -26,6 +26,27 @@ class SinksSpec extends SparkSpecBase {
       docs.filter($"lang" === "en").agg(sum("n_chars")).collect()(0).getLong(0))
   }
 
+  test("jdbcWriter round-trips rows through an embedded Derby database (S10)") {
+    // Derby ships in /opt/spark/jars (Spark's metastore dependency), so
+    // the JDBC sink can be verified end-to-end without a network database:
+    // write via the bounded-connection writer, read back via spark.read.jdbc
+    val db = java.nio.file.Files.createTempDirectory("graft_derby").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val nation = Tables.nation(spark, sf)
+      .select($"n_nationkey".cast("long").as("k"), $"n_name",
+        $"n_regionkey".cast("long").as("rk"))
+    Sinks.jdbcWriter(nation, url, "nation_out", numPartitions = 2)
+      .option("driver", driver).mode("overwrite").save()
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "nation_out")
+      .option("driver", driver).load()
+      .select($"k".cast("long"), $"n_name", $"rk".cast("long"))
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet ==
+      nation.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet,
+      "JDBC write → read must preserve every row")
+  }
+
   test("jdbcWriter builds a bounded-connection jdbc writer (S10, no DB here)") {
     val w = Sinks.jdbcWriter(Tables.nation(spark, sf), "jdbc:postgresql://db/x",
       "nation_out", numPartitions = 4)
