@@ -432,6 +432,37 @@ object TextOps {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Language identification (north-star "language-ID: n-gram/marker
+    // heuristic"): argmax of per-language function-word hit counts via
+    // langIdHeuristic (one struct-greatest over filter() sizes — map-only,
+    // no shuffle until the final sort). The driver corpus's text is
+    // language-independent (same synthetic vocabulary for every stored
+    // lang), so discriminative inputs are PLANTED (the q43/q48 pattern):
+    // one function-word doc per non-English class, one tie doc ("la" is
+    // an es AND fr marker — pins the deterministic (hits, lang)-max
+    // tie-break), one zero-hit doc (→ 'und'). Oracle replicates the
+    // classification exactly, incl. ties and the und fallback.
+    "q101_lang_id" -> ((s, d) => {
+      import s.implicits._
+      val markers = Map(
+        "de" -> Seq("der", "die", "und", "nicht", "ist"),
+        "en" -> Seq("the", "a", "and", "of", "to"),
+        "es" -> Seq("el", "que", "por", "la", "una"),
+        "fr" -> Seq("le", "et", "les", "la", "des"))
+      val planted = Seq(
+        (2000001L, "der hund und die katze ist nicht hier"),
+        (2000002L, "el perro que vive por la casa es una maravilla"),
+        (2000003L, "le chat et les chiens des villes le matin"),
+        (2000004L, "la la la"),          // es/fr tie → lang-max ('fr')
+        (2000005L, "zzz qqq xxx yyy")    // zero hits → 'und'
+      ).toDF("doc_id", "text")
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(planted)
+        .select(col("doc_id"),
+          T.langIdHeuristic(T.tokens(col("text")), markers).as("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-language corpus profile.
     "q36_lang_profile" -> ((s, d) => {
       Tables.documents(s, d)
@@ -676,6 +707,38 @@ object TextOps {
             + j * ('0x' || substr(md5(s), 17, 14))::BIGINT)))"""
 
   def oracle: Map[String, String] = Map(
+    // Mirrors langIdHeuristic exactly: per-language occurrence-counted
+    // marker hits, argmax by (hits DESC, lang DESC) — the greatest(struct)
+    // tie-break — and 'und' when the best count is zero. Planted rows are
+    // the same VALUES the Spark side unions in.
+    "q101_lang_id" ->
+      s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (2000001, 'der hund und die katze ist nicht hier'),
+             (2000002, 'el perro que vive por la casa es una maravilla'),
+             (2000003, 'le chat et les chiens des villes le matin'),
+             (2000004, 'la la la'),
+             (2000005, 'zzz qqq xxx yyy')) v(doc_id, text)),
+         hits AS (
+           SELECT c.doc_id, m.lang,
+             len(list_filter($duckTokens, w -> list_contains(m.ms, w)))
+               AS n_hits
+           FROM corpus c, (VALUES
+             ('de', ['der','die','und','nicht','ist']),
+             ('en', ['the','a','and','of','to']),
+             ('es', ['el','que','por','la','una']),
+             ('fr', ['le','et','les','la','des'])) m(lang, ms)),
+         best AS (
+           SELECT doc_id, lang, n_hits,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY n_hits DESC, lang DESC) AS rn
+           FROM hits)
+         SELECT doc_id,
+           CASE WHEN n_hits > 0 THEN lang ELSE 'und' END AS pred_lang
+         FROM best WHERE rn = 1 ORDER BY doc_id""",
+
     "q30_token_stats" ->
       s"""SELECT doc_id, lang,
          len($duckTokens) AS n_tokens,
