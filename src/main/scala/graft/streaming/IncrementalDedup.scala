@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -30,35 +31,43 @@ import graft.operators.TextOps
   *    which only the per-doc band keys can reconstruct. Slim 3-column
   *    rows, O(docs × bands); the honest price of retraction support.
   *
+  * DELTA PUBLISHING (the write-side 100 TB posture): a version is either
+  * a FULL snapshot (`_FULL` marker file) or a DELTA — upserts for the
+  * keys the batch changed plus `removed = true` tombstones. Per-batch
+  * write cost is therefore O(batch + affected members), matching the
+  * compute cost, instead of rewriting the O(corpus) state three times
+  * per batch. Readers fold newest-full + later deltas with a
+  * latest-version-wins window per key (the merge-on-read shape). Every
+  * `compactEvery` deltas the maintainer writes a fresh FULL snapshot and
+  * GC keeps the two newest fulls plus everything after the older one —
+  * exactly the chain any replayed batch needs.
+  *
   * Append batch: new docs' band keys probe the bucket table (equijoin);
   * the matched cluster labels identify the affected components; ONLY
   * their members (semi-join on label) plus the new docs enter the star
   * CC over star edges ∪ (new→bucket-label) edges ∪ new-new bucket
   * cliques. Unaffected clusters — the overwhelming majority of a 100 TB
-  * corpus — are carried over untouched (anti-join). A new doc BRIDGING
-  * two stored clusters merges them correctly: both labels are affected,
-  * so both member sets are pulled in and relabeled to the joint minimum.
-  * Cost per batch: O(new docs + affected members), not O(corpus).
+  * corpus — are never read into the subgraph and never rewritten. A new
+  * doc BRIDGING two stored clusters merges them correctly: both labels
+  * are affected, so both member sets are pulled in and relabeled to the
+  * joint minimum.
   *
-  * Deletion batch (rows with `op = "del"`; takedowns/retractions,
-  * api-analog: a mailbox purge): the deleted docs' components are the
-  * affected set. Their SURVIVING members' band keys are pulled from
-  * `bands`, each bucket re-linked member→bucket-min (star per bucket —
-  * connectivity-equivalent to the clique without df² pairs), and the
-  * star CC re-run on that real subgraph — so a component correctly
-  * SPLITS when the deleted doc was its only bridge. Unaffected clusters
-  * carry over by anti-join; affected buckets are rebuilt from surviving
-  * bands (a bucket whose members are all deleted vanishes). Cost:
-  * O(affected members + their bands), not O(corpus). Within one batch,
-  * deletions apply BEFORE appends (re-adding a just-deleted id in the
-  * same batch leaves it live).
+  * Deletion batch (rows with `op = "del"`; takedowns/retractions): the
+  * deleted docs' components are the affected set. Their SURVIVING
+  * members' band keys are pulled from `bands`, each bucket re-linked
+  * member→bucket-min (star per bucket — connectivity-equivalent to the
+  * clique without df² pairs), and the star CC re-run on that real
+  * subgraph — so a component correctly SPLITS when the deleted doc was
+  * its only bridge. Affected buckets are rebuilt from surviving bands (a
+  * bucket whose members are all deleted tombstones away). Within one
+  * batch, deletions apply BEFORE appends.
   *
-  * Exactly-once: batch N reads the newest version < N and publishes
-  * `v=N` by rename — replays re-derive the same result
-  * ([[ViewMaintenance]]'s journal pattern, HDFS-atomicity caveat there).
-  * The invariant spec pins labels == [[TextOps.clusterAssignments]]
-  * (the batch recompute) over the surviving corpus after EVERY batch,
-  * including batches that split clusters.
+  * Exactly-once: batch N reads the newest chain < N and publishes `v=N`
+  * by rename — replays re-derive the same delta (or the same full, for
+  * compaction batches: the trigger depends only on the prior chain).
+  * The invariant spec pins the folded labels ==
+  * [[TextOps.clusterAssignments]] (the batch recompute) over the
+  * surviving corpus after EVERY batch, including splits and compactions.
   */
 object IncrementalDedup {
 
@@ -70,19 +79,52 @@ object IncrementalDedup {
       .filter(_.startsWith("v=")).map(_.drop(2).toLong)
   }
 
-  /** Newest published (doc_id, cluster) assignment, or None pre-stream. */
-  def currentLabels(spark: SparkSession, stateDir: String): Option[DataFrame] = {
-    val vs = versions(spark, s"$stateDir/labels")
-    if (vs.isEmpty) None
-    else Some(spark.read.parquet(s"$stateDir/labels/v=${vs.max}")
-      .select(col("node").as("doc_id"), col("label").as("cluster")))
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def isFull(spark: SparkSession, dir: String): Boolean =
+    fs(spark, dir).exists(new Path(dir, "_FULL"))
+
+  /** The version chain a reader at `upTo` folds: newest full ≤ newest
+    * version < upTo, plus every later delta (ascending). */
+  private def chain(spark: SparkSession, kindDir: String,
+      upTo: Long): Seq[Long] = {
+    val vs = versions(spark, kindDir).filter(_ < upTo).sorted
+    val lastFull = vs.lastIndexWhere(v => isFull(spark, s"$kindDir/v=$v"))
+    if (lastFull < 0) vs else vs.drop(lastFull)
   }
+
+  /** Merge-on-read: latest version wins per key; tombstones drop keys.
+    * Every stored row carries `removed` (always false in fulls).
+    * Folded as an ASCENDING chain of anti-join + union — each delta's
+    * keys knock out older rows — rather than a latest-wins window: the
+    * window would shuffle the whole state per read, while the anti-joins
+    * broadcast whenever the delta is small (AQE's call), keeping the base
+    * a map-side scan. Chain length is bounded by compactEvery. */
+  private def readFolded(spark: SparkSession, kindDir: String, upTo: Long,
+      keyCols: Seq[String]): Option[DataFrame] = {
+    val vs = chain(spark, kindDir, upTo)
+    if (vs.isEmpty) None
+    else {
+      val parts = vs.map(v => spark.read.parquet(s"$kindDir/v=$v"))
+      val folded = parts.reduce { (acc, d) =>
+        acc.join(d.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(d)
+      }
+      Some(folded.filter(!col("removed")).drop("removed"))
+    }
+  }
+
+  /** Newest published (doc_id, cluster) assignment, or None pre-stream. */
+  def currentLabels(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    readFolded(spark, s"$stateDir/labels", Long.MaxValue, Seq("node"))
+      .map(_.select(col("node").as("doc_id"), col("label").as("cluster")))
 
   /** Merge one micro-batch of (doc_id, text[, op]) rows, idempotent in
     * batchId. Without an `op` column every row is an append; with one,
     * rows are `"add"` or `"del"` (del needs only doc_id). */
   def mergeBatch(docs: DataFrame, batchId: Long, stateDir: String,
-                 retainVersions: Int = 3): Unit = {
+                 compactEvery: Int = 8): Unit = {
     val spark = docs.sparkSession
     val hasOp = docs.columns.contains("op")
     val adds = if (hasOp) docs.filter(col("op") === "add") else docs
@@ -101,25 +143,29 @@ object IncrementalDedup {
       .persist()
     newBands.count()
 
-    def readBase(kind: String): Option[DataFrame] =
-      versions(spark, s"$stateDir/$kind").filter(_ < batchId) match {
-        case Nil => None
-        case vs => Some(spark.read.parquet(s"$stateDir/$kind/v=${vs.max}"))
-      }
-    val storedLabels = readBase("labels")
+    def readBase(kind: String, keys: Seq[String]): Option[DataFrame] =
+      readFolded(spark, s"$stateDir/$kind", batchId, keys)
+    val storedLabels = readBase("labels", Seq("node"))
       .getOrElse(spark.emptyDataFrame.withColumn("node", lit(0L))
         .withColumn("label", lit(0L)).limit(0)
         .select(col("node"), col("label")))
-    val storedBuckets = readBase("buckets")
+    val storedBuckets = readBase("buckets", Seq("band", "bkey"))
       .getOrElse(newBands.limit(0)
         .select(col("band"), col("bkey"), col("doc_id").as("label")))
-    val storedBands = readBase("bands")
+    val storedBands = readBase("bands", Seq("doc_id", "band", "bkey"))
       .getOrElse(newBands.limit(0)
         .select(col("doc_id"), col("band"), col("bkey")))
 
     // ---- deletion phase: retractions can split components ----
-    val (baseLabels, baseBuckets, baseBands) = if (!hasOp) {
-      (storedLabels, storedBuckets, storedBands)
+    // Each output pairs the post-delete base (for the append phase) with
+    // the batch's delta rows (for publishing).
+    val emptyDelta = (df: DataFrame) =>
+      df.limit(0).withColumn("removed", lit(false))
+    val (baseLabels, baseBuckets, baseBands,
+         delLabelDelta, delBucketDelta, delBandDelta) = if (!hasOp) {
+      (storedLabels, storedBuckets, storedBands,
+        emptyDelta(storedLabels), emptyDelta(storedBuckets),
+        emptyDelta(storedBands))
     } else {
       // Renamed unresolved join keys throughout: the deletion frames all
       // share lineage (delSet with the batch, the empty-state defaults
@@ -135,6 +181,10 @@ object IncrementalDedup {
       val survivors = storedLabels
         .join(delAffected, col("label") === col("dlabel"), "left_semi")
         .join(delIds, col("node") === col("del_id"), "left_anti")
+        .select(col("node"))
+      // the deleted nodes that actually existed (tombstone set)
+      val deadNodes = storedLabels
+        .join(delIds, col("node") === col("del_id"), "left_semi")
         .select(col("node"))
       // real co-bucket edges among survivors, from the per-doc band keys:
       // within each bucket connect member → bucket minimum (star, not df²)
@@ -157,6 +207,8 @@ object IncrementalDedup {
         .select(col("node"), col("label"))
         .unionByName(survLabels)
       // bands: drop the deleted docs' rows
+      val deadBands = storedBands
+        .join(delIds, col("doc_id") === col("del_id"), "left_semi")
       val bandsD = storedBands
         .join(delIds, col("doc_id") === col("del_id"), "left_anti")
       // buckets: unaffected carry over; affected rebuilt from surviving
@@ -169,6 +221,13 @@ object IncrementalDedup {
             col("label").as("sl_label")),
           col("doc_id") === col("sl_node"))
         .groupBy(col("band"), col("bkey")).agg(min(col("sl_label")).as("label"))
+      // bucket keys of affected components that did NOT survive the rebuild
+      val deadBuckets = storedBuckets
+        .join(delAffected, col("label") === col("dlabel"), "left_semi")
+        .select(col("band"), col("bkey"))
+        .join(rebuiltB.select(col("band"), col("bkey")),
+          Seq("band", "bkey"), "left_anti")
+        .withColumn("label", lit(0L))
       val bucketsD = keptB.unionByName(rebuiltB)
         .groupBy(col("band"), col("bkey")).agg(min(col("label")).as("label"))
       // materialize AND mint fresh attribute ids: labelsD/bucketsD/bandsD
@@ -178,7 +237,15 @@ object IncrementalDedup {
         val ck = df.localCheckpoint()
         spark.createDataFrame(ck.rdd, ck.schema)
       }
-      (fresh(labelsD), fresh(bucketsD), fresh(bandsD))
+      // deltas: survivor relabels (upserts) + node tombstones; rebuilt
+      // bucket upserts + vanished-bucket tombstones; band-row tombstones
+      (fresh(labelsD), fresh(bucketsD), fresh(bandsD),
+        fresh(survLabels.withColumn("removed", lit(false))
+          .unionByName(deadNodes.withColumn("label", lit(0L))
+            .withColumn("removed", lit(true)))),
+        fresh(rebuiltB.withColumn("removed", lit(false))
+          .unionByName(deadBuckets.withColumn("removed", lit(true)))),
+        fresh(deadBands.withColumn("removed", lit(true))))
     }
 
     // ---- append phase (unchanged logic, against the post-delete base) ----
@@ -209,56 +276,122 @@ object IncrementalDedup {
       .localCheckpoint()
     // 4. resolve the subgraph (tiny relative to the corpus)
     val sub = TextOps.minLabelPropagate(edges)
-    // 5. every new doc gets a label (subgraph result, else itself);
-    //    untouched stored clusters carry over via anti-join
+    // 5. every new doc gets a label (subgraph result, else itself); a
+    //    re-ingested EXISTING id keeps the min of old and new label (the
+    //    historical full-rewrite semantics, preserved by folding the
+    //    stored label into the upsert)
     val newLabels = newDocs.select(col("doc_id").as("node"))
       .join(sub, Seq("node"), "left")
-      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
-    val carried = baseLabels.join(affected,
-        baseLabels("label") === affected("label"), "left_anti")
-    val labelsOut = carried.unionByName(
-        sub.join(baseLabels.select(col("node")), Seq("node"), "left_semi"))
+      .join(baseLabels.select(col("node"), col("label").as("old_label")),
+        Seq("node"), "left")
+      .select(col("node"),
+        least(coalesce(col("label"), col("node")),
+          coalesce(col("old_label"), col("node"))).as("label"))
+    // 6. the batch's label delta: relabeled affected members + new docs
+    //    (carried clusters are never rewritten — that is the point)
+    val labelDelta = sub.join(baseLabels.select(col("node")),
+        Seq("node"), "left_semi")
       .unionByName(newLabels)
       .groupBy(col("node")).agg(min(col("label")).as("label"))
-    // 6. bucket index: untouched rows carry over; matched buckets take
-    //    their component's NEW label (the old label is itself a node in
-    //    the subgraph); new docs' buckets are added with their final
-    //    label; collapse to one row per bucket
-    val keptBuckets = baseBuckets.join(affected,
-        baseBuckets("label") === affected("label"), "left_anti")
-    val relabeled = baseBuckets.join(affected,
-        baseBuckets("label") === affected("label"), "left_semi")
+      .withColumn("removed", lit(false))
+    // 7. bucket delta: matched buckets take their component's NEW label
+    //    (the old label is itself a node in the subgraph); new docs'
+    //    buckets are added with their final label. Kept buckets cannot
+    //    collide with new-doc buckets (a collision would make the bucket
+    //    matched, hence affected), so the delta alone is the final value.
+    val relabeled = storedOrBase(baseBuckets, affected)
       .join(sub.withColumnRenamed("label", "nl"),
         col("label") === col("node"))
       .select(col("band"), col("bkey"), col("nl").as("label"))
     val newBuckets = newBands
-      .join(newLabels, col("doc_id") === col("node"))
+      .join(newLabels.select(col("node"), col("label")),
+        col("doc_id") === col("node"))
       .select(col("band"), col("bkey"), col("label"))
-    val bucketsOut = keptBuckets.unionByName(relabeled).unionByName(newBuckets)
+    val bucketDelta = relabeled.unionByName(newBuckets)
       .groupBy(col("band"), col("bkey")).agg(min(col("label")).as("label"))
-    // 7. bands: post-delete base plus the new docs' keys
-    val bandsOut = baseBands.unionByName(newBands)
+      .withColumn("removed", lit(false))
+    // 8. band delta: the new docs' keys
+    val bandDelta = newBands.withColumn("removed", lit(false))
 
-    def publish(kind: String, df: DataFrame): Unit = {
+    // combine with the deletion-phase deltas; the append phase wins on
+    // key overlap (it ran second), expressed as a phase-priority window
+    def combined(delPhase: DataFrame, addPhase: DataFrame,
+        keys: Seq[String]): DataFrame = {
+      val u = delPhase.withColumn("_p", lit(0))
+        .unionByName(addPhase.withColumn("_p", lit(1)))
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_p").desc)
+      u.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_p", "_rn")
+    }
+    val labelsOutDelta = combined(delLabelDelta, labelDelta, Seq("node"))
+    val bucketsOutDelta = combined(delBucketDelta, bucketDelta,
+      Seq("band", "bkey"))
+    val bandsOutDelta = combined(delBandDelta, bandDelta,
+      Seq("doc_id", "band", "bkey"))
+
+    // compaction decision is a pure function of the prior chain, so
+    // replays of the same batch make the same choice
+    def wantFull(kind: String): Boolean =
+      chain(spark, s"$stateDir/$kind", batchId).length >= compactEvery ||
+        versions(spark, s"$stateDir/$kind").forall(_ >= batchId)
+    def fullOf(kind: String): DataFrame = kind match {
+      // the final folded state, as a full snapshot (removed = false)
+      case "labels" =>
+        baseLabels.join(labelsOutDelta.filter(!col("removed"))
+            .select(col("node")), Seq("node"), "left_anti")
+          .join(delLabelDelta.filter(col("removed")).select(col("node")),
+            Seq("node"), "left_anti")
+          .unionByName(labelsOutDelta.filter(!col("removed"))
+            .drop("removed"))
+          .withColumn("removed", lit(false))
+      case "buckets" =>
+        baseBuckets.join(bucketsOutDelta.select(col("band"), col("bkey")),
+            Seq("band", "bkey"), "left_anti")
+          .unionByName(bucketsOutDelta.filter(!col("removed"))
+            .drop("removed"))
+          .withColumn("removed", lit(false))
+      case _ =>
+        baseBands.join(bandsOutDelta.select(col("doc_id"), col("band"),
+              col("bkey")), Seq("doc_id", "band", "bkey"), "left_anti")
+          .unionByName(bandsOutDelta.filter(!col("removed"))
+            .drop("removed"))
+          .withColumn("removed", lit(false))
+    }
+
+    def publish(kind: String, delta: DataFrame): Unit = {
+      val full = wantFull(kind)
+      val df = if (full) fullOf(kind) else delta
       val tmp = s"$stateDir/$kind/.tmp_v_$batchId"
       val dest = s"$stateDir/$kind/v=$batchId"
       df.write.mode("overwrite").parquet(tmp)
-      val fs = new Path(stateDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hfs = fs(spark, stateDir)
+      if (full) hfs.createNewFile(new Path(tmp, "_FULL"))
       val destPath = new Path(dest)
-      if (fs.exists(destPath)) fs.delete(destPath, true)
-      fs.rename(new Path(tmp), destPath)
-      val keep = math.max(2, retainVersions)
-      versions(spark, s"$stateDir/$kind").sorted.dropRight(keep)
-        .foreach(v => fs.delete(new Path(s"$stateDir/$kind/v=$v"), true))
+      if (hfs.exists(destPath)) hfs.delete(destPath, true)
+      hfs.rename(new Path(tmp), destPath)
+      // GC: keep the two newest fulls and everything after the older one
+      // (any replayed batch ≥ the older full can still fold its chain)
+      val vs = versions(spark, s"$stateDir/$kind").sorted
+      val fulls = vs.filter(v => isFull(spark, s"$stateDir/$kind/v=$v"))
+      if (fulls.length >= 2) {
+        val keepFrom = fulls(fulls.length - 2)
+        vs.filter(_ < keepFrom).foreach(v =>
+          hfs.delete(new Path(s"$stateDir/$kind/v=$v"), true))
+      }
     }
-    publish("labels", labelsOut)
-    publish("buckets", bucketsOut)
-    publish("bands", bandsOut)
+    publish("labels", labelsOutDelta)
+    publish("buckets", bucketsOutDelta)
+    publish("bands", bandsOutDelta)
     matched.unpersist()
     newBands.unpersist()
     newDocs.unpersist()
   }
+
+  /** Affected (semi-join) slice of the bucket table. */
+  private def storedOrBase(baseBuckets: DataFrame,
+      affected: DataFrame): DataFrame =
+    baseBuckets.join(affected,
+      baseBuckets("label") === affected("label"), "left_semi")
 
   /** Wire a stream of (doc_id, text[, op]) rows into the maintained
     * clusters. */

@@ -167,6 +167,72 @@ class IncrementalDedupSpec extends SparkSpecBase {
     }
   }
 
+  // ---- delta publishing / compaction ----
+
+  private def versionDirs(dir: String, kind: String): Seq[String] = {
+    val d = new java.io.File(s"$dir/$kind")
+    if (!d.exists()) Seq.empty
+    else d.listFiles().map(_.getName).filter(_.startsWith("v=")).sorted.toSeq
+  }
+
+  private def isFull(dir: String, kind: String, v: String): Boolean =
+    new java.io.File(s"$dir/$kind/$v/_FULL").exists()
+
+  test("delta publishing: non-compaction batches write O(batch) rows, not the corpus") {
+    val dir = Files.createTempDirectory("inc_delta").toString
+    val bulk = (0L until 300L).map(i => (i, s"document number $i with words w${i % 40} x y z"))
+    IncrementalDedup.mergeBatch(docsDF(bulk), 0L, dir) // first batch → FULL
+    assert(isFull(dir, "labels", "v=0"), "first batch must be a full snapshot")
+    // small append → delta version containing only the batch's rows
+    IncrementalDedup.mergeBatch(docsDF(Seq(
+      (9001L, "document number 9001 with words w1 x y z"))), 1L, dir)
+    assert(!isFull(dir, "labels", "v=1"), "small batch must publish a delta")
+    val deltaRows = spark.read.parquet(s"$dir/labels/v=1").count()
+    assert(deltaRows < 50,
+      s"label delta should be O(batch+affected), got $deltaRows rows")
+    // the folded view is still the whole corpus
+    assert(labelsMap(dir).size == 301)
+    assert(labelsMap(dir) == truth(bulk :+
+      (9001L, "document number 9001 with words w1 x y z")))
+  }
+
+  test("compaction: a full snapshot lands every compactEvery deltas and GC bounds the chain") {
+    val dir = Files.createTempDirectory("inc_compact").toString
+    var live = Seq.empty[(Long, String)]
+    (0 until 9).foreach { i =>
+      val batch = Seq((i.toLong, s"doc $i words a$i b$i c d e"))
+      live = live ++ batch
+      IncrementalDedup.mergeBatch(docsDF(batch), i.toLong, dir,
+        compactEvery = 3)
+      assert(labelsMap(dir) == truth(live), s"divergence after batch $i")
+    }
+    val vs = versionDirs(dir, "labels")
+    val fulls = vs.filter(v => isFull(dir, "labels", v))
+    assert(fulls.length >= 2, s"expected periodic fulls, got $vs -> $fulls")
+    // GC keeps the two newest fulls and the deltas after the older one
+    assert(vs.length <= 8, s"GC failed to bound the version chain: $vs")
+    // and the fold across fulls+deltas still reconstructs the corpus
+    assert(labelsMap(dir) == truth(live))
+  }
+
+  test("replay of a compaction batch is idempotent") {
+    val dir = Files.createTempDirectory("inc_compact_replay").toString
+    (0 until 4).foreach { i =>
+      IncrementalDedup.mergeBatch(docsDF(Seq(
+        (i.toLong, s"doc $i words a$i b c d"))), i.toLong, dir,
+        compactEvery = 3)
+    }
+    val before = labelsMap(dir)
+    val fullsBefore = versionDirs(dir, "labels")
+      .filter(v => isFull(dir, "labels", v))
+    // batch 3 compacted (3 versions preceded it); crash-and-replay it
+    IncrementalDedup.mergeBatch(docsDF(Seq(
+      (3L, "doc 3 words a3 b c d"))), 3L, dir, compactEvery = 3)
+    assert(labelsMap(dir) == before, "replay must not change the state")
+    assert(versionDirs(dir, "labels").filter(v => isFull(dir, "labels", v))
+      == fullsBefore, "replay must make the same full-vs-delta choice")
+  }
+
   test("maintain(): streamed batches land in the versioned state") {
     implicit val s = spark
     val dir = Files.createTempDirectory("inc_stream").toString
