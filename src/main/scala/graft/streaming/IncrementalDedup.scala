@@ -122,7 +122,11 @@ object IncrementalDedup {
 
   /** Merge one micro-batch of (doc_id, text[, op]) rows, idempotent in
     * batchId. Without an `op` column every row is an append; with one,
-    * rows are `"add"` or `"del"` (del needs only doc_id). */
+    * rows are `"add"` or `"del"` (del needs only doc_id). Contract: at
+    * most one op per doc_id per batch — two adds of the same id with
+    * different texts in one batch have no well-defined cluster (the
+    * property spec generates under this contract; upstream the usual
+    * fix is a latest-wins dedup before the sink, q81's CDC compaction). */
   def mergeBatch(docs: DataFrame, batchId: Long, stateDir: String,
                  compactEvery: Int = 8): Unit = {
     val spark = docs.sparkSession

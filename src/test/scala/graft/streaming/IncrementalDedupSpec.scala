@@ -233,6 +233,39 @@ class IncrementalDedupSpec extends SparkSpecBase {
       == fullsBefore, "replay must make the same full-vs-delta choice")
   }
 
+  test("property: random add/delete sequences match the recompute after every batch") {
+    // Seeded-random op streams over a small text pool (8 distinct texts
+    // across 30 doc ids forces real shared clusters, merges, AND splits),
+    // checked against TextOps.clusterAssignments after every batch — the
+    // generalized form of the handwritten bridge/min-deletion cases.
+    val texts = (0 until 8).map(t =>
+      s"pool text $t with words w$t x$t y z shared tokens")
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(1000L + seed)
+      val dir = Files.createTempDirectory(s"inc_prop_$seed").toString
+      var live = Map.empty[Long, String]
+      (0 until 4).foreach { batchId =>
+        val adds = (0 until 6).map { _ =>
+          val id = rnd.nextInt(30).toLong
+          (id, texts(rnd.nextInt(texts.length)), "add")
+        }.filterNot { case (id, _, _) => live.contains(id) }
+          .distinctBy(_._1) // contract: one op per doc_id per batch
+        val dels = if (live.isEmpty) Seq.empty
+          else rnd.shuffle(live.keys.toSeq).take(rnd.nextInt(3))
+            .map(id => (id, "", "del"))
+        val batch = dels ++ adds
+        if (batch.nonEmpty) {
+          IncrementalDedup.mergeBatch(opsDF(batch), batchId.toLong, dir,
+            compactEvery = 3)
+          live = (live -- dels.map(_._1)) ++
+            adds.map { case (id, t, _) => id -> t }.toMap
+          assert(labelsMap(dir) == truth(live.toSeq),
+            s"seed $seed diverged after batch $batchId")
+        }
+      }
+    }
+  }
+
   test("maintain(): streamed batches land in the versioned state") {
     implicit val s = spark
     val dir = Files.createTempDirectory("inc_stream").toString
