@@ -128,8 +128,8 @@ object TextOps {
     // of CPU. Above the gate — the 100 TB shape — the distributed
     // O(log n) star loop below runs unchanged; the property spec pins
     // both paths against each other.
-    val canonEdges = canon(edges.select(col("a").as("u"), col("b").as("v")))
-      .localCheckpoint()
+    val canonEdges = loopCheckpoint(
+      canon(edges.select(col("a").as("u"), col("b").as("v"))), eager = true)
     if (canonEdges.count() <= localMaxEdges)
       return localUnionFind(canonEdges)
     var e = canonEdges
@@ -161,7 +161,7 @@ object TextOps {
     var converged = false
     var iter = 0
     while (!converged && iter < 60) {
-      val e2 = smallStar(largeStar(e)).localCheckpoint(false)
+      val e2 = loopCheckpoint(smallStar(largeStar(e)), eager = false)
       val c2 = checksum(e2) // materializes e2's checkpoint in the same job
       converged = c2 == prev
       prev = c2
@@ -176,6 +176,21 @@ object TextOps {
     e.select(col("u").as("node"), col("v").as("label"))
       .union(e.select(col("v").as("node"), col("v").as("label")))
       .groupBy(col("node")).agg(min(col("label")).as("label"))
+  }
+
+  /** Iteration checkpoint for the CC loop. localCheckpoint blocks live on
+    * executors — an executor loss mid-loop kills the query on a real
+    * cluster — so when the session has a checkpoint dir AND
+    * `spark.graft.cc.reliableCheckpoint=true`, the loop uses RELIABLE
+    * checkpoints to that dir instead (slower per round, survivable;
+    * spec-pinned on the forced-distributed path). Default stays local:
+    * right for local[] and for clusters that prefer retry-over-HA. */
+  private def loopCheckpoint(df: DataFrame, eager: Boolean): DataFrame = {
+    val s = df.sparkSession
+    val reliable =
+      s.conf.getOption("spark.graft.cc.reliableCheckpoint").contains("true") &&
+        s.sparkContext.getCheckpointDir.isDefined
+    if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
   }
 
   /** Driver-side union-find over a collected canonical edge list — the

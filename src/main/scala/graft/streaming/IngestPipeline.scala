@@ -33,16 +33,45 @@ object IngestPipeline {
   /** Stage 1 — decode notifications and enforce watermark monotonicity.
     * Returns the accepted (mailbox, historyId) advances. */
   def notifications(envelopes: DataFrame)
-                   (implicit spark: SparkSession): Dataset[StreamOps.MailboxWatermark] = {
+                   (implicit spark: SparkSession): Dataset[StreamOps.MailboxWatermark] =
+    notificationsWithRejects(envelopes)._1
+
+  /** One decode pass classifying every envelope: `reason` is null for
+    * well-formed rows, else the rejection cause. */
+  private def classified(envelopes: DataFrame): DataFrame =
+    envelopes
+      .withColumn("bin", expr("try_to_binary(data_b64, 'base64')")) // E1
+      .withColumn("msg",
+        from_json(col("bin").cast("string"), envelopeSchema))       // E3
+      .withColumn("reason",
+        when(col("bin").isNull, lit("bad-base64"))
+          // from_json PERMISSIVE yields a null-FIELDED struct for garbage,
+          // so malformed-JSON detection needs try_parse_json explicitly
+          .when(col("msg").isNull ||
+            expr("try_parse_json(cast(bin as string))").isNull, lit("bad-json"))
+          .when(col("msg.historyId").isNull, lit("missing-historyId")))
+
+  /** Stage 1 with the reference's error-path parity: `main.py:311-315`
+    * wraps the whole webhook in a catch-all that turns every failure into
+    * a status record instead of a dropped request (and `:251-252` returns
+    * a distinct status for a missing historyId). The Spark analog is a
+    * DEAD-LETTER split: one decode pass classifies each envelope, valid
+    * rows feed the monotone guard, malformed rows land in a rejects
+    * stream as (payload, reason) ∈ {bad-base64, bad-json,
+    * missing-historyId} for quarantine/replay — same shape as the media
+    * decoder's `extractRejects`. (Stale ids are NOT rejects: the guard
+    * drops them statefully, the reference's "stale-history-id" status.) */
+  def notificationsWithRejects(envelopes: DataFrame)
+      (implicit spark: SparkSession): (Dataset[StreamOps.MailboxWatermark], DataFrame) = {
     import spark.implicits._
-    val decoded = envelopes
-      .withColumn("decoded", E.b64ToString(col("data_b64")))   // E1
-      .withColumn("msg", from_json(col("decoded"), envelopeSchema)) // E3
+    val c = classified(envelopes)
+    val ok = c.filter(col("reason").isNull)
       .select(col("msg.historyId").as("historyId"),            // P2
-        col("msg.emailAddress").as("mailbox"))
-      .filter(col("historyId").isNotNull)                      // F1
+        col("msg.emailAddress").as("mailbox"))                 // F1 by class
       .as[StreamOps.HistoryEvent]
-    StreamOps.monotoneWatermarkGuard(decoded)                  // F2/A1/ST1
+    val rejects = c.filter(col("reason").isNotNull)
+      .select(col("data_b64").as("payload"), col("reason"))
+    (StreamOps.monotoneWatermarkGuard(ok), rejects)            // F2/A1/ST1
   }
 
   /** Stage 2 — parse raw MIME messages into ParsedEmail records

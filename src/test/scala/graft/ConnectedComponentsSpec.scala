@@ -75,6 +75,28 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     check(600, star ++ clique ++ pair, "mixed")
   }
 
+  test("reliable checkpoints: the distributed loop writes to the checkpoint dir when asked") {
+    val ckptDir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    spark.conf.set("spark.graft.cc.reliableCheckpoint", "true")
+    try {
+      val rnd = new scala.util.Random(5L)
+      val perm = rnd.shuffle((0L until 300L).toVector)
+      val edges = (0 until 299).map(i => (perm(i), perm(i + 1)))
+      val truth = unionFind(300, edges)
+      val got = ccLabels(edges, localMaxEdges = 0L) // force distributed
+      edges.flatMap(e => Seq(e._1, e._2)).toSet.foreach { (v: Long) =>
+        assert(got(v) == truth(v), s"reliable-ckpt path: node $v")
+      }
+      // the loop really used the reliable dir (one subdir per rdd)
+      val files = new java.io.File(ckptDir).listFiles()
+      assert(files != null && files.nonEmpty,
+        "no reliable checkpoint data written")
+    } finally {
+      spark.conf.unset("spark.graft.cc.reliableCheckpoint")
+    }
+  }
+
   test("seeded random graphs match union-find exactly") {
     val rnd = new scala.util.Random(42L)
     (1 to 3).foreach { trial =>
