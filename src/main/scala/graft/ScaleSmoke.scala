@@ -198,6 +198,31 @@ object ScaleSmoke {
       spark.catalog.clearCache()
     }
 
+    // micro-batch connector drain: 2M synthetic events through the DSv2
+    // streaming source under admission control (maxPerTrigger 250k → 8
+    // batches), counting rows via an aggregating foreachBatch. Measures
+    // the source's per-batch overhead (offset planning + chunk-pruned
+    // partitions + reader) isolated from any sink I/O.
+    {
+      val t0 = System.nanoTime()
+      val total = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = spark.readStream.format("graftevents")
+        .option("events", 2000000L).option("chunk", 65536)
+        .option("maxPerTrigger", 250000L).load()
+        .writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("smoke_ev_ckpt").toString)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          total.addAndGet(b.count()); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE stream_drain       $dt%8.2f s  rows=${total.get()} " +
+        f"(${total.get() / dt / 1e6}%.2f M rows/s admitted in 250k batches)")
+    }
+
     // q43-shaped embedding near-dup at mult× (exact vector copies share a
     // hyperplane bucket — like the text stages, the worst bucket load)
     time("embedding_neardup") {
