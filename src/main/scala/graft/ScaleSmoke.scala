@@ -198,6 +198,28 @@ object ScaleSmoke {
       spark.catalog.clearCache()
     }
 
+    // distributed star CC above the union-find gate: every dedup stage's
+    // edge list fits under the 4M gate at this SF, so force the
+    // distributed O(log n) loop on a 5M-edge seeded random graph
+    // (xxhash64-derived endpoints over 2M nodes — supercritical, one
+    // giant component + tails) and time convergence. This is the path a
+    // 100 TB corpus' rep-graph takes.
+    {
+      val t0 = System.nanoTime()
+      val edges = spark.range(5000000L)
+        .select(pmod(xxhash64(col("id")), lit(2000000L)).as("a"),
+          pmod(xxhash64(col("id"), lit(1)), lit(2000000L)).as("b"))
+      val labels = graft.operators.TextOps
+        .minLabelPropagate(edges, localMaxEdges = 0L)
+      val (nodes, comps) = {
+        val r = labels.agg(count(lit(1)), countDistinct(col("label"))).first()
+        (r.getLong(0), r.getLong(1))
+      }
+      println(f"SCALE star_cc_5m_edges   ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+        s"nodes=$nodes components=$comps (forced distributed path)")
+      spark.catalog.clearCache()
+    }
+
     // micro-batch connector drain: 2M synthetic events through the DSv2
     // streaming source under admission control (maxPerTrigger 250k → 8
     // batches), counting rows via an aggregating foreachBatch. Measures
