@@ -167,14 +167,15 @@ object VectorOps {
               nprobe: Int = 3, cells: Int = 8): DataFrame =
     ivfTopKFrom(Tables.embeddings(s, d), nQueries, k, nprobe, cells)
 
-  /** DataFrame form of [[ivfTopK]] (any (vec_id, embedding) corpus). */
+  /** DataFrame form of [[ivfTopK]] (any (vec_id, embedding) corpus).
+    * `base` stays persisted until the session clears caches (the repo's
+    * operator convention) — the returned plan is lazy, so an eager
+    * unpersist here would drop the cache before the caller executes it
+    * and re-derive the integer vectors once per downstream consumer. */
   def ivfTopKFrom(corpus: DataFrame, nQueries: Int = 5, k: Int = 5,
                   nprobe: Int = 3, cells: Int = 0): DataFrame = {
     val (a2, c2, base) = trainAssign(corpus, cells)
-    val out = probeAssigned(a2, c2,
-      queriesOf(base, nQueries), k, nprobe)
-    base.unpersist()
-    out
+    probeAssigned(a2, c2, queriesOf(base, nQueries), k, nprobe)
   }
 
   private def queriesOf(base: DataFrame, nQueries: Int): DataFrame =
