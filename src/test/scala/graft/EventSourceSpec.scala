@@ -168,5 +168,10 @@ class EventSourceSpec extends SparkSpecBase {
     assert(mb.initialOffset() == EventOffset(500L))
     // offsets round-trip through their checkpoint JSON form
     assert(mb.deserializeOffset(EventOffset(777L).json()) == EventOffset(777L))
+    // composite read limits (AvailableNow wrapping) take the tightest rows cap
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val composite = ReadLimit.compositeLimit(
+      Array(ReadLimit.allAvailable(), ReadLimit.maxRows(40L)))
+    assert(stream.latestOffset(EventOffset(0L), composite) == EventOffset(40L))
   }
 }
