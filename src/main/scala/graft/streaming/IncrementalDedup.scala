@@ -122,11 +122,14 @@ object IncrementalDedup {
 
   /** Merge one micro-batch of (doc_id, text[, op]) rows, idempotent in
     * batchId. Without an `op` column every row is an append; with one,
-    * rows are `"add"` or `"del"` (del needs only doc_id). Contract: at
-    * most one op per doc_id per batch — two adds of the same id with
-    * different texts in one batch have no well-defined cluster (the
-    * property spec generates under this contract; upstream the usual
-    * fix is a latest-wins dedup before the sink, q81's CDC compaction). */
+    * rows are `"add"` or `"del"` (del needs only doc_id). Adding a LIVE
+    * doc_id is an UPDATE: its old presence (including its old band keys)
+    * is retracted first, so the maintained clusters always reflect every
+    * doc's current text. Contract: at most one op per doc_id per batch —
+    * two adds of the same id with different texts in one batch have no
+    * well-defined cluster (the property spec generates under this
+    * contract; upstream the usual fix is a latest-wins dedup before the
+    * sink, q81's CDC compaction). */
   def mergeBatch(docs: DataFrame, batchId: Long, stateDir: String,
                  compactEvery: Int = 8): Unit = {
     val spark = docs.sparkSession
@@ -163,10 +166,22 @@ object IncrementalDedup {
     // ---- deletion phase: retractions can split components ----
     // Each output pairs the post-delete base (for the append phase) with
     // the batch's delta rows (for publishing).
+    //
+    // RE-INGESTED ids route through here too: adding a LIVE doc_id with
+    // (possibly) different text must retract its OLD band keys first —
+    // otherwise the stale keys stay in `bands` and a later deletion in
+    // the component would reconnect clusters through text the doc no
+    // longer has. Delete-then-add makes the maintained labels equal the
+    // recompute over every doc's CURRENT text, which is the invariant.
+    val reIngested = newDocs.select(col("doc_id"))
+      .join(storedLabels.select(col("node").as("st_node")),
+        col("doc_id") === col("st_node"), "left_semi")
+    val delIdsAll = dels.unionByName(reIngested).distinct()
     val emptyDelta = (df: DataFrame) =>
       df.limit(0).withColumn("removed", lit(false))
+    val anyDeletes = hasOp || !delIdsAll.isEmpty
     val (baseLabels, baseBuckets, baseBands,
-         delLabelDelta, delBucketDelta, delBandDelta) = if (!hasOp) {
+         delLabelDelta, delBucketDelta, delBandDelta) = if (!anyDeletes) {
       (storedLabels, storedBuckets, storedBands,
         emptyDelta(storedLabels), emptyDelta(storedBuckets),
         emptyDelta(storedBands))
@@ -175,7 +190,7 @@ object IncrementalDedup {
       // share lineage (delSet with the batch, the empty-state defaults
       // with newBands), and dataset-qualified refs on shared lineage trip
       // DetectAmbiguousSelfJoin.
-      val delIds = dels.select(col("doc_id").as("del_id"))
+      val delIds = delIdsAll.select(col("doc_id").as("del_id"))
         .localCheckpoint() // tiny; cut lineage, reused 3×
       // components that lose a member
       val delAffected = storedLabels
@@ -280,17 +295,13 @@ object IncrementalDedup {
       .localCheckpoint()
     // 4. resolve the subgraph (tiny relative to the corpus)
     val sub = TextOps.minLabelPropagate(edges)
-    // 5. every new doc gets a label (subgraph result, else itself); a
-    //    re-ingested EXISTING id keeps the min of old and new label (the
-    //    historical full-rewrite semantics, preserved by folding the
-    //    stored label into the upsert)
+    // 5. every new doc gets a label (subgraph result, else itself).
+    //    Re-ingested ids were retracted in the deletion phase, so the
+    //    post-delete base never contains a doc being added here — its
+    //    label is purely a function of its CURRENT text.
     val newLabels = newDocs.select(col("doc_id").as("node"))
       .join(sub, Seq("node"), "left")
-      .join(baseLabels.select(col("node"), col("label").as("old_label")),
-        Seq("node"), "left")
-      .select(col("node"),
-        least(coalesce(col("label"), col("node")),
-          coalesce(col("old_label"), col("node"))).as("label"))
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
     // 6. the batch's label delta: relabeled affected members + new docs
     //    (carried clusters are never rewritten — that is the point)
     val labelDelta = sub.join(baseLabels.select(col("node")),

@@ -233,6 +233,26 @@ class IncrementalDedupSpec extends SparkSpecBase {
       == fullsBefore, "replay must make the same full-vs-delta choice")
   }
 
+  test("re-ingesting a live id with new text retracts its old band keys") {
+    // the stale-bands trap: {3,7,9} share text A; doc 3 is then UPDATED
+    // to unrelated text B; deleting 7 afterwards must NOT reconnect 3 and
+    // 9 through 3's retracted A-keys — 9 ends up alone, 3 alone
+    val dir = Files.createTempDirectory("inc_reingest").toString
+    val textA = "shared alpha beta gamma delta epsilon zeta"
+    val textB = "entirely different words live in this doc now"
+    IncrementalDedup.mergeBatch(docsDF(Seq(
+      (3L, textA), (7L, textA), (9L, textA))), 0L, dir)
+    assert(labelsMap(dir) == Map(3L -> 3L, 7L -> 3L, 9L -> 3L))
+    IncrementalDedup.mergeBatch(docsDF(Seq((3L, textB))), 1L, dir)
+    assert(labelsMap(dir) == truth(Seq((3L, textB), (7L, textA), (9L, textA))),
+      "update must re-cluster doc 3 by its NEW text")
+    IncrementalDedup.mergeBatch(opsDF(Seq((7L, "", "del"))), 2L, dir)
+    val after = labelsMap(dir)
+    assert(after == truth(Seq((3L, textB), (9L, textA))),
+      s"stale bands reconnected the split component: $after")
+    assert(after(3L) != after(9L), "3 and 9 share no current text")
+  }
+
   test("property: random add/delete sequences match the recompute after every batch") {
     // Seeded-random op streams over a small text pool (8 distinct texts
     // across 30 doc ids forces real shared clusters, merges, AND splits),
@@ -245,15 +265,16 @@ class IncrementalDedupSpec extends SparkSpecBase {
       val dir = Files.createTempDirectory(s"inc_prop_$seed").toString
       var live = Map.empty[Long, String]
       (0 until 4).foreach { batchId =>
+        // adds may hit LIVE ids (text updates — retract-then-add path);
+        // contract is only one op per doc_id per batch (distinctBy)
         val adds = (0 until 6).map { _ =>
           val id = rnd.nextInt(30).toLong
           (id, texts(rnd.nextInt(texts.length)), "add")
-        }.filterNot { case (id, _, _) => live.contains(id) }
-          .distinctBy(_._1) // contract: one op per doc_id per batch
+        }.distinctBy(_._1)
         val dels = if (live.isEmpty) Seq.empty
           else rnd.shuffle(live.keys.toSeq).take(rnd.nextInt(3))
             .map(id => (id, "", "del"))
-        val batch = dels ++ adds
+        val batch = (dels ++ adds).distinctBy(_._1)
         if (batch.nonEmpty) {
           IncrementalDedup.mergeBatch(opsDF(batch), batchId.toLong, dir,
             compactEvery = 3)
