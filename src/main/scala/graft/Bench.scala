@@ -69,9 +69,23 @@ object Bench {
     // per-query map once it outgrows the window — so ALSO persist the
     // complete map to the repo root. tools/bench_gate.py reads this file
     // (current vs last committed version) to gate regressions over every
-    // query, not just the ones that fit in the tail.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
-      (line + "\n").getBytes("UTF-8"))
+    // query, not just the ones that fit in the tail. The repo root is
+    // detected by the build.sbt marker (cwd when launched via sbt) with
+    // an env override — a silent write to some other cwd would leave the
+    // gate comparing a STALE file.
+    try {
+      val dir = sys.env.get("SPARK_GRAFT_BENCH_DIR")
+        .orElse(Option(".").filter(_ =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt"))))
+      dir match {
+        case Some(d) => java.nio.file.Files.write(
+          java.nio.file.Paths.get(d, "BENCH_full.json"),
+          (line + "\n").getBytes("UTF-8"))
+        case None => System.err.println(
+          "BENCH_full.json not written: cwd is not the repo root " +
+            "(no build.sbt) and SPARK_GRAFT_BENCH_DIR is unset")
+      }
+    }
     catch { case e: Throwable => System.err.println(s"BENCH_full.json write failed: $e") }
     spark.stop()
   }

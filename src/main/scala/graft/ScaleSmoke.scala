@@ -149,7 +149,9 @@ object ScaleSmoke {
       val reps = big.groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
         .persist()
-      println(s"SCALE   fp input: ${big.count()} docs -> ${reps.count()} reps")
+      // n was counted up front — recounting `big` here would bill a full
+      // corpus scan to this stage's clock just for the log line
+      println(s"SCALE   fp input: $n docs -> ${reps.count()} reps")
       val fps = Tables.spread(reps)
         .select(col("doc_id"),
           explode(T.rollingFingerprintsUdf(24, 4)(col("text"))).as("fp"))

@@ -111,7 +111,7 @@ object TextOps {
     * checksum; non-convergence inside the generous cap throws — loudly
     * wrong beats silently-truncated clusters. */
   def minLabelPropagate(edges: DataFrame,
-      localMaxEdges: Long = 1L << 22): DataFrame = {
+      localMaxEdges: Long = 1L << 20): DataFrame = {
     def canon(df: DataFrame): DataFrame =
       df.select(greatest(col("u"), col("v")).as("u"),
           least(col("u"), col("v")).as("v"))
@@ -122,12 +122,14 @@ object TextOps {
     // thousand rows after signature pre-collapse), yet every distributed
     // star round pays ~6 shuffle stages of fixed scheduling cost —
     // measured ~0.4 s/round × 6 rounds of pure overhead at local[32].
-    // Below the gate (4M edges ≈ 64 MB — the same order as a broadcast
-    // -join threshold) we collect the canonical edges and run union-find
-    // on the driver: identical labels (component minimum), microseconds
-    // of CPU. Above the gate — the 100 TB shape — the distributed
-    // O(log n) star loop below runs unchanged; the property spec pins
-    // both paths against each other.
+    // Below the gate (1M edges — a few hundred MB of DRIVER heap once
+    // collect()'s Row objects, the boxed union-find map, and the output
+    // buffer are counted, so sized like a conservative broadcast
+    // threshold, not like raw longs) we collect the canonical edges and
+    // run union-find on the driver: identical labels (component
+    // minimum), microseconds of CPU. Above the gate — the 100 TB shape —
+    // the distributed O(log n) star loop below runs unchanged; the
+    // property spec pins both paths against each other.
     val canonEdges = loopCheckpoint(
       canon(edges.select(col("a").as("u"), col("b").as("v"))), eager = true)
     if (canonEdges.count() <= localMaxEdges)

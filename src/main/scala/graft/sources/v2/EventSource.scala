@@ -70,7 +70,10 @@ class EventSource extends TableProvider
     val events = Option(properties.get("events")).map(_.toLong).getOrElse(10000L)
     val chunk = Option(properties.get("chunk")).map(_.toLong).getOrElse(1024L)
     val startId = Option(properties.get("startId")).map(_.toLong).getOrElse(0L)
-    val maxPerTrigger = Option(properties.get("maxPerTrigger")).map(_.toLong)
+    // clamp like chunk: maxPerTrigger <= 0 would make latestOffset never
+    // advance and spin an AvailableNow drain forever
+    val maxPerTrigger = Option(properties.get("maxPerTrigger"))
+      .map(v => math.max(1L, v.toLong))
     new EventTable(events, math.max(1L, chunk), startId, maxPerTrigger)
   }
 }

@@ -103,20 +103,21 @@ class EventSourceSpec extends SparkSpecBase {
   test("streaming: kill-and-restart resumes from checkpointed offsets exactly once") {
     val out = java.nio.file.Files.createTempDirectory("ev_rs_out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("ev_rs_ckpt").toString
-    // phase 1: continuous trigger, killed mid-stream after >=2 commits
+    // phase 1: a one-hour trigger interval fires exactly ONE admitted
+    // batch (113 rows) before the kill — deterministic, no race against
+    // a fast drain (ProcessingTime(0) could finish all 9 batches before
+    // a polling loop saw them)
     val q1 = streamEvents(1000, chunk = 100, maxPerTrigger = 113)
       .writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", ckpt)
-      .trigger(Trigger.ProcessingTime(0L)).start()
+      .trigger(Trigger.ProcessingTime(3600000L)).start()
     val deadline = System.currentTimeMillis() + 120000
-    while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+    while (q1.recentProgress.count(_.numInputRows > 0) < 1 &&
         System.currentTimeMillis() < deadline) Thread.sleep(50)
     q1.stop() // the "kill": offsets for completed batches are checkpointed
     val afterKill = drainedIds(out)
-    assert(afterKill.nonEmpty && afterKill.size < 1000,
-      s"kill should land mid-stream, committed=${afterKill.size}")
-    assert(afterKill == (0L until afterKill.size.toLong),
-      "committed prefix must be dense — no skips before the kill")
+    assert(afterKill == (0L until 113L),
+      s"exactly the one admitted batch should be committed, got ${afterKill.size}")
     // phase 2: restart against the same checkpoint drains the remainder
     val q2 = streamEvents(1000, chunk = 100, maxPerTrigger = 113)
       .writeStream.format("parquet")

@@ -63,14 +63,20 @@ def full_history_pair():
             capture_output=True, text=True, check=True).stdout.split()
     except subprocess.CalledProcessError:
         return None
+    cur_q = parse_queries(json.loads(cur_text))
+    if not cur_q:
+        # an empty/garbled current file must FAIL the gate, not pass it
+        sys.exit("BENCH_full.json has no per-query entries — bad bench run?")
     for rev in revs:
-        old_text = subprocess.run(
-            ["git", "-C", REPO, "show", f"{rev}:BENCH_full.json"],
-            capture_output=True, text=True, check=True).stdout
-        if old_text.strip() != cur_text.strip():
-            return (parse_queries(json.loads(old_text)),
-                    parse_queries(json.loads(cur_text)),
-                    f"BENCH_full.json@{rev}", "BENCH_full.json")
+        try:
+            old_text = subprocess.run(
+                ["git", "-C", REPO, "show", f"{rev}:BENCH_full.json"],
+                capture_output=True, text=True, check=True).stdout
+            old_q = parse_queries(json.loads(old_text))
+        except (subprocess.CalledProcessError, json.JSONDecodeError):
+            continue  # deletion/rename commit or garbled version: skip it
+        if old_q and old_text.strip() != cur_text.strip():
+            return (old_q, cur_q, f"BENCH_full.json@{rev}", "BENCH_full.json")
     return None
 
 
