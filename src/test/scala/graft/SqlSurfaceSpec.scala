@@ -51,6 +51,18 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(r.forall(row => math.abs(row.getDouble(1) - 1.0) < 1e-12))
   }
 
+  test("graftevents is SQL-reachable via CREATE TEMPORARY VIEW ... USING") {
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW ev_sql
+                 USING graftevents OPTIONS (events 500, chunk 100)""")
+    val r = spark.sql(
+      "SELECT count(*) AS n FROM ev_sql WHERE event_id >= 450").collect()
+    assert(r(0).getLong(0) == 50)
+    // the pushed range survives the SQL path: only the last chunk planned
+    val planned = spark.sql("SELECT * FROM ev_sql WHERE event_id >= 450")
+    assert(planned.rdd.getNumPartitions == 1,
+      "event_id pushdown must prune partitions through SQL too")
+  }
+
   test("zorder2 is SQL-reachable: ORDER BY a native Morton key") {
     Tables.registerAll(spark, sf)
     val r = spark.sql(
