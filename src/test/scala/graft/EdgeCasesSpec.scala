@@ -22,7 +22,9 @@ class EdgeCasesSpec extends SparkSpecBase {
   test("minLabelPropagate: empty edge list on both resolver paths") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(TextOps.minLabelPropagate(empty).count() == 0)
-    assert(TextOps.minLabelPropagate(empty, localMaxEdges = 0L).count() == 0)
+    // -1 genuinely forces the distributed star loop: the gate is
+    // `count <= localMaxEdges`, so 0 would still take the local path
+    assert(TextOps.minLabelPropagate(empty, localMaxEdges = -1L).count() == 0)
   }
 
   test("similarity search: empty corpus and queries selecting nothing") {
