@@ -559,6 +559,53 @@ object TextOps {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Ensemble dedup-signal agreement — the threshold-tuning table a real
+    // curation pipeline builds before trusting any single dedup signal:
+    // every text-side LSH candidate pair carries BOTH its exact shingle
+    // Jaccard (the q37 verify) and the exact-decimal dot of the two docs'
+    // embeddings (the q40 convention, hash-comparable unlike cosine whose
+    // sqrt-normalization is irrational). Disagreements — high text overlap
+    // with low embedding affinity or vice versa — are exactly the rows a
+    // curator inspects to set per-signal thresholds. Scale shape: the
+    // candidate set is band-bounded (never all pairs); the tiny pair list
+    // broadcasts back onto the shingle cache and the embeddings scan, so
+    // neither shingle arrays nor vectors ever shuffle.
+    "q102_signal_agreement" -> ((s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), T.shingleSigUdf(3, 8)(col("text")).as("ss"))
+        .filter(size(col("ss.shingles")) > 0)
+        .select(col("doc_id"), col("ss.shingles").as("shingles"),
+          col("ss.sig").as("sig"))
+        .persist()
+      docs.count()
+      val bands = docs.select(col("doc_id"),
+          explode(T.bandKeys(col("sig"), 4, 2)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.bkey").as("bkey"))
+      val a = bands.alias("a")
+      val b = bands.alias("b")
+      val pairs = a.join(b, col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val jac = docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+        .join(broadcast(pairs), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"),
+          col("shingles").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          T.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      val e = Tables.embeddings(s, d)
+      jac
+        .join(e.select(col("vec_id").as("doc_a"), col("embedding").as("v_a")),
+          Seq("doc_a"))
+        .join(e.select(col("vec_id").as("doc_b"), col("embedding").as("v_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          graft.functions.VectorFns.dotExact(col("v_a"), col("v_b")).as("dot"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Overlapping-window document chunking — the context-window prep step
     // for embedding/RAG pipelines: 50-token chunks, stride 40 (10-token
     // overlap so no boundary sentence is lost). Map-only + generator
@@ -901,6 +948,42 @@ object TextOps {
            CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
            count(DISTINCT source) AS n_sources
          FROM documents GROUP BY lang ORDER BY lang""",
+
+    // q37's candidate+jaccard CTEs joined with q40's exact-decimal dot
+    // convention (round-then-downscale before the double cast — DuckDB's
+    // own decimal downscale truncates where Spark rounds HALF_UP).
+    "q102_signal_agreement" ->
+      s"""WITH toks AS (
+           SELECT doc_id, $duckTokens AS ws FROM documents),
+         sh AS (
+           SELECT doc_id, ${duckShingles("ws")} AS shingles FROM toks),
+         sig AS (
+           SELECT doc_id, shingles, ${duckSig("shingles")} AS sig FROM sh
+           WHERE len(shingles) > 0),
+         bands AS (
+           SELECT doc_id, shingles, b AS band,
+             md5(CAST(sig[2*b + 1] AS VARCHAR) || '#' || CAST(sig[2*b + 2] AS VARCHAR)) AS bkey
+           FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         flat AS (
+           SELECT vec_id, i,
+             CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,9)) AS x
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+         dots AS (
+           SELECT p.doc_a, p.doc_b, p.jaccard,
+             CAST(CAST(round(sum(fa.x * fb.x), 12) AS DECIMAL(18,12))
+               AS DOUBLE) AS dot
+           FROM pairs p
+           JOIN flat fa ON fa.vec_id = p.doc_a
+           JOIN flat fb ON fb.vec_id = p.doc_b AND fb.i = fa.i
+           GROUP BY p.doc_a, p.doc_b, p.jaccard)
+         SELECT doc_a, doc_b, jaccard, dot FROM dots
+         ORDER BY doc_a, doc_b""",
 
     "q37_jaccard_verify" ->
       s"""WITH toks AS (
