@@ -71,11 +71,18 @@ object Exact {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Matching SQL fragments for the DuckDB oracle. */
+  /** Matching SQL fragments for the DuckDB oracle. The decimal→double
+    * hop routes through VARCHAR: DuckDB's direct cast computes
+    * unscaled-int128 × 10^-scale in floating point (two roundings — 1 ULP
+    * off once the unscaled value passes 2^53; first seen on q82, then on
+    * q01's sum_disc_price at sf0.1), while VARCHAR→DOUBLE is a single
+    * correctly-rounded conversion matching Spark's Decimal.toDouble. */
+  private def d2d(expr: String): String =
+    s"CAST(CAST($expr AS VARCHAR) AS DOUBLE)"
   def sqlDsum(col: String, scale: Int = 4): String =
-    s"CAST(sum(CAST($col AS DECIMAL(18,$scale))) AS DOUBLE)"
+    d2d(s"sum(CAST($col AS DECIMAL(18,$scale)))")
   def sqlDsumProd(a: String, b: String, scale: Int = 4): String =
-    s"CAST(sum(CAST($a AS DECIMAL(18,$scale)) * CAST($b AS DECIMAL(18,$scale))) AS DOUBLE)"
+    d2d(s"sum(CAST($a AS DECIMAL(18,$scale)) * CAST($b AS DECIMAL(18,$scale)))")
   def sqlDavg(col: String, scale: Int = 4): String =
-    s"CAST(sum(CAST($col AS DECIMAL(18,$scale))) AS DOUBLE) / count($col)"
+    d2d(s"sum(CAST($col AS DECIMAL(18,$scale)))") + s" / count($col)"
 }

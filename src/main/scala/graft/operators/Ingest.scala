@@ -358,7 +358,8 @@ object Ingest {
 
     "q27_tumbling_daily" ->
       """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
 
     "q28_email_parse" ->

@@ -336,9 +336,10 @@ object Relational {
 
     "q08_running_total" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS VARCHAR) AS DOUBLE)
            AS running_spend
          FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
 
