@@ -7,7 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -16,7 +16,14 @@ object Verify {
       // able to dominate wall time via explainString on each action
       .config("spark.sql.maxPlanStringLength", "65536")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .getOrCreate()
+    // hostile-config sweeps (AQE off, broadcast threshold 0, odd
+    // parallelism, ...): semicolon-separated k=v overrides — results must
+    // be identical under ANY of them, which is what the sweeps verify
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
