@@ -32,38 +32,52 @@ object Bench {
     graft.sources.Tables.names.foreach {
       t => graft.sources.Tables(spark, sfDir, t).count()
     }
-    // min of two timed executions per query: single-shot numbers on this
-    // box vary ±20% run-to-run (JIT/GC/scheduler noise); the min is the
-    // standard steady-state estimate and is what a resident engine serves.
+    // min of two timed executions per query, taken from two INTERLEAVED
+    // full passes (pass 1 over every query, then pass 2): single-shot
+    // numbers on this box vary ±20% run-to-run (JIT/GC/scheduler noise)
+    // and the round-7 driver artifact showed one-off 7-9x ambient stalls
+    // (q101 12.6s vs 1.45s quiet, zero code delta). Back-to-back
+    // repetitions of the SAME query sit inside one stall window, so both
+    // samples get polluted together; interleaving puts the two samples
+    // ~half the suite apart in time, which no single stall spans — the min
+    // is then a trustworthy steady-state estimate per query.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        // noop-format write materializes every output column through the
-        // full physical plan (count() would let Catalyst prune unreferenced
-        // projections and drop sorts, under-measuring projection-heavy
-        // queries).
-        val ok = try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
-        } catch {
-          case e: Throwable =>
-            errors(name) = e.toString.replaceAll("[\"\\\\\n\r]", " ").take(200)
-            false
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // the LSH queries persist intermediates; drop them so repeated
-        // executions measure the query, not a growing cache
-        spark.catalog.clearCache()
-        if (ok) dt else -1.0 // failed queries report negative, never a "pass"
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      // noop-format write materializes every output column through the
+      // full physical plan (count() would let Catalyst prune unreferenced
+      // projections and drop sorts, under-measuring projection-heavy
+      // queries).
+      val ok = try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
+      } catch {
+        case e: Throwable =>
+          errors(name) = e.toString.replaceAll("[\"\\\\\n\r]", " ").take(200)
+          false
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // the LSH queries persist intermediates; drop them so repeated
+      // executions measure the query, not a growing cache
+      spark.catalog.clearCache()
+      if (ok) dt else -1.0 // failed queries report negative, never a "pass"
+    }
+    val passes = (1 to 2).map(_ => named.map { case (n, fn) => timeOne(n, fn) })
+    val results = named.map(_._1).zipWithIndex.map { case (name, i) =>
+      val ts = passes.map(_(i))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // pass_totals = each pass's honest wall time (the min-total understates
+    // a real run; the gate uses the per-query mins, humans can read both)
+    val passTotals = passes.map(_.filter(_ >= 0).sum)
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":$passTotals,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // The driver records only the tail of stdout, which truncates the
     // per-query map once it outgrows the window — so ALSO persist the

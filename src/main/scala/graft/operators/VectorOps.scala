@@ -183,6 +183,14 @@ object VectorOps {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("iv").as("qiv"))
 
+  /** External (qid, embedding) queries → the probe shape. The qid space is
+    * the CALLER's — unrelated to corpus vec_ids — so external searches
+    * never self-exclude (a coincidental qid == vec_id is a different
+    * vector that must stay eligible). */
+  private def externalQ(queries: DataFrame): DataFrame =
+    queries.select(col("qid"), col("embedding").as("qv"),
+      intVec(col("embedding")).as("qiv"))
+
   /** Train the two-pass Lloyd quantizer and assign the corpus; returns
     * (assigned corpus, centroids, cached base). `cells = 0` → √N auto. */
   private def trainAssign(corpus: DataFrame,
@@ -229,20 +237,52 @@ object VectorOps {
   /** Probe `nprobe` nearest cells per query under the c2 centroids — the
     * SAME centroids that defined the assignment, so query probes and
     * corpus cells use one assignment function — then exact-decimal dot
-    * re-rank inside the probed cells only. */
+    * re-rank inside the probed cells only. `excludeSelf` applies the
+    * corpus-query convention (qid IS a vec_id → skip the vector itself);
+    * external query sets must keep it off. */
   private def probeAssigned(assigned: DataFrame, c2: DataFrame,
-      q: DataFrame, k: Int, nprobe: Int): DataFrame = {
+      q: DataFrame, k: Int, nprobe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val wq = Window.partitionBy(col("qid")).orderBy(col("dkey"), col("cell"))
     val probes = q.join(broadcast(c2))
       .withColumn("dkey", distKey(col("qiv"), col("csum"), col("cn")))
       .withColumn("crank", row_number().over(wq))
       .filter(col("crank") <= nprobe)
       .select(col("qid"), col("qv"), col("cell").as("pcell"))
+    val joinCond =
+      if (excludeSelf) col("cell") === col("pcell") && col("vec_id") =!= col("qid")
+      else col("cell") === col("pcell")
     val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
-    assigned.join(broadcast(probes), col("cell") === col("pcell") &&
-        col("vec_id") =!= col("qid"))
+    assigned.join(broadcast(probes), joinCond)
       .withColumn("dot", V.dotExact(col("qv"), col("embedding")))
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("dot"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** In-memory IVF ANN over EXTERNAL query vectors: `queries` is any
+    * (qid, embedding) DataFrame whose vectors need NOT be corpus rows —
+    * the real ANN shape (the reference's correlation-key lookup,
+    * api/main.py:182, has the same "key arrives from outside the table"
+    * form). Train + assign once, then probe each query's nprobe nearest
+    * cells with the exact-decimal re-rank. */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nprobe: Int = 3, cells: Int = 0): DataFrame = {
+    val (a2, c2, _) = trainAssign(corpus, cells)
+    probeAssigned(a2, c2, externalQ(queries), k, nprobe, excludeSelf = false)
+  }
+
+  /** Brute-force exact-decimal top-k for EXTERNAL queries — the recall
+    * baseline [[ivfSearch]]/[[probeIvfIndex]] are measured against. */
+  def dotTopKWith(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val q = queries.select(col("qid"), col("embedding").as("qv"))
+    val c = Tables.spread(corpus.select(col("vec_id"), col("embedding")))
+    val scored = c.join(broadcast(q))
+      .withColumn("dot", V.dotExact(col("qv"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id"), col("dot"),
         col("rank").cast("long").as("rank"))
@@ -267,9 +307,25 @@ object VectorOps {
     * the executed plan by IvfIndexSpec) and exact-decimal re-rank. */
   def probeIvfIndex(s: SparkSession, path: String, nQueries: Int = 5,
                     k: Int = 5, nprobe: Int = 3): DataFrame = {
-    val c2 = s.read.parquet(s"$path/centroids")
     val corpus = s.read.parquet(s"$path/corpus")
-    val q = queriesOf(corpus, nQueries)
+    probeStored(s, path, corpus, queriesOf(corpus, nQueries), k, nprobe,
+      excludeSelf = true)
+  }
+
+  /** Search a written index with EXTERNAL query vectors: `queries` is any
+    * (qid, embedding) DataFrame — held-out vectors, a user batch, another
+    * table — NOT rows of the indexed corpus. Same pruned-probe plan as
+    * the corpus-query form (only the probed cell directories are read);
+    * no self-exclusion, because the caller's qid space is unrelated to
+    * corpus vec_ids. */
+  def probeIvfIndex(s: SparkSession, path: String, queries: DataFrame,
+                    k: Int, nprobe: Int): DataFrame =
+    probeStored(s, path, s.read.parquet(s"$path/corpus"),
+      externalQ(queries), k, nprobe, excludeSelf = false)
+
+  private def probeStored(s: SparkSession, path: String, corpus: DataFrame,
+      q: DataFrame, k: Int, nprobe: Int, excludeSelf: Boolean): DataFrame = {
+    val c2 = s.read.parquet(s"$path/centroids")
     val wq = Window.partitionBy(col("qid")).orderBy(col("dkey"), col("cell"))
     val probes = q.join(broadcast(c2))
       .withColumn("dkey", distKey(col("qiv"), col("csum"), col("cn")))
@@ -281,17 +337,18 @@ object VectorOps {
     // the corpus read carries a literal IN-list partition filter
     val probedCells = probes.select(col("pcell")).distinct()
       .collect().map(_.getLong(0))
+    val joinCond =
+      if (excludeSelf) col("cell") === col("pcell") && col("vec_id") =!= col("qid")
+      else col("cell") === col("pcell")
     val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
-    val out = corpus.filter(col("cell").isin(probedCells: _*))
-      .join(broadcast(probes), col("cell") === col("pcell") &&
-        col("vec_id") =!= col("qid"))
+    corpus.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(probes), joinCond)
       .withColumn("dot", V.dotExact(col("qv"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id"), col("dot"),
         col("rank").cast("long").as("rank"))
       .orderBy(col("qid"), col("rank"))
-    out
   }
 
   /** Embedding near-dup detection via random-hyperplane LSH bucketing,

@@ -53,6 +53,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     .option("events", 100000).option("chunk", 4096).load()
   *   spark.readStream.format("graftevents")
   *     .option("events", 100000).option("maxPerTrigger", 1000).load()
+  *   // explicit projection (the streaming-path pruning opt-in; Spark 4
+  *   // won't push V2 column pruning into MICRO_BATCH scans):
+  *   spark.readStream.format("graftevents")
+  *     .option("events", 100000).option("columns", "event_id,user_id").load()
   *
   * Wiring: registered under the short name via DataSourceRegister
   * (META-INF/services), capabilities = BATCH_READ + MICRO_BATCH_READ,
@@ -64,7 +68,7 @@ class EventSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graftevents"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    EventSource.schema
+    EventSource.schemaFor(Option(options.get("columns")))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val events = Option(properties.get("events")).map(_.toLong).getOrElse(10000L)
@@ -74,7 +78,8 @@ class EventSource extends TableProvider
     // advance and spin an AvailableNow drain forever
     val maxPerTrigger = Option(properties.get("maxPerTrigger"))
       .map(v => math.max(1L, v.toLong))
-    new EventTable(events, math.max(1L, chunk), startId, maxPerTrigger)
+    new EventTable(events, math.max(1L, chunk), startId, maxPerTrigger,
+      EventSource.schemaFor(Option(properties.get("columns"))))
   }
 }
 
@@ -88,6 +93,26 @@ object EventSource {
 
   private val baseMicros = 1704067200L * 1000000L // 2024-01-01T00:00:00Z
   private val types = Array("view", "click", "purchase")
+
+  /** Explicit-projection table schema for the `columns` option (comma-
+    * separated names, requested order, case-sensitive). Spark 4 does not
+    * apply V2 column pruning to MICRO_BATCH scans (measured via
+    * StreamingQuery.explain: the streaming scan reads the full schema and
+    * Catalyst projects after), so a streaming reader's only way to get
+    * the narrow read the batch path gets automatically is to opt in at
+    * the table level — the option narrows the TABLE schema, which every
+    * scan (batch and micro-batch) then materializes verbatim. */
+  def schemaFor(columns: Option[String]): StructType = columns match {
+    case None => schema
+    case Some(spec) =>
+      val names = spec.split(",").map(_.trim).filter(_.nonEmpty).distinct
+      val known = schema.fieldNames.toSet
+      val bad = names.filterNot(known)
+      require(bad.isEmpty && names.nonEmpty,
+        s"graftevents 'columns' option: unknown/empty column list " +
+          s"'${spec}' (available: ${schema.fieldNames.mkString(",")})")
+      StructType(names.map(n => schema(n)).toSeq)
+  }
 
   /** The deterministic row formulas — mirrored by the spec. */
   def tsMicros(id: Long): Long = baseMicros + id * 60000000L // 1/min
@@ -108,25 +133,28 @@ object EventSource {
 }
 
 class EventTable(events: Long, chunk: Long, startId: Long,
-    maxPerTrigger: Option[Long]) extends Table with SupportsRead {
+    maxPerTrigger: Option[Long],
+    tableSchema: StructType = EventSource.schema)
+    extends Table with SupportsRead {
   override def name(): String = s"graftevents($events)"
-  override def schema(): StructType = EventSource.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EventScanBuilder(events, chunk, startId, maxPerTrigger)
+    new EventScanBuilder(events, chunk, startId, maxPerTrigger, tableSchema)
 }
 
 /** Consumes event_id range predicates; everything else stays a residual
   * Catalyst filter (returned from pushFilters), so correctness never
   * depends on what the source understands. */
 class EventScanBuilder(events: Long, chunk: Long, startId: Long,
-    maxPerTrigger: Option[Long]) extends ScanBuilder
+    maxPerTrigger: Option[Long],
+    tableSchema: StructType = EventSource.schema) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var lo = startId             // inclusive
   private var hi = events              // exclusive
   private var pushed = Array.empty[Filter]
-  private var required = EventSource.schema
+  private var required = tableSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, residual) = filters.partition {

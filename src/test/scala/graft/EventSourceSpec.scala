@@ -148,6 +148,80 @@ class EventSourceSpec extends SparkSpecBase {
       "second run must append exactly ids 600..999, no re-reads")
   }
 
+  test("streaming: 'columns' option narrows the micro-batch read schema") {
+    // Spark 4 won't push V2 column pruning into MICRO_BATCH scans, so the
+    // connector honors an explicit projection option instead: the table
+    // schema itself narrows, and the micro-batch reader materializes ONLY
+    // the requested fields (pinned below on the reader's InternalRow).
+    val df = spark.readStream.format("graftevents")
+      .option("events", 300).option("chunk", 100)
+      .option("maxPerTrigger", 100)
+      .option("columns", "event_id,user_id").load()
+    assert(df.schema.fieldNames.toSeq == Seq("event_id", "user_id"))
+    val out = java.nio.file.Files.createTempDirectory("ev_col_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ev_col_ckpt").toString
+    val q = df.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(out)
+    assert(got.schema.fieldNames.sorted.toSeq == Seq("event_id", "user_id"))
+    assert(got.count() == 300)
+    assert(got.filter(col("user_id") =!= pmod(col("event_id"), lit(97L)))
+      .count() == 0, "narrowed columns must still carry the row formulas")
+    // reader-level pin: the micro-batch PartitionReader's rows carry
+    // exactly the projected fields, not the full 5-column envelope
+    val t = new EventSource().getTable(EventSource.schema, Array.empty,
+        java.util.Map.of("events", "300", "chunk", "100",
+          "columns", "event_id,user_id"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+    val mb = t.newScanBuilder(
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build().toMicroBatchStream("unused")
+    val parts = mb.planInputPartitions(EventOffset(0L), EventOffset(100L))
+    val reader = mb.createReaderFactory().createReader(parts(0))
+    assert(reader.next() && reader.get().numFields == 2,
+      "micro-batch reader must materialize only the projected columns")
+    reader.close()
+    // the batch path honors the same option (requested order preserved)
+    val b = spark.read.format("graftevents")
+      .option("events", 10).option("columns", "payload,event_id").load()
+    assert(b.schema.fieldNames.toSeq == Seq("payload", "event_id"))
+    assert(b.count() == 10)
+    // unknown names are rejected loudly, naming the offender
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graftevents")
+        .option("events", 10).option("columns", "event_id,nope").load()
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("streaming: admission overload serves ProcessingTime (no-arg stays loud)") {
+    // The no-arg latestOffset is dead code kept loud; the engine must
+    // dispatch the admission-controlled overload because the stream
+    // implements SupportsAdmissionControl. Pin both halves: the throw,
+    // and a ProcessingTime drain that would FAIL with
+    // UnsupportedOperationException if a Spark version changed dispatch.
+    // (The AvailableNow half is pinned by the admission-control test
+    // above — its 8+ bounded batches only happen via the overload.)
+    val stream = new EventMicroBatchStream(0L, 100L, 10L,
+      EventSource.schema, maxPerTrigger = Some(10L))
+    intercept[UnsupportedOperationException] { stream.latestOffset() }
+    val q = streamEvents(500, chunk = 100, maxPerTrigger = 100)
+      .writeStream.format("memory").queryName("ev_pt_drain")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    val deadline = System.currentTimeMillis() + 120000
+    while (spark.table("ev_pt_drain").count() < 500 &&
+        q.exception.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    q.stop()
+    assert(q.exception.isEmpty, s"ProcessingTime drain failed: ${q.exception}")
+    assert(spark.table("ev_pt_drain").count() == 500)
+    val perBatch = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+    assert(perBatch.forall(_ <= 100) && perBatch.length >= 5,
+      s"expected >=5 admitted batches of <=100 rows, got $perBatch")
+  }
+
   test("streaming: per-batch partition planning is offset-range pruned") {
     // same chunk arithmetic as the pushed batch path, applied per batch:
     // offsets [850,960) over chunk=100 plan exactly 2 partitions

@@ -79,6 +79,69 @@ class IvfIndexSpec extends SparkSpecBase {
       "probing every cell IS the exact search — recall must be exactly 1")
   }
 
+  test("external query vectors: held-out searches against a written index") {
+    // the real ANN shape: queries are NOT rows of the indexed corpus
+    val path = java.nio.file.Files.createTempDirectory("ivf_ext").toString
+    val all = graft.sources.Tables.embeddings(spark, sf)
+    val corpus = all.filter($"vec_id" >= 10L)
+    val queries = all.filter($"vec_id" < 10L)
+      .select($"vec_id".as("qid"), $"embedding")
+    VectorOps.writeIvfIndex(corpus, path, cells = 8)
+    // probing EVERY cell is the exact search: must equal brute force
+    // bit-for-bit (dot is the exact-decimal value, ordering fully pinned)
+    val allCells = VectorOps.probeIvfIndex(spark, path, queries,
+      k = 5, nprobe = 8)
+    val brute = VectorOps.dotTopKWith(corpus, queries, k = 5)
+    assert(allCells.collect().toSeq == brute.collect().toSeq,
+      "nprobe=cells external search must reproduce brute force exactly")
+    // the in-memory form agrees with the written-index form
+    val inMem = VectorOps.ivfSearch(corpus, queries, k = 5, nprobe = 8,
+      cells = 8)
+    assert(inMem.collect().toSeq == brute.collect().toSeq)
+    // partial probe: still a valid top-k over the probed cells, recall
+    // tracks the scan fraction on uniform data
+    val partial = VectorOps.probeIvfIndex(spark, path, queries,
+      k = 5, nprobe = 3)
+    val bSet = topkSet(brute); val pSet = topkSet(partial)
+    val recall = (bSet & pSet).size.toDouble / bSet.size
+    assert(partial.groupBy($"qid").count().collect()
+      .forall(_.getLong(1) == 5), "every query must return k rows")
+    assert(recall >= 0.2 && recall <= 1.0, s"implausible recall $recall")
+    // plan pin: the external probe reads ONLY the probed cell directories
+    val two = queries.filter($"qid" < 2L)
+    val pruned = VectorOps.probeIvfIndex(spark, path, two, k = 5, nprobe = 2)
+    val scans = pruned.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("corpus")) => f
+    }
+    assert(scans.nonEmpty, "corpus scan not found in the probe plan")
+    val selected = scans.head.selectedPartitions.partitionCount
+    assert(selected >= 1 && selected <= 4,
+      s"2 queries x nprobe=2 must select <=4 cell partitions, got $selected")
+  }
+
+  test("external queries on a clustered corpus: >=0.9 recall at 2 of 8 cells") {
+    // queries are fresh perturbations of the planted centers — near the
+    // clusters but never inserted — so the quantizer must route each to
+    // its home cell without having seen it
+    val rnd = new scala.util.Random(11L)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    val corpus = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = (0 until 16).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f).toSeq)
+    }.toDF("qid", "embedding")
+    val brute = topkSet(VectorOps.dotTopKWith(corpus, queries, k = 5))
+    val got = topkSet(VectorOps.ivfSearch(corpus, queries, k = 5,
+      nprobe = 2, cells = 8))
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.9,
+      s"held-out queries must land in their home cells: recall $recall")
+  }
+
   test("recall on a clustered corpus: >=0.9 probing 2 of 8 cells") {
     // 8 planted clusters: deterministic centers, small perturbations —
     // the shape a trained quantizer exists for. 64-dim, 400 vectors.

@@ -39,6 +39,15 @@ def parse_queries(data):
     return {name: float(t) for name, t in pairs}
 
 
+def parse_sf(data):
+    """The run's SF dir ('sf' field; regex fallback for driver tails).
+    None when the artifact predates the field."""
+    if "sf" in data:
+        return data["sf"]
+    m = re.search(r'"sf":"([^"]*)"', data.get("tail", ""))
+    return m.group(1) if m else None
+
+
 def load_queries(path):
     with open(path) as f:
         data = json.load(f)
@@ -63,7 +72,9 @@ def full_history_pair():
             capture_output=True, text=True, check=True).stdout.split()
     except subprocess.CalledProcessError:
         return None
-    cur_q = parse_queries(json.loads(cur_text))
+    cur_data = json.loads(cur_text)
+    cur_q = parse_queries(cur_data)
+    cur_sf = parse_sf(cur_data)
     if not cur_q:
         # an empty/garbled current file must FAIL the gate, not pass it
         sys.exit("BENCH_full.json has no per-query entries — bad bench run?")
@@ -72,11 +83,22 @@ def full_history_pair():
             old_text = subprocess.run(
                 ["git", "-C", REPO, "show", f"{rev}:BENCH_full.json"],
                 capture_output=True, text=True, check=True).stdout
-            old_q = parse_queries(json.loads(old_text))
+            old_data = json.loads(old_text)
+            old_q = parse_queries(old_data)
         except (subprocess.CalledProcessError, json.JSONDecodeError):
             continue  # deletion/rename commit or garbled version: skip it
-        if old_q and old_text.strip() != cur_text.strip():
-            return (old_q, cur_q, f"BENCH_full.json@{rev}", "BENCH_full.json")
+        if not old_q or old_text.strip() == cur_text.strip():
+            continue
+        # Bench overwrites BENCH_full.json whatever the SF dir was, so a
+        # committed run at another SF would gate per-query times against a
+        # mismatched baseline (bogus regressions). Keep scanning for the
+        # newest committed version at the SAME sf.
+        old_sf = parse_sf(old_data)
+        if cur_sf is not None and old_sf is not None and old_sf != cur_sf:
+            print(f"note: skipping BENCH_full.json@{rev} — sf mismatch "
+                  f"({old_sf} vs current {cur_sf})")
+            continue
+        return (old_q, cur_q, f"BENCH_full.json@{rev}", "BENCH_full.json")
     return None
 
 
@@ -92,6 +114,14 @@ def main():
         old_path, new_path = args.files
         old, new = load_queries(old_path), load_queries(new_path)
         base_old, base_new = os.path.basename(old_path), os.path.basename(new_path)
+        with open(old_path) as f:
+            sf_old = parse_sf(json.load(f))
+        with open(new_path) as f:
+            sf_new = parse_sf(json.load(f))
+        if sf_old is not None and sf_new is not None and sf_old != sf_new:
+            print(f"WARNING: comparing runs at different SF dirs "
+                  f"({sf_old} vs {sf_new}) — per-query ratios are not "
+                  f"meaningful across scale factors")
     else:
         pair = full_history_pair()
         if pair is not None:

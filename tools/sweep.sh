@@ -1,0 +1,62 @@
+#!/usr/bin/env bash
+# Hostile-config correctness sweeps (round-7 verdict task #7): runs the
+# full Verify dump + DuckDB oracle compare under five adversarial Spark
+# configurations. The engine's exact-decimal layer buys the property that
+# results are BIT-IDENTICAL under any physical plan — AQE re-plans, join
+# strategy changes, parallelism changes, reader implementation, and fully
+# interpreted (no-codegen) execution must all produce the same bytes.
+# This script makes that property reproducible in one command instead of
+# five hand-typed SPARK_GRAFT_CONF invocations.
+#
+# Usage: tools/sweep.sh [SF_DIR]      (default /root/testdata/sf0.01)
+# Exit 0 iff all five sweeps pass every oracle-checked query.
+set -u
+cd "$(dirname "$0")/.."
+SF=${1:-/root/testdata/sf0.01}
+
+# one compile up front; each sweep then invokes the JVM directly (sbt
+# startup ×5 would dominate the wall time)
+sbt -batch compile >/dev/null || { echo "sweep: compile failed"; exit 2; }
+
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+ADDOPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+
+declare -A CONFS CPUS
+ORDER="aqe_off broadcast_off parallel_13 row_reader interpreted"
+CONFS[aqe_off]="spark.sql.adaptive.enabled=false"
+CONFS[broadcast_off]="spark.sql.autoBroadcastJoinThreshold=-1;spark.sql.adaptive.autoBroadcastJoinThreshold=-1"
+CONFS[parallel_13]=""             # odd-width parallelism, no conf override
+CONFS[row_reader]="spark.sql.parquet.enableVectorizedReader=false;spark.sql.files.maxPartitionBytes=65536"
+CONFS[interpreted]="spark.sql.codegen.wholeStage=false;spark.sql.codegen.factoryMode=NO_CODEGEN"
+CPUS[aqe_off]=8; CPUS[broadcast_off]=8; CPUS[parallel_13]=13
+CPUS[row_reader]=8; CPUS[interpreted]=8
+
+overall=0
+for name in $ORDER; do
+  out="/tmp/sweep_$name"
+  rm -rf "$out"
+  echo "=== sweep: $name (cpus=${CPUS[$name]} conf='${CONFS[$name]}') ==="
+  if ! SPARK_GRAFT_CPUS="${CPUS[$name]}" SPARK_GRAFT_CONF="${CONFS[$name]}" \
+      java $ADDOPENS -Xmx8g -cp "$CP" graft.Verify "$SF" "$out" \
+      2>"$out.err"; then
+    echo "sweep $name: Verify FAILED (see $out.err)"; tail -5 "$out.err"
+    overall=1; continue
+  fi
+  log="$out.check"
+  python3 tools/local_check.py "$SF" "$out" >"$log" 2>&1
+  fails=$(grep -c '^FAIL' "$log" || true)
+  tail -1 "$log"
+  if [ "$fails" -ne 0 ]; then
+    echo "sweep $name: $fails ORACLE FAILURES"; grep '^FAIL' "$log" | head -5
+    overall=1
+  else
+    echo "sweep $name: PASS"
+  fi
+done
+[ $overall -eq 0 ] && echo "ALL 5 SWEEPS GREEN" || echo "SWEEP FAILURES (see /tmp/sweep_*.check)"
+exit $overall
