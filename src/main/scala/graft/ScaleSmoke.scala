@@ -247,6 +247,43 @@ object ScaleSmoke {
         f"(${total.get() / dt / 1e6}%.2f M rows/s admitted in 250k batches)")
     }
 
+    // IVF index lifecycle at mult×: train + write the partitioned index
+    // (√N cells), then probe EXTERNAL query vectors and report how many
+    // cell directories the pruned read actually opened — the number that
+    // makes "a probe reads only its nprobe cells" a measurement instead
+    // of a doc comment.
+    {
+      import graft.operators.VectorOps
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      val bigE = (0 until mult).map(k =>
+        e.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          col("embedding"))).reduce(_ union _)
+      val idxPath = java.nio.file.Files
+        .createTempDirectory("smoke_ivf").toString
+      val t0 = System.nanoTime()
+      VectorOps.writeIvfIndex(bigE, idxPath) // cells = 0 → √N auto
+      val tw = (System.nanoTime() - t0) / 1e9
+      val cells = new java.io.File(s"$idxPath/corpus").listFiles()
+        .count(_.getName.startsWith("cell="))
+      println(f"SCALE ivf_write          $tw%8.2f s  cells=$cells " +
+        s"(rows=${mult * 500})")
+      val queries = e.filter(col("vec_id") < 4L)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val t1 = System.nanoTime()
+      val probed = VectorOps.probeIvfIndex(spark, idxPath, queries,
+        k = 5, nprobe = 2)
+      val rows = probed.count()
+      val tp = (System.nanoTime() - t1) / 1e9
+      val sel = probed.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("corpus")) => f
+      }.head.selectedPartitions.partitionCount
+      println(f"SCALE ivf_probe          $tp%8.2f s  rows=$rows  " +
+        f"selected=$sel/$cells cells (${100.0 * sel / cells}%.1f%% of the index)")
+      spark.catalog.clearCache()
+    }
+
     // q43-shaped embedding near-dup at mult× (exact vector copies share a
     // hyperplane bucket — like the text stages, the worst bucket load)
     time("embedding_neardup") {

@@ -398,6 +398,15 @@ object VectorOps {
     "q40_dot_topk" -> ((s, d) => dotTopK(s, d)),
     "q41_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
     "q42_ann_ivf" -> ((s, d) => ivfTopK(s, d)),
+    // external-query ANN: the index holds vec_id >= 5 only; the 5 held-out
+    // vectors search it from OUTSIDE (no self-exclusion — the real shape)
+    "q103_ann_external" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      ivfSearch(e.filter(col("vec_id") >= 5),
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding")),
+        k = 5, nprobe = 3, cells = 8)
+    }),
     "q43_embedding_neardup" -> ((s, d) => cosineNearDup(s, d)))
 
   // q40/q42 compare exact-decimal dots (hash-comparable); q41 compares
@@ -472,6 +481,97 @@ object VectorOps {
                AS DOUBLE) AS dot
            FROM probes p
            JOIN a2 a ON a.cell = p.cell AND a.vec_id <> p.qid
+           JOIN flat_c fc ON fc.vec_id = a.vec_id
+           JOIN flat_q fq ON fq.qid = p.qid AND fq.i = fc.i
+           GROUP BY p.qid, a.vec_id),
+         ranked AS (
+           SELECT qid, vec_id, dot,
+             row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+               AS rank
+           FROM dots)
+         SELECT qid, vec_id, dot, rank FROM ranked
+         WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // q42's trained-quantizer mirror with the corpus restricted to
+    // vec_id >= 5 and the five held-out vectors probing from outside:
+    // queries never enter training, their distances run against the c2
+    // centroids only, and the re-rank has NO self-exclusion.
+    "q103_ann_external" ->
+      """WITH iv AS (
+           SELECT vec_id, i,
+             CAST(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,9))
+               * 1000000000 AS BIGINT) AS x
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+           WHERE vec_id >= 5),
+         seed AS (
+           SELECT vec_id,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % 8 AS cell
+           FROM embeddings WHERE vec_id >= 5),
+         c1 AS (
+           SELECT s.cell, i, sum(x) AS cs, count(*) AS cn
+           FROM iv JOIN seed s USING (vec_id) GROUP BY s.cell, i),
+         d1 AS (
+           SELECT v.vec_id, c.cell,
+             CAST(CAST(sum(CAST(v.x * c.cn - c.cs AS HUGEINT) *
+                           CAST(v.x * c.cn - c.cs AS HUGEINT)) AS VARCHAR)
+               AS DOUBLE) / (c.cn * c.cn) AS dkey
+           FROM iv v JOIN c1 c USING (i)
+           GROUP BY v.vec_id, c.cell, c.cn),
+         a1 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dkey, cell) AS rn FROM d1) t
+           WHERE rn = 1),
+         c2 AS (
+           SELECT a.cell, i, sum(x) AS cs, count(*) AS cn
+           FROM iv JOIN a1 a USING (vec_id) GROUP BY a.cell, i),
+         d2 AS (
+           SELECT v.vec_id, c.cell,
+             CAST(CAST(sum(CAST(v.x * c.cn - c.cs AS HUGEINT) *
+                           CAST(v.x * c.cn - c.cs AS HUGEINT)) AS VARCHAR)
+               AS DOUBLE) / (c.cn * c.cn) AS dkey
+           FROM iv v JOIN c2 c USING (i)
+           GROUP BY v.vec_id, c.cell, c.cn),
+         a2 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dkey, cell) AS rn FROM d2) t
+           WHERE rn = 1),
+         qiv AS (
+           SELECT vec_id AS qid, i,
+             CAST(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,9))
+               * 1000000000 AS BIGINT) AS x
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+           WHERE vec_id < 5),
+         d2q AS (
+           SELECT v.qid, c.cell,
+             CAST(CAST(sum(CAST(v.x * c.cn - c.cs AS HUGEINT) *
+                           CAST(v.x * c.cn - c.cs AS HUGEINT)) AS VARCHAR)
+               AS DOUBLE) / (c.cn * c.cn) AS dkey
+           FROM qiv v JOIN c2 c USING (i)
+           GROUP BY v.qid, c.cell, c.cn),
+         probes AS (
+           SELECT qid, cell FROM (
+             SELECT qid, cell, row_number() OVER (PARTITION BY qid
+               ORDER BY dkey, cell) AS rn FROM d2q) t
+           WHERE rn <= 3),
+         flat_q AS (
+           SELECT vec_id AS qid, i,
+             CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,9)) AS qx
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+           WHERE vec_id < 5),
+         flat_c AS (
+           SELECT vec_id, i,
+             CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,9)) AS cx
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+           WHERE vec_id >= 5),
+         dots AS (
+           SELECT p.qid, a.vec_id,
+             CAST(CAST(round(sum(fq.qx * fc.cx), 12) AS DECIMAL(18,12))
+               AS DOUBLE) AS dot
+           FROM probes p
+           JOIN a2 a ON a.cell = p.cell
            JOIN flat_c fc ON fc.vec_id = a.vec_id
            JOIN flat_q fq ON fq.qid = p.qid AND fq.i = fc.i
            GROUP BY p.qid, a.vec_id),

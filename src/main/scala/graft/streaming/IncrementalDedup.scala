@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -13,61 +13,77 @@ import graft.operators.TextOps
   * under streaming appends AND deletions, the way [[ViewMaintenance]]
   * maintains q97 and [[SketchMaintenance]] maintains q61. A full
   * recompute of connected components per arriving batch would rescan the
-  * entire corpus; this operator touches only the AFFECTED subgraph.
+  * entire corpus; this operator touches only the AFFECTED subgraph — for
+  * compute, for writes, AND (since round 8) for reads.
   *
-  * Stored state (batchId-versioned like the other maintainers):
+  * Stored state (batchId-versioned like the other maintainers), every
+  * version laid out PARTITIONED BY a hash bucket `_b` of its fold key:
   *  - `labels`:  (node, label) — every doc's cluster label (= component
-  *    minimum doc_id), path-compressed: each node points DIRECTLY at its
-  *    label, so stored components are stars of diameter ≤ 2.
+  *    minimum doc_id), path-compressed; `_b = pmod(node, B)`.
+  *  - `members`: (label, node) — the INVERTED index of `labels`;
+  *    `_b = pmod(label, B)`. Exists so "all members of component L" is a
+  *    directory-pruned read instead of a full labels scan. Sound under
+  *    pruning because (label, node) is the fold KEY: a relabel writes its
+  *    tombstone in the OLD label's bucket and its upsert in the new one,
+  *    so any bucket subset folds to a consistent view.
   *  - `buckets`: (band, bkey, label) — ONE row per distinct LSH bucket
-  *    with the bucket's cluster label. Sound because q58's candidate rule
-  *    makes every bucket a clique: all stored members of a bucket are
-  *    already in one component, so linking a new doc to the bucket's
-  *    LABEL is connectivity-equivalent to linking it to every member.
-  *  - `bands`: (doc_id, band, bkey) — every live doc's band keys. The
-  *    collapsed bucket index is enough for appends (connectivity only
-  *    ever GROWS), but a deletion can SPLIT a component, and deciding
-  *    the split needs the surviving members' real co-bucket edges —
-  *    which only the per-doc band keys can reconstruct. Slim 3-column
-  *    rows, O(docs × bands); the honest price of retraction support.
+  *    with the bucket's cluster label; `_b = pmod(hash(band,bkey), B)`.
+  *    Sound because q58's candidate rule makes every bucket a clique.
+  *  - `bands`: (doc_id, band, bkey) — every live doc's band keys;
+  *    `_b = pmod(doc_id, B)`. Appends only need the collapsed bucket
+  *    index, but a deletion can SPLIT a component and deciding the split
+  *    needs the survivors' real co-bucket edges.
   *
-  * DELTA PUBLISHING (the write-side 100 TB posture): a version is either
-  * a FULL snapshot (`_FULL` marker file) or a DELTA — upserts for the
-  * keys the batch changed plus `removed = true` tombstones. Per-batch
-  * write cost is therefore O(batch + affected members), matching the
-  * compute cost, instead of rewriting the O(corpus) state three times
-  * per batch. Readers fold newest-full + later deltas with a
-  * latest-version-wins window per key (the merge-on-read shape). Every
-  * `compactEvery` deltas the maintainer writes a fresh FULL snapshot and
-  * GC keeps the two newest fulls plus everything after the older one —
-  * exactly the chain any replayed batch needs.
+  * READ-SIDE PRUNING (the round-8 100 TB posture): every per-batch lookup
+  * is keyed — new/deleted ids against `labels` and `bands`, new band keys
+  * against `buckets`, affected component labels against `members` — and
+  * each key set's bucket ids are collected (≤ B tiny longs, one Spark job
+  * each) into a literal `_b IN (...)` filter applied per version scan, so
+  * the fold opens ONLY matching bucket directories of each full/delta.
+  * Per-batch read volume is therefore O(touched buckets), not O(corpus):
+  * the Sinks.scala:19 partitioned-layout treatment applied to the
+  * maintainer's own state. Unpruned full folds happen only in
+  * [[currentLabels]] (a whole-state query) and at compaction. The bucket
+  * count B is fixed at state creation (`_BUCKETS` marker) — the layout
+  * and the prune expressions must agree forever.
   *
-  * Append batch: new docs' band keys probe the bucket table (equijoin);
-  * the matched cluster labels identify the affected components; ONLY
-  * their members (semi-join on label) plus the new docs enter the star
-  * CC over star edges ∪ (new→bucket-label) edges ∪ new-new bucket
-  * cliques. Unaffected clusters — the overwhelming majority of a 100 TB
-  * corpus — are never read into the subgraph and never rewritten. A new
-  * doc BRIDGING two stored clusters merges them correctly: both labels
-  * are affected, so both member sets are pulled in and relabeled to the
-  * joint minimum.
+  * DELTA PUBLISHING (the write-side posture, round 7): a version is
+  * either a FULL snapshot (`_FULL` marker) or a DELTA — upserts for the
+  * keys the batch changed plus `removed = true` tombstones. Readers fold
+  * newest-full + later deltas with ascending anti-join + union (latest
+  * version wins per key); every `compactEvery` deltas the maintainer
+  * writes a fresh FULL and GC keeps the two newest fulls plus everything
+  * after the older one.
   *
-  * Deletion batch (rows with `op = "del"`; takedowns/retractions): the
-  * deleted docs' components are the affected set. Their SURVIVING
-  * members' band keys are pulled from `bands`, each bucket re-linked
-  * member→bucket-min (star per bucket — connectivity-equivalent to the
-  * clique without df² pairs), and the star CC re-run on that real
-  * subgraph — so a component correctly SPLITS when the deleted doc was
-  * its only bridge. Affected buckets are rebuilt from surviving bands (a
-  * bucket whose members are all deleted tombstones away). Within one
-  * batch, deletions apply BEFORE appends.
+  * Append batch: new docs' band keys probe the bucket index (pruned
+  * equijoin); the matched labels identify the affected components; ONLY
+  * their members (pruned `members` fetch) plus the new docs enter the
+  * star CC. Deletion batch (`op = "del"`): the deleted docs' components
+  * are the affected set; their surviving members' band keys are pulled
+  * from `bands` (pruned), each bucket re-linked member→bucket-min, and
+  * the star CC re-run on that real subgraph — so a component correctly
+  * SPLITS when the deleted doc was its only bridge. Re-ingesting a LIVE
+  * doc_id routes delete-then-add so stale band keys never survive.
+  * Within one batch, deletions apply BEFORE appends; the append phase
+  * reads the delete phase's (O(affected), localCheckpointed) deltas as
+  * overlays — no O(corpus) base frame is ever materialized.
   *
   * Exactly-once: batch N reads the newest chain < N and publishes `v=N`
-  * by rename — replays re-derive the same delta (or the same full, for
-  * compaction batches: the trigger depends only on the prior chain).
-  * The invariant spec pins the folded labels ==
-  * [[TextOps.clusterAssignments]] (the batch recompute) over the
-  * surviving corpus after EVERY batch, including splits and compactions.
+  * by rename — replays re-derive the same delta (or the same full: the
+  * compaction trigger depends only on the prior chain). The invariant
+  * spec pins folded labels == [[TextOps.clusterAssignments]] over the
+  * surviving corpus after EVERY batch, including splits and compactions,
+  * and `members` == the exact inverse of `labels`.
+  *
+  * MIGRATION: pre-delta state versions (no `removed` column, no `_FULL`)
+  * are read as full snapshots with `removed = false` implied; versions
+  * written before the bucketed layout (no `_b` directories) compute `_b`
+  * on read — prune filters stay correct, they just can't directory-prune
+  * those versions. A missing `members` table is derived by inverting the
+  * labels fold until the first compaction persists it. A state dir that
+  * ever lacked `bands` (pre-retraction format) accepts appends but
+  * refuses deletions (`_LEGACY_BANDS` marker, loud error) — the split
+  * decision would need band keys that were never stored.
   */
 object IncrementalDedup {
 
@@ -82,8 +98,23 @@ object IncrementalDedup {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Version dirs are immutable once published (rename; replays re-derive
+    * identical content and the same fullness decision), so fullness is
+    * memoized — the legacy-schema probe below would otherwise re-read a
+    * parquet footer per version per batch. */
+  private val fullCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   private def isFull(spark: SparkSession, dir: String): Boolean =
-    fs(spark, dir).exists(new Path(dir, "_FULL"))
+    fullCache.computeIfAbsent(dir, _ =>
+      fs(spark, dir).exists(new Path(dir, "_FULL")) ||
+        // MIGRATION: pre-delta state versions have neither a `_FULL`
+        // marker nor a `removed` column — they were written as complete
+        // snapshots, so a legacy schema IS a full-snapshot marker. Without
+        // this, a maintainer restarted against an old state dir would fold
+        // legacy fulls as if they were deltas (resurrecting rows deleted
+        // between them) and then throw on the missing `removed` column.
+        !spark.read.parquet(dir).schema.fieldNames.contains("removed"))
 
   /** The version chain a reader at `upTo` folds: newest full ≤ newest
     * version < upTo, plus every later delta (ascending). */
@@ -94,31 +125,126 @@ object IncrementalDedup {
     if (lastFull < 0) vs else vs.drop(lastFull)
   }
 
+  // ---- bucketed layout ----
+
+  /** Bucket count is a LAYOUT property: the partition directories and the
+    * prune expressions must use the same B for the life of the state dir,
+    * so the first writer persists it and later merges read it back
+    * (ignoring their own parameter if it drifted). */
+  private def bucketCount(spark: SparkSession, stateDir: String,
+      requested: Int): Int = {
+    val h = fs(spark, stateDir)
+    val marker = new Path(stateDir, "_BUCKETS")
+    if (h.exists(marker)) {
+      val in = h.open(marker)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+      finally in.close()
+    } else {
+      h.mkdirs(new Path(stateDir))
+      val out = h.create(marker, true)
+      try out.write(requested.toString.getBytes("UTF-8"))
+      finally out.close()
+      requested
+    }
+  }
+
+  /** `_b` of each kind, as a function of its fold key — bucketing on a
+    * non-key column would be unsound under pruned folds (a key's rows
+    * could straddle the prune boundary across versions). */
+  private def bucketExpr(kind: String, b: Int): Column = kind match {
+    case "labels"  => pmod(col("node"), lit(b.toLong))
+    case "members" => pmod(col("label"), lit(b.toLong))
+    case "buckets" => pmod(hash(col("band"), col("bkey")).cast("long"),
+      lit(b.toLong))
+    case _         => pmod(col("doc_id"), lit(b.toLong))
+  }
+
+  /** The distinct `_b` values a key set can touch — collected to the
+    * driver (≤ B longs; one tiny job) to become a literal IN-list that
+    * prunes every version scan at the directory level. */
+  private def bucketsOf(df: DataFrame, expr: Column): Seq[Long] =
+    df.select(expr.cast("long").as("_pb")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+
   /** Merge-on-read: latest version wins per key; tombstones drop keys.
-    * Every stored row carries `removed` (always false in fulls).
     * Folded as an ASCENDING chain of anti-join + union — each delta's
     * keys knock out older rows — rather than a latest-wins window: the
     * window would shuffle the whole state per read, while the anti-joins
     * broadcast whenever the delta is small (AQE's call), keeping the base
-    * a map-side scan. Chain length is bounded by compactEvery. */
+    * a map-side scan. Chain length is bounded by compactEvery. With
+    * `prune` set, each version scan reads only the listed `_b` bucket
+    * directories — sound because `_b` is a function of the fold key. */
   private def readFolded(spark: SparkSession, kindDir: String, upTo: Long,
-      keyCols: Seq[String]): Option[DataFrame] = {
+      keyCols: Seq[String], b: Int,
+      prune: Option[Seq[Long]] = None): Option[DataFrame] = {
     val vs = chain(spark, kindDir, upTo)
     if (vs.isEmpty) None
     else {
-      val parts = vs.map(v => spark.read.parquet(s"$kindDir/v=$v"))
+      val kind = new Path(kindDir).getName
+      val parts = vs.map { v =>
+        val raw = spark.read.parquet(s"$kindDir/v=$v")
+        // legacy (pre-delta) snapshot: no tombstone column — all rows live
+        val withRemoved =
+          if (raw.columns.contains("removed")) raw
+          else raw.withColumn("removed", lit(false))
+        // pre-bucketing versions: compute `_b` on read (no directory
+        // pruning for them, but the filter semantics are identical)
+        val withB =
+          if (withRemoved.columns.contains("_b")) withRemoved
+          else withRemoved.withColumn("_b", bucketExpr(kind, b).cast("int"))
+        prune.fold(withB)(s => withB.filter(col("_b").isin(s: _*)))
+      }
       val folded = parts.reduce { (acc, d) =>
         acc.join(d.select(keyCols.map(col): _*), keyCols, "left_anti")
           .unionByName(d)
       }
-      Some(folded.filter(!col("removed")).drop("removed"))
+      Some(folded.filter(!col("removed")).drop("removed", "_b"))
     }
+  }
+
+  /** True iff this state dir ever lacked the `bands` table while holding
+    * labels (pre-retraction legacy state). Diagnosed once and persisted as
+    * a `_LEGACY_BANDS` marker: later appends create a PARTIAL bands table
+    * (post-migration docs only), so the emptiness check alone would stop
+    * firing while deletions remained unsafe. */
+  private def legacyBandsMarked(spark: SparkSession, stateDir: String): Boolean = {
+    val h = fs(spark, stateDir)
+    val marker = new Path(stateDir, "_LEGACY_BANDS")
+    if (h.exists(marker)) true
+    else if (versions(spark, s"$stateDir/bands").isEmpty &&
+        versions(spark, s"$stateDir/labels").nonEmpty) {
+      h.mkdirs(new Path(stateDir)); h.createNewFile(marker); true
+    } else false
   }
 
   /** Newest published (doc_id, cluster) assignment, or None pre-stream. */
   def currentLabels(spark: SparkSession, stateDir: String): Option[DataFrame] =
-    readFolded(spark, s"$stateDir/labels", Long.MaxValue, Seq("node"))
+    readFolded(spark, s"$stateDir/labels", Long.MaxValue, Seq("node"),
+        bucketCountIfAny(spark, stateDir))
       .map(_.select(col("node").as("doc_id"), col("label").as("cluster")))
+
+  /** Newest published (cluster, doc_id) member index, or None when the
+    * state predates the inverted table. Invariant (spec-pinned): exactly
+    * the inverse of [[currentLabels]] after every batch. */
+  def currentMembers(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    if (versions(spark, s"$stateDir/members").isEmpty) None
+    else readFolded(spark, s"$stateDir/members", Long.MaxValue,
+        Seq("label", "node"), bucketCountIfAny(spark, stateDir))
+      .map(_.select(col("label").as("cluster"), col("node").as("doc_id")))
+
+  /** B for read-only access: the persisted marker, else any value (the
+    * computed `_b` is dropped before results surface, so an unpersisted B
+    * only affects legacy dirs where no directory layout exists anyway). */
+  private def bucketCountIfAny(spark: SparkSession, stateDir: String): Int = {
+    val h = fs(spark, stateDir)
+    val marker = new Path(stateDir, "_BUCKETS")
+    if (!h.exists(marker)) 64
+    else {
+      val in = h.open(marker)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+      finally in.close()
+    }
+  }
 
   /** Merge one micro-batch of (doc_id, text[, op]) rows, idempotent in
     * batchId. Without an `op` column every row is an append; with one,
@@ -131,8 +257,12 @@ object IncrementalDedup {
     * contract; upstream the usual fix is a latest-wins dedup before the
     * sink, q81's CDC compaction). */
   def mergeBatch(docs: DataFrame, batchId: Long, stateDir: String,
-                 compactEvery: Int = 8): Unit = {
+                 compactEvery: Int = 8, stateBuckets: Int = 64): Unit = {
     val spark = docs.sparkSession
+    // diagnose legacy state BEFORE this batch publishes anything — an
+    // append would create a partial `bands` table and mask the condition
+    val legacyBands = legacyBandsMarked(spark, stateDir)
+    val b = bucketCount(spark, stateDir, stateBuckets)
     val hasOp = docs.columns.contains("op")
     val adds = if (hasOp) docs.filter(col("op") === "add") else docs
     val dels =
@@ -150,64 +280,107 @@ object IncrementalDedup {
       .persist()
     newBands.count()
 
-    def readBase(kind: String, keys: Seq[String]): Option[DataFrame] =
-      readFolded(spark, s"$stateDir/$kind", batchId, keys)
-    val storedLabels = readBase("labels", Seq("node"))
-      .getOrElse(spark.emptyDataFrame.withColumn("node", lit(0L))
-        .withColumn("label", lit(0L)).limit(0)
-        .select(col("node"), col("label")))
-    val storedBuckets = readBase("buckets", Seq("band", "bkey"))
-      .getOrElse(newBands.limit(0)
-        .select(col("band"), col("bkey"), col("doc_id").as("label")))
-    val storedBands = readBase("bands", Seq("doc_id", "band", "bkey"))
-      .getOrElse(newBands.limit(0)
-        .select(col("doc_id"), col("band"), col("bkey")))
+    def readPruned(kind: String, keys: Seq[String],
+        prune: Option[Seq[Long]]): Option[DataFrame] =
+      readFolded(spark, s"$stateDir/$kind", batchId, keys, b, prune)
+    val emptyLabels = spark.range(0)
+      .select(col("id").as("node"), col("id").as("label"))
+    def storedLabels(prune: Option[Seq[Long]]): DataFrame =
+      readPruned("labels", Seq("node"), prune).getOrElse(emptyLabels)
+    def storedBands(prune: Option[Seq[Long]]): DataFrame =
+      readPruned("bands", Seq("doc_id", "band", "bkey"), prune)
+        .getOrElse(newBands.limit(0)
+          .select(col("doc_id"), col("band"), col("bkey")))
+    def storedBuckets(prune: Option[Seq[Long]]): DataFrame =
+      readPruned("buckets", Seq("band", "bkey"), prune)
+        .getOrElse(newBands.limit(0)
+          .select(col("band"), col("bkey"), col("doc_id").as("label")))
+    // members: the inverted label index; derived from labels (full fold,
+    // migration only) when the table doesn't exist yet
+    def storedMembers(prune: Option[Seq[Long]]): DataFrame =
+      if (versions(spark, s"$stateDir/members").nonEmpty)
+        readPruned("members", Seq("label", "node"), prune)
+          .getOrElse(emptyLabels.select(col("label"), col("node")))
+      else {
+        val inv = storedLabels(None).select(col("label"), col("node"))
+        prune.fold(inv)(s =>
+          inv.filter(pmod(col("label"), lit(b.toLong)).isin(s: _*)))
+      }
 
     // ---- deletion phase: retractions can split components ----
-    // Each output pairs the post-delete base (for the append phase) with
-    // the batch's delta rows (for publishing).
+    // Every lookup below is bucket-pruned by its key set; outputs are the
+    // batch's delta rows only (O(affected)), localCheckpointed so the
+    // append phase can overlay them without lineage entanglement.
     //
     // RE-INGESTED ids route through here too: adding a LIVE doc_id with
     // (possibly) different text must retract its OLD band keys first —
     // otherwise the stale keys stay in `bands` and a later deletion in
     // the component would reconnect clusters through text the doc no
-    // longer has. Delete-then-add makes the maintained labels equal the
-    // recompute over every doc's CURRENT text, which is the invariant.
+    // longer has.
+    val newIdBuckets = bucketsOf(newDocs, pmod(col("doc_id"), lit(b.toLong)))
+    val delIdBuckets = bucketsOf(dels, pmod(col("doc_id"), lit(b.toLong)))
+    val touchedIdBuckets = Some((newIdBuckets ++ delIdBuckets).distinct)
     val reIngested = newDocs.select(col("doc_id"))
-      .join(storedLabels.select(col("node").as("st_node")),
+      .join(storedLabels(Some(newIdBuckets)).select(col("node").as("st_node")),
         col("doc_id") === col("st_node"), "left_semi")
     val delIdsAll = dels.unionByName(reIngested).distinct()
-    val emptyDelta = (df: DataFrame) =>
+    // empty deltas carry the REAL column types (band is int, bkey is an
+    // md5 string): a lit(0L) placeholder would coerce the other union
+    // side's strings to BIGINT and blow up the whole batch
+    def emptyDelta(df: DataFrame): DataFrame =
       df.limit(0).withColumn("removed", lit(false))
-    val anyDeletes = hasOp || !delIdsAll.isEmpty
-    val (baseLabels, baseBuckets, baseBands,
-         delLabelDelta, delBucketDelta, delBandDelta) = if (!anyDeletes) {
-      (storedLabels, storedBuckets, storedBands,
-        emptyDelta(storedLabels), emptyDelta(storedBuckets),
-        emptyDelta(storedBands))
-    } else {
+    // Gate on ACTUAL deletes/re-ingests, not on the mere presence of an
+    // `op` column: an op-carrying stream's all-add batches would otherwise
+    // route through the deletion branch — O(affected) work for nothing.
+    // The isEmpty action costs one tiny pruned semi-join job and is needed
+    // anyway to split the phases.
+    val anyDeletes = !delIdsAll.isEmpty
+    val (delLabelDelta, delMemberDelta, delBucketDelta, delBandDelta) =
+      if (!anyDeletes) {
+        (emptyDelta(emptyLabels.select(col("node"), col("label"))),
+          emptyDelta(emptyLabels.select(col("label"), col("node"))),
+          emptyDelta(newBands.limit(0).select(col("band"), col("bkey"),
+            col("doc_id").as("label"))),
+          emptyDelta(newBands.limit(0).select(col("doc_id"), col("band"),
+            col("bkey"))))
+      } else {
+      // Legacy-state guard: a pre-`bands` state dir (labels exist, band
+      // keys were never stored) can keep serving reads and append-only
+      // maintenance, but a deletion's split decision NEEDS the survivors'
+      // real co-bucket edges — silently treating them as disconnected
+      // would shatter every affected component into singletons. Loud
+      // failure with the upgrade path instead.
+      if (legacyBands)
+        throw new IllegalStateException(
+          "legacy IncrementalDedup state (no `bands` table for the " +
+            "pre-migration corpus): deletions/re-ingests require a state " +
+            "rebuild from the source corpus into a fresh state dir; " +
+            "append-only maintenance remains supported on legacy state")
       // Renamed unresolved join keys throughout: the deletion frames all
       // share lineage (delSet with the batch, the empty-state defaults
       // with newBands), and dataset-qualified refs on shared lineage trip
       // DetectAmbiguousSelfJoin.
       val delIds = delIdsAll.select(col("doc_id").as("del_id"))
-        .localCheckpoint() // tiny; cut lineage, reused 3×
-      // components that lose a member
-      val delAffected = storedLabels
+        .localCheckpoint() // tiny; cut lineage, reused throughout
+      // components that lose a member, with each dead node's old label
+      val deadRows = storedLabels(touchedIdBuckets)
         .join(delIds, col("node") === col("del_id"), "left_semi")
-        .select(col("label").as("dlabel")).distinct().localCheckpoint()
-      // their surviving members
-      val survivors = storedLabels
+        .localCheckpoint() // (node, label): the tombstone set
+      val delAffected = deadRows.select(col("label").as("dlabel"))
+        .distinct().localCheckpoint()
+      val dlabelBuckets = bucketsOf(delAffected,
+        pmod(col("dlabel"), lit(b.toLong)))
+      // their surviving members, via the pruned inverted index
+      val survivors = storedMembers(Some(dlabelBuckets))
         .join(delAffected, col("label") === col("dlabel"), "left_semi")
         .join(delIds, col("node") === col("del_id"), "left_anti")
-        .select(col("node"))
-      // the deleted nodes that actually existed (tombstone set)
-      val deadNodes = storedLabels
-        .join(delIds, col("node") === col("del_id"), "left_semi")
-        .select(col("node"))
+        .select(col("node"), col("label").as("old_label"))
+        .localCheckpoint()
+      val survBuckets = bucketsOf(survivors,
+        pmod(col("node"), lit(b.toLong)))
       // real co-bucket edges among survivors, from the per-doc band keys:
       // within each bucket connect member → bucket minimum (star, not df²)
-      val survBands = storedBands
+      val survBands = storedBands(Some(survBuckets))
         .join(survivors.select(col("node").as("surv_node")),
           col("doc_id") === col("surv_node"), "left_semi")
         .localCheckpoint()
@@ -217,66 +390,86 @@ object IncrementalDedup {
         .filter(col("doc_id") =!= col("rep"))
         .select(col("doc_id").as("a"), col("rep").as("b"))
       val recomputed = TextOps.minLabelPropagate(delEdges)
-      val survLabels = survivors
-        .join(recomputed, Seq("node"), "left")
-        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+      val survLabels = survivors.select(col("node"), col("old_label"))
+        .join(recomputed.withColumnRenamed("label", "new_label"),
+          Seq("node"), "left")
+        .select(col("node"), col("old_label"),
+          coalesce(col("new_label"), col("node")).as("label"))
         .localCheckpoint()
-      val labelsD = storedLabels
-        .join(delAffected, col("label") === col("dlabel"), "left_anti")
-        .select(col("node"), col("label"))
-        .unionByName(survLabels)
-      // bands: drop the deleted docs' rows
-      val deadBands = storedBands
+      // bands of the dead docs (tombstones)
+      val deadBands = storedBands(touchedIdBuckets)
         .join(delIds, col("doc_id") === col("del_id"), "left_semi")
-      val bandsD = storedBands
-        .join(delIds, col("doc_id") === col("del_id"), "left_anti")
-      // buckets: unaffected carry over; affected rebuilt from surviving
-      // bands + split labels (all-deleted buckets disappear)
-      val keptB = storedBuckets
-        .join(delAffected, col("label") === col("dlabel"), "left_anti")
-        .select(col("band"), col("bkey"), col("label"))
+        .localCheckpoint()
+      // affected buckets rebuilt from surviving bands + split labels; a
+      // bucket whose members all died tombstones away. Bucket rows of
+      // affected components are exactly the band keys of their members
+      // (every bucket row has ≥1 live member; co-bucket docs share a
+      // component), so the key set survBands ∪ deadBands covers them.
+      val affectedBucketKeys = survBands.select(col("band"), col("bkey"))
+        .unionByName(deadBands.select(col("band"), col("bkey")))
+        .distinct().localCheckpoint()
       val rebuiltB = survBands
         .join(survLabels.select(col("node").as("sl_node"),
             col("label").as("sl_label")),
           col("doc_id") === col("sl_node"))
         .groupBy(col("band"), col("bkey")).agg(min(col("sl_label")).as("label"))
-      // bucket keys of affected components that did NOT survive the rebuild
-      val deadBuckets = storedBuckets
-        .join(delAffected, col("label") === col("dlabel"), "left_semi")
-        .select(col("band"), col("bkey"))
-        .join(rebuiltB.select(col("band"), col("bkey")),
-          Seq("band", "bkey"), "left_anti")
+      val deadBuckets = affectedBucketKeys
+        .join(rebuiltB.select(col("band").as("rb_band"),
+            col("bkey").as("rb_bkey")),
+          col("band") === col("rb_band") && col("bkey") === col("rb_bkey"),
+          "left_anti")
         .withColumn("label", lit(0L))
-      val bucketsD = keptB.unionByName(rebuiltB)
-        .groupBy(col("band"), col("bkey")).agg(min(col("label")).as("label"))
-      // materialize AND mint fresh attribute ids: labelsD/bucketsD/bandsD
-      // interleave the same source attributes, which the append phase's
-      // joins would otherwise see as ambiguous self-joins
-      def fresh(df: DataFrame): DataFrame = {
-        val ck = df.localCheckpoint()
-        spark.createDataFrame(ck.rdd, ck.schema)
-      }
-      // deltas: survivor relabels (upserts) + node tombstones; rebuilt
-      // bucket upserts + vanished-bucket tombstones; band-row tombstones
-      (fresh(labelsD), fresh(bucketsD), fresh(bandsD),
-        fresh(survLabels.withColumn("removed", lit(false))
-          .unionByName(deadNodes.withColumn("label", lit(0L))
-            .withColumn("removed", lit(true)))),
-        fresh(rebuiltB.withColumn("removed", lit(false))
-          .unionByName(deadBuckets.withColumn("removed", lit(true)))),
-        fresh(deadBands.withColumn("removed", lit(true))))
+      // deltas: survivor relabels (upserts) + node tombstones; the member
+      // index mirrors them with tombstones in the OLD label's bucket;
+      // rebuilt bucket upserts + vanished-bucket tombstones; dead band rows
+      val labelDelta = survLabels.select(col("node"), col("label"))
+        .withColumn("removed", lit(false))
+        .unionByName(deadRows.select(col("node"), lit(0L).as("label"))
+          .withColumn("removed", lit(true)))
+      val memberDelta = survLabels.filter(col("old_label") =!= col("label"))
+        .select(col("old_label").as("label"), col("node"))
+        .withColumn("removed", lit(true))
+        .unionByName(survLabels
+          .select(col("label"), col("node"))
+          .withColumn("removed", lit(false)))
+        .unionByName(deadRows.select(col("label"), col("node"))
+          .withColumn("removed", lit(true)))
+      val bucketDelta = rebuiltB.withColumn("removed", lit(false))
+        .unionByName(deadBuckets.withColumn("removed", lit(true)))
+      val bandDelta = deadBands.withColumn("removed", lit(true))
+      (labelDelta.localCheckpoint(), memberDelta.localCheckpoint(),
+        bucketDelta.localCheckpoint(), bandDelta.localCheckpoint())
     }
 
-    // ---- append phase (unchanged logic, against the post-delete base) ----
-    // 1. probe the stored bucket index with the new docs' band keys
-    val matched = newBands.join(baseBuckets, Seq("band", "bkey"))
+    /** Post-delete view of a pruned stored read: delete-phase delta wins
+      * on key overlap. The delta is O(affected) and checkpointed, so the
+      * overlay costs one broadcast-sized anti-join per consumer. */
+    def overlay(base: DataFrame, delta: DataFrame,
+        keys: Seq[String]): DataFrame =
+      base.join(delta.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(delta.filter(!col("removed")).drop("removed"))
+
+    // ---- append phase (against the post-delete overlays) ----
+    // 1. probe the stored bucket index with the new docs' band keys —
+    //    pruned to the buckets those keys can live in
+    val newBandBuckets = bucketsOf(newBands,
+      pmod(hash(col("band"), col("bkey")).cast("long"), lit(b.toLong)))
+    val probeBase = overlay(storedBuckets(Some(newBandBuckets)),
+      delBucketDelta, Seq("band", "bkey"))
+    val matched = newBands.join(probeBase, Seq("band", "bkey"))
       .select(col("doc_id"), col("label"))
       .persist()
     matched.count()
-    // 2. the affected components, and every one of their members
-    val affected = matched.select(col("label")).distinct()
-    val affectedMembers = baseLabels.join(affected, Seq("label"))
+    // 2. the affected components, and every one of their members — via
+    //    the pruned inverted index, overlaid with the delete relabels
+    val affected = matched.select(col("label")).distinct().localCheckpoint()
+    val affectedLabelBuckets = bucketsOf(affected,
+      pmod(col("label"), lit(b.toLong)))
+    val membersBase = overlay(storedMembers(Some(affectedLabelBuckets)),
+      delMemberDelta, Seq("label", "node"))
+    val affectedMembers = membersBase.join(affected, Seq("label"))
       .select(col("node"), col("label"))
+      .localCheckpoint()
     // 3. edge set for the subgraph: stored stars + new→bucket-label links
     //    + new-new bucket cliques, symmetrized
     val newNew = newBands.alias("x").join(newBands.alias("y"),
@@ -294,7 +487,7 @@ object IncrementalDedup {
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .localCheckpoint()
     // 4. resolve the subgraph (tiny relative to the corpus)
-    val sub = TextOps.minLabelPropagate(edges)
+    val sub = TextOps.minLabelPropagate(edges).localCheckpoint()
     // 5. every new doc gets a label (subgraph result, else itself).
     //    Re-ingested ids were retracted in the deletion phase, so the
     //    post-delete base never contains a doc being added here — its
@@ -303,18 +496,48 @@ object IncrementalDedup {
       .join(sub, Seq("node"), "left")
       .select(col("node"), coalesce(col("label"), col("node")).as("label"))
     // 6. the batch's label delta: relabeled affected members + new docs
-    //    (carried clusters are never rewritten — that is the point)
-    val labelDelta = sub.join(baseLabels.select(col("node")),
-        Seq("node"), "left_semi")
+    //    (carried clusters are never rewritten — that is the point).
+    //    Membership "is a stored node" == "is an affected member": every
+    //    sub node is an affected member, an affected label (whose (L,L)
+    //    row IS a member row), or a new doc.
+    val relabeledMembers = affectedMembers
+      .join(sub.withColumnRenamed("label", "new_label"), Seq("node"), "left")
+      .select(col("node"), col("label").as("old_label"),
+        coalesce(col("new_label"), col("label")).as("label"))
+      .localCheckpoint()
+    val labelDelta = relabeledMembers.select(col("node"), col("label"))
       .unionByName(newLabels)
       .groupBy(col("node")).agg(min(col("label")).as("label"))
       .withColumn("removed", lit(false))
-    // 7. bucket delta: matched buckets take their component's NEW label
+    // member-index delta: tombstone moved members out of their old
+    // label's bucket, upsert everyone under the final label
+    val memberDelta = relabeledMembers
+      .filter(col("old_label") =!= col("label"))
+      .select(col("old_label").as("label"), col("node"))
+      .withColumn("removed", lit(true))
+      .unionByName(labelDelta.filter(!col("removed"))
+        .select(col("label"), col("node"))
+        .withColumn("removed", lit(false)))
+    // 7. bucket delta: affected buckets take their component's NEW label
     //    (the old label is itself a node in the subgraph); new docs'
-    //    buckets are added with their final label. Kept buckets cannot
-    //    collide with new-doc buckets (a collision would make the bucket
-    //    matched, hence affected), so the delta alone is the final value.
-    val relabeled = storedOrBase(baseBuckets, affected)
+    //    buckets are added with their final label. Affected bucket rows
+    //    are fetched by their members' band keys (pruned), since every
+    //    bucket row's key appears among its component's member bands.
+    val memberDocBuckets = bucketsOf(affectedMembers,
+      pmod(col("node"), lit(b.toLong)))
+    val memberBands = overlay(storedBands(Some(memberDocBuckets)),
+      delBandDelta, Seq("doc_id", "band", "bkey"))
+      .join(affectedMembers.select(col("node").as("am_node")),
+        col("doc_id") === col("am_node"), "left_semi")
+      .select(col("band"), col("bkey")).distinct().localCheckpoint()
+    val memberBandKeyBuckets = bucketsOf(memberBands,
+      pmod(hash(col("band"), col("bkey")).cast("long"), lit(b.toLong)))
+    val affectedBucketRows = overlay(
+        storedBuckets(Some(memberBandKeyBuckets)),
+        delBucketDelta, Seq("band", "bkey"))
+      .join(memberBands, Seq("band", "bkey"), "left_semi")
+      .join(affected, Seq("label"), "left_semi")
+    val relabeled = affectedBucketRows
       .join(sub.withColumnRenamed("label", "nl"),
         col("label") === col("node"))
       .select(col("band"), col("bkey"), col("nl").as("label"))
@@ -339,6 +562,8 @@ object IncrementalDedup {
         .filter(col("_rn") === 1).drop("_p", "_rn")
     }
     val labelsOutDelta = combined(delLabelDelta, labelDelta, Seq("node"))
+    val membersOutDelta = combined(delMemberDelta, memberDelta,
+      Seq("label", "node"))
     val bucketsOutDelta = combined(delBucketDelta, bucketDelta,
       Seq("band", "bkey"))
     val bandsOutDelta = combined(delBandDelta, bandDelta,
@@ -349,36 +574,32 @@ object IncrementalDedup {
     def wantFull(kind: String): Boolean =
       chain(spark, s"$stateDir/$kind", batchId).length >= compactEvery ||
         versions(spark, s"$stateDir/$kind").forall(_ >= batchId)
-    def fullOf(kind: String): DataFrame = kind match {
-      // the final folded state, as a full snapshot (removed = false)
-      case "labels" =>
-        baseLabels.join(labelsOutDelta.filter(!col("removed"))
-            .select(col("node")), Seq("node"), "left_anti")
-          .join(delLabelDelta.filter(col("removed")).select(col("node")),
-            Seq("node"), "left_anti")
-          .unionByName(labelsOutDelta.filter(!col("removed"))
-            .drop("removed"))
-          .withColumn("removed", lit(false))
-      case "buckets" =>
-        baseBuckets.join(bucketsOutDelta.select(col("band"), col("bkey")),
-            Seq("band", "bkey"), "left_anti")
-          .unionByName(bucketsOutDelta.filter(!col("removed"))
-            .drop("removed"))
-          .withColumn("removed", lit(false))
-      case _ =>
-        baseBands.join(bandsOutDelta.select(col("doc_id"), col("band"),
-              col("bkey")), Seq("doc_id", "band", "bkey"), "left_anti")
-          .unionByName(bandsOutDelta.filter(!col("removed"))
-            .drop("removed"))
-          .withColumn("removed", lit(false))
+    // the final folded state as a full snapshot: UNPRUNED base fold (the
+    // one O(corpus) read, paid only on compaction batches) + this batch's
+    // combined delta overlaid
+    def fullOf(kind: String): DataFrame = {
+      val (base, delta, keys) = kind match {
+        case "labels" => (storedLabels(None), labelsOutDelta, Seq("node"))
+        case "members" => (storedMembers(None), membersOutDelta,
+          Seq("label", "node"))
+        case "buckets" => (storedBuckets(None), bucketsOutDelta,
+          Seq("band", "bkey"))
+        case _ => (storedBands(None), bandsOutDelta,
+          Seq("doc_id", "band", "bkey"))
+      }
+      overlay(base, delta, keys).withColumn("removed", lit(false))
     }
 
     def publish(kind: String, delta: DataFrame): Unit = {
       val full = wantFull(kind)
-      val df = if (full) fullOf(kind) else delta
+      val df = (if (full) fullOf(kind) else delta)
+        .withColumn("_b", bucketExpr(kind, b).cast("int"))
       val tmp = s"$stateDir/$kind/.tmp_v_$batchId"
       val dest = s"$stateDir/$kind/v=$batchId"
-      df.write.mode("overwrite").parquet(tmp)
+      // a zero-row partitioned write leaves no readable footer at all —
+      // publish empty deltas unpartitioned (readFolded computes `_b`)
+      if (df.isEmpty) df.write.mode("overwrite").parquet(tmp)
+      else df.write.mode("overwrite").partitionBy("_b").parquet(tmp)
       val hfs = fs(spark, stateDir)
       if (full) hfs.createNewFile(new Path(tmp, "_FULL"))
       val destPath = new Path(dest)
@@ -395,18 +616,13 @@ object IncrementalDedup {
       }
     }
     publish("labels", labelsOutDelta)
+    publish("members", membersOutDelta)
     publish("buckets", bucketsOutDelta)
     publish("bands", bandsOutDelta)
     matched.unpersist()
     newBands.unpersist()
     newDocs.unpersist()
   }
-
-  /** Affected (semi-join) slice of the bucket table. */
-  private def storedOrBase(baseBuckets: DataFrame,
-      affected: DataFrame): DataFrame =
-    baseBuckets.join(affected,
-      baseBuckets("label") === affected("label"), "left_semi")
 
   /** Wire a stream of (doc_id, text[, op]) rows into the maintained
     * clusters. */

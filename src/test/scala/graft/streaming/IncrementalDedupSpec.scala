@@ -287,6 +287,141 @@ class IncrementalDedupSpec extends SparkSpecBase {
     }
   }
 
+  // ---- bucketed state layout: read-side pruning + the members index ----
+
+  private def membersInverse(dir: String): Map[Long, Long] =
+    IncrementalDedup.currentMembers(spark, dir).get.collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+
+  test("members index stays the exact inverse of labels through adds, dels, compaction") {
+    val dir = Files.createTempDirectory("inc_members").toString
+    val textPool = (0 until 5).map(t => s"pool text $t words w$t x y z q")
+    val batches: Seq[Seq[(Long, String, String)]] = Seq(
+      (0L until 12L).map(i => (i, textPool((i % 5).toInt), "add")),
+      Seq((12L, textPool(0), "add"), (3L, "", "del"), (7L, "", "del")),
+      Seq((1L, textPool(4), "add"), (13L, textPool(2), "add")), // live update
+      Seq((0L, "", "del")), // delete a label-carrying minimum
+      Seq((14L, textPool(1), "add"))) // post-compaction append
+    batches.zipWithIndex.foreach { case (batch, i) =>
+      IncrementalDedup.mergeBatch(opsDF(batch), i.toLong, dir,
+        compactEvery = 3)
+      assert(membersInverse(dir) == labelsMap(dir),
+        s"members index diverged from labels after batch $i")
+    }
+  }
+
+  private def fileBytesRead(): Long = {
+    val s = org.apache.hadoop.fs.GlobalStorageStatistics.INSTANCE.get("file")
+    if (s == null) 0L
+    else Option(s.getLong("bytesRead")).map(_.longValue()).getOrElse(0L)
+  }
+
+  private def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    walk(new java.io.File(path))
+  }
+
+  test("bucketed layout: a small batch reads O(touched buckets), not the corpus") {
+    val dir = Files.createTempDirectory("inc_pruned").toString
+    // 2400 mostly-unique docs → full snapshots at v=0, partitioned by _b
+    val bulk = (0L until 2400L).map(i =>
+      (i, s"document $i unique words a$i b$i c$i d e f g h"))
+    IncrementalDedup.mergeBatch(docsDF(bulk), 0L, dir)
+    val bucketDirs = new java.io.File(s"$dir/labels/v=0").listFiles()
+      .count(_.getName.startsWith("_b="))
+    assert(bucketDirs > 16,
+      s"full snapshot must be laid out in _b buckets, got $bucketDirs dirs")
+    val stateBytes = dirBytes(dir)
+    // one new doc: every state lookup is bucket-pruned, so the merge must
+    // read a small fraction of the stored state (measured ~10-15%; the
+    // bound leaves headroom for footer reads and listing overhead)
+    val before = fileBytesRead()
+    IncrementalDedup.mergeBatch(docsDF(Seq(
+      (900001L, "document 900001 unique words a900001 b900001 c x y z"))),
+      1L, dir)
+    val readBytes = fileBytesRead() - before
+    assert(readBytes > 0, "file-scheme read statistics unavailable")
+    assert(readBytes < stateBytes * 2 / 5,
+      s"small append read $readBytes of $stateBytes state bytes — " +
+        "the pruned path should touch only matching bucket directories")
+    // and correctness is untouched: the folded view is the whole corpus
+    assert(labelsMap(dir).size == 2401)
+  }
+
+  // ---- legacy-state migration (pre-delta dirs: no `removed`, no `_FULL`,
+  //      no `bands` table) ----
+
+  /** Write a pre-delta-format state dir: labels + buckets snapshots with
+    * the OLD schema (no `removed` column, no `_FULL` marker, no bands). */
+  private def writeLegacyState(dir: String, docs: Seq[(Long, String)],
+      ver: Long = 0L): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TextFns => T}
+    val df = docsDF(docs)
+    val labels = TextOps.clusterAssignments(df).toDF("node", "label")
+    val bands = df
+      .select($"doc_id", T.minhashSigUdf(3, 8)($"text").as("sig"))
+      .filter($"sig".isNotNull)
+      .select($"doc_id", explode(T.bandKeys($"sig", 4, 2)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+    val buckets = bands.join(labels, $"doc_id" === $"node")
+      .groupBy($"band", $"bkey").agg(min($"label").as("label"))
+    labels.write.parquet(s"$dir/labels/v=$ver")
+    buckets.write.parquet(s"$dir/buckets/v=$ver")
+  }
+
+  test("migration: legacy state folds as a full snapshot and serves appends") {
+    val dir = Files.createTempDirectory("inc_legacy").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "alpha beta gamma delta epsilon zeta"),
+      (7L, "unrelated words occupy this document entirely"))
+    writeLegacyState(dir, docs)
+    // the old schema must read back (removed=false implied), not throw
+    assert(labelsMap(dir) == truth(docs))
+    // append-only maintenance continues on top of legacy state: the new
+    // dup must link into the legacy cluster through the stored buckets
+    val extra = Seq((9L, "alpha beta gamma delta epsilon zeta"))
+    IncrementalDedup.mergeBatch(docsDF(extra), 1L, dir)
+    val after = labelsMap(dir)
+    assert(after == truth(docs ++ extra))
+    assert(after(9L) == after(1L), "append must join the legacy cluster")
+  }
+
+  test("migration: two legacy snapshots fold newest-wins (no resurrection)") {
+    val dir = Files.createTempDirectory("inc_legacy2").toString
+    val v0 = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "other words entirely here now"), (3L, "third text lives apart"))
+    // v=1 dropped doc 2 — pre-delta code rewrote complete snapshots, so
+    // the reader must take v=1 WHOLE, not fold v=0's doc 2 back in
+    val v1 = v0.filterNot(_._1 == 2L)
+    writeLegacyState(dir, v0, ver = 0L)
+    writeLegacyState(dir, v1, ver = 1L)
+    assert(labelsMap(dir) == truth(v1), "newest legacy full must win wholesale")
+  }
+
+  test("migration: deletions on legacy state fail loudly, even after appends") {
+    val dir = Files.createTempDirectory("inc_legacy_del").toString
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "alpha beta gamma delta epsilon zeta"))
+    writeLegacyState(dir, docs)
+    // an append first: creates a PARTIAL bands table (new doc only) —
+    // the unsafe condition must survive it via the persisted marker
+    IncrementalDedup.mergeBatch(docsDF(Seq(
+      (9L, "fresh words for the post-migration doc"))), 1L, dir)
+    val e = intercept[IllegalStateException] {
+      IncrementalDedup.mergeBatch(opsDF(Seq((1L, "", "del"))), 2L, dir)
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    // a born-modern dir is unaffected by the guard
+    val fresh = Files.createTempDirectory("inc_modern").toString
+    IncrementalDedup.mergeBatch(docsDF(docs), 0L, fresh)
+    IncrementalDedup.mergeBatch(opsDF(Seq((1L, "", "del"))), 1L, fresh)
+    assert(labelsMap(fresh) == truth(docs.filterNot(_._1 == 1L)))
+  }
+
   test("maintain(): streamed batches land in the versioned state") {
     implicit val s = spark
     val dir = Files.createTempDirectory("inc_stream").toString
