@@ -192,10 +192,17 @@ object ScaleSmoke {
       timed("inc_small_append") {
         IncrementalDedup.mergeBatch(small, 1L, stateDir)
       }
+      // a TINY batch (sub-bucket-count keys) is where the bucketed read
+      // path shows: its lookups open only the handful of `_b` directories
+      // the batch's keys hash into, instead of folding the whole state
+      timed("inc_tiny_append") {
+        IncrementalDedup.mergeBatch(
+          big.filter(pmod(col("doc_id"), lit(10000)) === 98), 2L, stateDir)
+      }
       timed("inc_retraction") {
         IncrementalDedup.mergeBatch(
           big.filter(pmod(col("doc_id"), lit(100)) === 0)
-            .select(col("doc_id"), col("text"), lit("del").as("op")), 2L, stateDir)
+            .select(col("doc_id"), col("text"), lit("del").as("op")), 3L, stateDir)
       }
       spark.catalog.clearCache()
     }
@@ -261,13 +268,14 @@ object ScaleSmoke {
           col("embedding"))).reduce(_ union _)
       val idxPath = java.nio.file.Files
         .createTempDirectory("smoke_ivf").toString
+      val nVecs = bigE.count()
       val t0 = System.nanoTime()
       VectorOps.writeIvfIndex(bigE, idxPath) // cells = 0 → √N auto
       val tw = (System.nanoTime() - t0) / 1e9
       val cells = new java.io.File(s"$idxPath/corpus").listFiles()
         .count(_.getName.startsWith("cell="))
       println(f"SCALE ivf_write          $tw%8.2f s  cells=$cells " +
-        s"(rows=${mult * 500})")
+        s"(rows=$nVecs)")
       val queries = e.filter(col("vec_id") < 4L)
         .select(col("vec_id").as("qid"), col("embedding"))
       val t1 = System.nanoTime()

@@ -523,20 +523,30 @@ object IncrementalDedup {
     //    buckets are added with their final label. Affected bucket rows
     //    are fetched by their members' band keys (pruned), since every
     //    bucket row's key appears among its component's member bands.
-    val memberDocBuckets = bucketsOf(affectedMembers,
-      pmod(col("node"), lit(b.toLong)))
-    val memberBands = overlay(storedBands(Some(memberDocBuckets)),
-      delBandDelta, Seq("doc_id", "band", "bkey"))
-      .join(affectedMembers.select(col("node").as("am_node")),
-        col("doc_id") === col("am_node"), "left_semi")
-      .select(col("band"), col("bkey")).distinct().localCheckpoint()
-    val memberBandKeyBuckets = bucketsOf(memberBands,
-      pmod(hash(col("band"), col("bkey")).cast("long"), lit(b.toLong)))
-    val affectedBucketRows = overlay(
-        storedBuckets(Some(memberBandKeyBuckets)),
-        delBucketDelta, Seq("band", "bkey"))
-      .join(memberBands, Seq("band", "bkey"), "left_semi")
-      .join(affected, Seq("label"), "left_semi")
+    val affectedBucketRows = if (legacyBands) {
+      // legacy/partial-bands state: pre-migration docs have NO stored
+      // band keys, so the bands-derived key route below would miss their
+      // buckets and a relabeling append would leave stale bucket labels
+      // (a later probe would then resurrect the old label). Fall back to
+      // the direct by-label fetch — an unpruned buckets scan, the
+      // documented migration cost on dirs carrying the marker.
+      overlay(storedBuckets(None), delBucketDelta, Seq("band", "bkey"))
+        .join(affected, Seq("label"), "left_semi")
+    } else {
+      val memberDocBuckets = bucketsOf(affectedMembers,
+        pmod(col("node"), lit(b.toLong)))
+      val memberBands = overlay(storedBands(Some(memberDocBuckets)),
+        delBandDelta, Seq("doc_id", "band", "bkey"))
+        .join(affectedMembers.select(col("node").as("am_node")),
+          col("doc_id") === col("am_node"), "left_semi")
+        .select(col("band"), col("bkey")).distinct().localCheckpoint()
+      val memberBandKeyBuckets = bucketsOf(memberBands,
+        pmod(hash(col("band"), col("bkey")).cast("long"), lit(b.toLong)))
+      overlay(storedBuckets(Some(memberBandKeyBuckets)),
+          delBucketDelta, Seq("band", "bkey"))
+        .join(memberBands, Seq("band", "bkey"), "left_semi")
+        .join(affected, Seq("label"), "left_semi")
+    }
     val relabeled = affectedBucketRows
       .join(sub.withColumnRenamed("label", "nl"),
         col("label") === col("node"))

@@ -402,6 +402,25 @@ class IncrementalDedupSpec extends SparkSpecBase {
     assert(labelsMap(dir) == truth(v1), "newest legacy full must win wholesale")
   }
 
+  test("migration: a relabeling append on legacy state fixes the bucket labels") {
+    // the trap: legacy state stores NO band keys, so affected bucket rows
+    // can't be found via member bands — a relabeling append must still
+    // rewrite them (direct by-label fetch) or a LATER probe of those
+    // buckets would resurrect the retired label
+    val dir = Files.createTempDirectory("inc_legacy_rel").toString
+    val text = "shared alpha beta gamma delta epsilon zeta"
+    val docs = Seq((50L, text), (60L, text))
+    writeLegacyState(dir, docs) // cluster {50,60} labeled 50
+    // id 7 < 50 with the same text: relabels the legacy cluster to 7
+    IncrementalDedup.mergeBatch(docsDF(Seq((7L, text))), 1L, dir)
+    assert(labelsMap(dir) == Map(7L -> 7L, 50L -> 7L, 60L -> 7L))
+    // a SECOND append probing the same buckets must see label 7, not 50
+    IncrementalDedup.mergeBatch(docsDF(Seq((90L, text))), 2L, dir)
+    assert(labelsMap(dir) ==
+      Map(7L -> 7L, 50L -> 7L, 60L -> 7L, 90L -> 7L),
+      "stale bucket labels after a legacy relabel")
+  }
+
   test("migration: deletions on legacy state fail loudly, even after appends") {
     val dir = Files.createTempDirectory("inc_legacy_del").toString
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
