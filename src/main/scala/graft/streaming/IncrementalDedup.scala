@@ -269,7 +269,7 @@ object IncrementalDedup {
       if (hasOp) docs.filter(col("op") === "del").select(col("doc_id")).distinct()
       else docs.select(col("doc_id")).limit(0)
     val newDocs = adds.select(col("doc_id"), col("text")).persist()
-    newDocs.count()
+    val nNew = newDocs.count()
     val sig = newDocs
       .select(col("doc_id"), T.minhashSigUdf(3, 8)(col("text")).as("sig"))
       .filter(col("sig").isNotNull)
@@ -278,7 +278,7 @@ object IncrementalDedup {
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.bkey").as("bkey"))
       .persist()
-    newBands.count()
+    val nNewBands = newBands.count()
 
     def readPruned(kind: String, keys: Seq[String],
         prune: Option[Seq[Long]]): Option[DataFrame] =
@@ -317,12 +317,20 @@ object IncrementalDedup {
     // otherwise the stale keys stay in `bands` and a later deletion in
     // the component would reconnect clusters through text the doc no
     // longer has.
-    val newIdBuckets = bucketsOf(newDocs, pmod(col("doc_id"), lit(b.toLong)))
-    val delIdBuckets = bucketsOf(dels, pmod(col("doc_id"), lit(b.toLong)))
+    // statically-empty inputs skip their bucket-id collect jobs: a
+    // micro-batch pays only for the phases its rows actually exercise
+    val newIdBuckets =
+      if (nNew == 0) Seq.empty[Long]
+      else bucketsOf(newDocs, pmod(col("doc_id"), lit(b.toLong)))
+    val delIdBuckets =
+      if (!hasOp) Seq.empty[Long]
+      else bucketsOf(dels, pmod(col("doc_id"), lit(b.toLong)))
     val touchedIdBuckets = Some((newIdBuckets ++ delIdBuckets).distinct)
-    val reIngested = newDocs.select(col("doc_id"))
-      .join(storedLabels(Some(newIdBuckets)).select(col("node").as("st_node")),
-        col("doc_id") === col("st_node"), "left_semi")
+    val reIngested =
+      if (nNew == 0) dels.limit(0)
+      else newDocs.select(col("doc_id"))
+        .join(storedLabels(Some(newIdBuckets)).select(col("node").as("st_node")),
+          col("doc_id") === col("st_node"), "left_semi")
     val delIdsAll = dels.unionByName(reIngested).distinct()
     // empty deltas carry the REAL column types (band is int, bkey is an
     // md5 string): a lit(0L) placeholder would coerce the other union
@@ -333,8 +341,9 @@ object IncrementalDedup {
     // `op` column: an op-carrying stream's all-add batches would otherwise
     // route through the deletion branch — O(affected) work for nothing.
     // The isEmpty action costs one tiny pruned semi-join job and is needed
-    // anyway to split the phases.
-    val anyDeletes = !delIdsAll.isEmpty
+    // anyway to split the phases (skipped when both inputs are statically
+    // empty: no op column means no dels, no adds means no re-ingests).
+    val anyDeletes = (hasOp || nNew > 0) && !delIdsAll.isEmpty
     val (delLabelDelta, delMemberDelta, delBucketDelta, delBandDelta) =
       if (!anyDeletes) {
         (emptyDelta(emptyLabels.select(col("node"), col("label"))),
@@ -451,9 +460,13 @@ object IncrementalDedup {
 
     // ---- append phase (against the post-delete overlays) ----
     // 1. probe the stored bucket index with the new docs' band keys —
-    //    pruned to the buckets those keys can live in
-    val newBandBuckets = bucketsOf(newBands,
-      pmod(hash(col("band"), col("bkey")).cast("long"), lit(b.toLong)))
+    //    pruned to the buckets those keys can live in (a band-less batch
+    //    — pure deletes, or all-null signatures — skips the collect and
+    //    prunes the probe to zero buckets)
+    val newBandBuckets =
+      if (nNewBands == 0) Seq.empty[Long]
+      else bucketsOf(newBands,
+        pmod(hash(col("band"), col("bkey")).cast("long"), lit(b.toLong)))
     val probeBase = overlay(storedBuckets(Some(newBandBuckets)),
       delBucketDelta, Seq("band", "bkey"))
     val matched = newBands.join(probeBase, Seq("band", "bkey"))
@@ -562,15 +575,21 @@ object IncrementalDedup {
     val bandDelta = newBands.withColumn("removed", lit(false))
 
     // combine with the deletion-phase deltas; the append phase wins on
-    // key overlap (it ran second), expressed as a phase-priority window
+    // key overlap (it ran second), expressed as a phase-priority window.
+    // Single-phase batches skip the window (and its shuffle) outright:
+    // with no deletes the del deltas are statically empty, and a pure
+    // delete batch (nNew == 0) produces statically empty append deltas.
     def combined(delPhase: DataFrame, addPhase: DataFrame,
-        keys: Seq[String]): DataFrame = {
-      val u = delPhase.withColumn("_p", lit(0))
-        .unionByName(addPhase.withColumn("_p", lit(1)))
-      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_p").desc)
-      u.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1).drop("_p", "_rn")
-    }
+        keys: Seq[String]): DataFrame =
+      if (!anyDeletes) addPhase
+      else if (nNew == 0) delPhase
+      else {
+        val u = delPhase.withColumn("_p", lit(0))
+          .unionByName(addPhase.withColumn("_p", lit(1)))
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_p").desc)
+        u.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_p", "_rn")
+      }
     val labelsOutDelta = combined(delLabelDelta, labelDelta, Seq("node"))
     val membersOutDelta = combined(delMemberDelta, memberDelta,
       Seq("label", "node"))
