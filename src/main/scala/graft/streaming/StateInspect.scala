@@ -49,6 +49,29 @@ object StateInspect {
     reader.load(checkpointDir)
   }
 
+  /** The change feed of a store between two committed batches: one row per
+    * state mutation with a `change_type` (`update` / `delete`) and the
+    * `batch_id` that made it — state evolution as CDC, for auditing *how*
+    * a key reached its current state rather than just *what* it is. Cost
+    * scales with the deltas in the range, not with state size. */
+  def stateChanges(
+      spark: SparkSession,
+      checkpointDir: String,
+      startBatchId: Long,
+      endBatchId: Option[Long] = None,
+      operatorId: Int = 0,
+      storeName: String = "default",
+      stateVarName: Option[String] = None): DataFrame = {
+    var reader = spark.read.format("statestore")
+      .option("operatorId", operatorId.toString)
+      .option("storeName", storeName)
+      .option("readChangeFeed", "true")
+      .option("changeStartBatchId", startBatchId.toString)
+    endBatchId.foreach(b => reader = reader.option("changeEndBatchId", b.toString))
+    stateVarName.foreach(v => reader = reader.option("stateVarName", v))
+    reader.load(checkpointDir)
+  }
+
   /** Decoded per-key login sessions from an [[OtpCorrelation.correlate]]
     * checkpoint — the Spark analog of listing the reference's status files
     * (`playwright_login_runner.py:44-49`): one row per live key with its

@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 import graft.SparkSpecBase
 
@@ -84,6 +85,63 @@ class StateInspectSpec extends SparkSpecBase {
       "zepto_a" -> SessionStatus.WaitingForOtp,
       "zepto_b" -> SessionStatus.WaitingForOtp,
       "zepto_c" -> SessionStatus.WaitingForOtp))
+  }
+
+  test("change feed: state mutations read back as CDC under changelog checkpointing") {
+    // readChangeFeed needs the RocksDB provider WITH changelog
+    // checkpointing — each batch then persists its mutation log, which is
+    // exactly what the feed replays
+    val confs = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val ckpt = Files.createTempDirectory("si_cdc_ckpt").toString
+    try {
+      implicit val s = spark
+      import s.implicits._
+      val input = MemoryStream[CorrelationEvent](spark)
+      val q = OtpCorrelation.correlate(input.toDS())
+        .writeStream.format("memory").queryName("si_cdc_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime("500 milliseconds"))
+        .start()
+      try {
+        input.addData(req("zepto_m", 0))
+        val d1 = System.currentTimeMillis() + 60000
+        var opened = false
+        while (!opened && System.currentTimeMillis() < d1) {
+          val p = q.lastProgress
+          if (p != null && p.stateOperators.nonEmpty &&
+              p.stateOperators(0).numRowsTotal == 1) opened = true
+          else Thread.sleep(200)
+        }
+        assert(opened, "request batch never landed in state")
+        input.addData(otp("zepto_m", "3131", 10))
+        val d2 = System.currentTimeMillis() + 60000
+        while (spark.table("si_cdc_out").count() < 1 &&
+               System.currentTimeMillis() < d2) Thread.sleep(200)
+      } finally q.stop()
+
+      val changes = StateInspect.stateChanges(spark, ckpt, startBatchId = 0L)
+        .filter(col("value").isNotNull)
+        .select(col("change_type"), col("batch_id"),
+          col("value.groupState.status").as("status"))
+        .collect()
+      // the key mutated twice — opened waiting, then cached success —
+      // and the feed shows both puts in batch order
+      val puts = changes.filter(_.getAs[String]("change_type") == "update")
+        .sortBy(_.getAs[Long]("batch_id"))
+        .map(_.getAs[String]("status")).toSeq
+      assert(puts == Seq(SessionStatus.WaitingForOtp, SessionStatus.Success),
+        s"unexpected change feed: ${changes.mkString(", ")}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("tws variant: the session ValueState store is readable by name") {
