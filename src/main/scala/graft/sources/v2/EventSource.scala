@@ -71,15 +71,20 @@ class EventSource extends TableProvider
     EventSource.schemaFor(Option(options.get("columns")))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val events = Option(properties.get("events")).map(_.toLong).getOrElse(10000L)
-    val chunk = Option(properties.get("chunk")).map(_.toLong).getOrElse(1024L)
-    val startId = Option(properties.get("startId")).map(_.toLong).getOrElse(0L)
+    // Spark hands getTable a case-SENSITIVE map while inferSchema got a
+    // CaseInsensitiveStringMap — re-wrap so an option spelled `Columns`
+    // (or `MaxPerTrigger`) isn't honored by schema inference but silently
+    // dropped here, the convention every built-in source follows
+    val opts = new CaseInsensitiveStringMap(properties)
+    val events = Option(opts.get("events")).map(_.toLong).getOrElse(10000L)
+    val chunk = Option(opts.get("chunk")).map(_.toLong).getOrElse(1024L)
+    val startId = Option(opts.get("startId")).map(_.toLong).getOrElse(0L)
     // clamp like chunk: maxPerTrigger <= 0 would make latestOffset never
     // advance and spin an AvailableNow drain forever
-    val maxPerTrigger = Option(properties.get("maxPerTrigger"))
+    val maxPerTrigger = Option(opts.get("maxPerTrigger"))
       .map(v => math.max(1L, v.toLong))
     new EventTable(events, math.max(1L, chunk), startId, maxPerTrigger,
-      EventSource.schemaFor(Option(properties.get("columns"))))
+      EventSource.schemaFor(Option(opts.get("columns"))))
   }
 }
 

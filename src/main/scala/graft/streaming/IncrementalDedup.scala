@@ -101,13 +101,22 @@ object IncrementalDedup {
   /** Version dirs are immutable once published (rename; replays re-derive
     * identical content and the same fullness decision), so fullness is
     * memoized — the legacy-schema probe below would otherwise re-read a
-    * parquet footer per version per batch. */
+    * parquet footer per version per batch. The key carries the dir's
+    * mtime: a state dir torn down and REBUILT at the same path (the
+    * documented response to the legacy-deletion error) must not inherit
+    * the old incarnation's fullness answers, and replay-overwritten dirs
+    * re-derive the same decision so a changed mtime is merely a cheap
+    * recompute. Size-capped so a months-long driver can't leak entries
+    * for GC-deleted versions. */
   private val fullCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  private def isFull(spark: SparkSession, dir: String): Boolean =
-    fullCache.computeIfAbsent(dir, _ =>
-      fs(spark, dir).exists(new Path(dir, "_FULL")) ||
+  private def isFull(spark: SparkSession, dir: String): Boolean = {
+    val h = fs(spark, dir)
+    val key = s"$dir@${h.getFileStatus(new Path(dir)).getModificationTime}"
+    if (fullCache.size > 8192) fullCache.clear()
+    fullCache.computeIfAbsent(key, _ =>
+      h.exists(new Path(dir, "_FULL")) ||
         // MIGRATION: pre-delta state versions have neither a `_FULL`
         // marker nor a `removed` column — they were written as complete
         // snapshots, so a legacy schema IS a full-snapshot marker. Without
@@ -115,6 +124,7 @@ object IncrementalDedup {
         // legacy fulls as if they were deltas (resurrecting rows deleted
         // between them) and then throw on the missing `removed` column.
         !spark.read.parquet(dir).schema.fieldNames.contains("removed"))
+  }
 
   /** The version chain a reader at `upTo` folds: newest full ≤ newest
     * version < upTo, plus every later delta (ascending). */
@@ -127,26 +137,34 @@ object IncrementalDedup {
 
   // ---- bucketed layout ----
 
+  /** The persisted `_BUCKETS` marker, if any — the single parse point for
+    * the layout property both writers and readers must agree on. */
+  private def readBucketMarker(spark: SparkSession,
+      stateDir: String): Option[Int] = {
+    val h = fs(spark, stateDir)
+    val marker = new Path(stateDir, "_BUCKETS")
+    if (!h.exists(marker)) None
+    else {
+      val in = h.open(marker)
+      try Some(scala.io.Source.fromInputStream(in).mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
   /** Bucket count is a LAYOUT property: the partition directories and the
     * prune expressions must use the same B for the life of the state dir,
     * so the first writer persists it and later merges read it back
     * (ignoring their own parameter if it drifted). */
   private def bucketCount(spark: SparkSession, stateDir: String,
-      requested: Int): Int = {
-    val h = fs(spark, stateDir)
-    val marker = new Path(stateDir, "_BUCKETS")
-    if (h.exists(marker)) {
-      val in = h.open(marker)
-      try scala.io.Source.fromInputStream(in).mkString.trim.toInt
-      finally in.close()
-    } else {
+      requested: Int): Int =
+    readBucketMarker(spark, stateDir).getOrElse {
+      val h = fs(spark, stateDir)
       h.mkdirs(new Path(stateDir))
-      val out = h.create(marker, true)
+      val out = h.create(new Path(stateDir, "_BUCKETS"), true)
       try out.write(requested.toString.getBytes("UTF-8"))
       finally out.close()
       requested
     }
-  }
 
   /** `_b` of each kind, as a function of its fold key — bucketing on a
     * non-key column would be unsound under pruned folds (a key's rows
@@ -206,13 +224,18 @@ object IncrementalDedup {
     * labels (pre-retraction legacy state). Diagnosed once and persisted as
     * a `_LEGACY_BANDS` marker: later appends create a PARTIAL bands table
     * (post-migration docs only), so the emptiness check alone would stop
-    * firing while deletions remained unsafe. */
-  private def legacyBandsMarked(spark: SparkSession, stateDir: String): Boolean = {
+    * firing while deletions remained unsafe. Only versions from EARLIER
+    * batches count as evidence: a crash between this batch's own
+    * publish("labels") and publish("bands") would otherwise make the
+    * REPLAY see labels-without-bands and permanently brand a modern dir
+    * legacy (refusing deletions forever over a transient crash). */
+  private def legacyBandsMarked(spark: SparkSession, stateDir: String,
+      batchId: Long): Boolean = {
     val h = fs(spark, stateDir)
     val marker = new Path(stateDir, "_LEGACY_BANDS")
     if (h.exists(marker)) true
-    else if (versions(spark, s"$stateDir/bands").isEmpty &&
-        versions(spark, s"$stateDir/labels").nonEmpty) {
+    else if (versions(spark, s"$stateDir/labels").exists(_ < batchId) &&
+        !versions(spark, s"$stateDir/bands").exists(_ < batchId)) {
       h.mkdirs(new Path(stateDir)); h.createNewFile(marker); true
     } else false
   }
@@ -235,16 +258,8 @@ object IncrementalDedup {
   /** B for read-only access: the persisted marker, else any value (the
     * computed `_b` is dropped before results surface, so an unpersisted B
     * only affects legacy dirs where no directory layout exists anyway). */
-  private def bucketCountIfAny(spark: SparkSession, stateDir: String): Int = {
-    val h = fs(spark, stateDir)
-    val marker = new Path(stateDir, "_BUCKETS")
-    if (!h.exists(marker)) 64
-    else {
-      val in = h.open(marker)
-      try scala.io.Source.fromInputStream(in).mkString.trim.toInt
-      finally in.close()
-    }
-  }
+  private def bucketCountIfAny(spark: SparkSession, stateDir: String): Int =
+    readBucketMarker(spark, stateDir).getOrElse(64)
 
   /** Merge one micro-batch of (doc_id, text[, op]) rows, idempotent in
     * batchId. Without an `op` column every row is an append; with one,
@@ -261,7 +276,7 @@ object IncrementalDedup {
     val spark = docs.sparkSession
     // diagnose legacy state BEFORE this batch publishes anything — an
     // append would create a partial `bands` table and mask the condition
-    val legacyBands = legacyBandsMarked(spark, stateDir)
+    val legacyBands = legacyBandsMarked(spark, stateDir, batchId)
     val b = bucketCount(spark, stateDir, stateBuckets)
     val hasOp = docs.columns.contains("op")
     val adds = if (hasOp) docs.filter(col("op") === "add") else docs
@@ -296,9 +311,13 @@ object IncrementalDedup {
         .getOrElse(newBands.limit(0)
           .select(col("band"), col("bkey"), col("doc_id").as("label")))
     // members: the inverted label index; derived from labels (full fold,
-    // migration only) when the table doesn't exist yet
+    // migration only) when the table doesn't exist yet. "Exists" means a
+    // version from an EARLIER batch: this batch's own v=batchId (a crashed
+    // first-migration attempt being replayed) folds to nothing, and taking
+    // the read branch on its evidence would replace the derived index with
+    // an empty one — and then publish that as the members full snapshot.
     def storedMembers(prune: Option[Seq[Long]]): DataFrame =
-      if (versions(spark, s"$stateDir/members").nonEmpty)
+      if (versions(spark, s"$stateDir/members").exists(_ < batchId))
         readPruned("members", Seq("label", "node"), prune)
           .getOrElse(emptyLabels.select(col("label"), col("node")))
       else {
@@ -621,8 +640,13 @@ object IncrementalDedup {
 
     def publish(kind: String, delta: DataFrame): Unit = {
       val full = wantFull(kind)
+      // cache before probing emptiness: the probe is an action, and the
+      // window-combined deltas (and compaction's O(corpus) fold) would
+      // otherwise execute twice — once for isEmpty, once for the write
       val df = (if (full) fullOf(kind) else delta)
         .withColumn("_b", bucketExpr(kind, b).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       val tmp = s"$stateDir/$kind/.tmp_v_$batchId"
       val dest = s"$stateDir/$kind/v=$batchId"
       // a zero-row partitioned write leaves no readable footer at all —
@@ -643,6 +667,7 @@ object IncrementalDedup {
         vs.filter(_ < keepFrom).foreach(v =>
           hfs.delete(new Path(s"$stateDir/$kind/v=$v"), true))
       }
+      } finally df.unpersist()
     }
     publish("labels", labelsOutDelta)
     publish("members", membersOutDelta)

@@ -51,6 +51,16 @@ class EventSourceSpec extends SparkSpecBase {
     assert(r.map(_.getLong(0)).sorted.toSeq == (0L until 30L by 3).toSeq)
   }
 
+  test("option names are case-insensitive end to end (Columns, Events)") {
+    // inferSchema gets a CaseInsensitiveStringMap but getTable a
+    // case-sensitive one — a mixed-case option honored by one and
+    // dropped by the other would silently return the wrong shape
+    val df = spark.read.format("graftevents")
+      .option("Events", 10L).option("Columns", "event_id,user_id").load()
+    assert(df.columns.toSeq == Seq("event_id", "user_id"))
+    assert(df.count() == 10)
+  }
+
   test("column pruning reaches the reader (scan emits only required cols)") {
     val df = events(100).select("event_id", "user_id")
     val p = df.queryExecution.executedPlan.toString

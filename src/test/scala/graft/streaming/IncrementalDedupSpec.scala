@@ -287,6 +287,69 @@ class IncrementalDedupSpec extends SparkSpecBase {
     }
   }
 
+  // ---- crash-replay: a partial publish must not corrupt the replay ----
+
+  private def deleteVersion(dir: String, kind: String, v: Long): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(s"$dir/$kind/v=$v"))
+  }
+
+  test("replay of a crashed members-migration batch re-derives the index, not empty") {
+    // round-7-style dir: labels+buckets only. The migration batch derives
+    // the members table from labels; a crash AFTER publish("members") but
+    // before the later publishes leaves members/v=N on disk while the
+    // checkpoint never committed. The replay must re-derive members from
+    // labels again — its own crashed v=N folds to nothing and taking the
+    // "table exists" read branch on it would gut the index corpus-wide.
+    val dir = Files.createTempDirectory("inc_replay_mig").toString
+    val text = "replay alpha beta gamma delta epsilon zeta"
+    val legacy = Seq((10L, text), (20L, text), (30L, "solo words one two three four"))
+    writeLegacyState(dir, legacy)
+    val batch = Seq((40L, text))
+    IncrementalDedup.mergeBatch(docsDF(batch), 1L, dir)
+    // crash window: labels+members v=1 published, buckets+bands v=1 not
+    deleteVersion(dir, "buckets", 1L)
+    deleteVersion(dir, "bands", 1L)
+    IncrementalDedup.mergeBatch(docsDF(batch), 1L, dir) // the replay
+    val all = legacy ++ batch
+    assert(labelsMap(dir) == truth(all))
+    assert(membersInverse(dir) == labelsMap(dir),
+      "replayed migration must re-derive members from labels")
+    // and the state keeps working: a later append still folds correctly
+    IncrementalDedup.mergeBatch(docsDF(Seq((50L, text))), 2L, dir)
+    val all2 = all :+ (50L, text)
+    assert(labelsMap(dir) == truth(all2))
+    assert(membersInverse(dir) == labelsMap(dir))
+  }
+
+  test("replay of a crashed FIRST batch must not brand a modern dir legacy") {
+    // fresh dir, batch 0 crashes between publish("labels") and
+    // publish("bands"): the replay sees labels-without-bands, which is
+    // exactly what a legacy dir looks like — but only versions from
+    // EARLIER batches are evidence, so no _LEGACY_BANDS marker may
+    // appear and deletions must keep working afterwards
+    val dir = Files.createTempDirectory("inc_replay_first").toString
+    val text = "first alpha beta gamma delta epsilon zeta"
+    val batch = Seq((1L, text), (2L, text), (3L, "other words a b c d"))
+    IncrementalDedup.mergeBatch(docsDF(batch), 0L, dir)
+    deleteVersion(dir, "members", 0L)
+    deleteVersion(dir, "buckets", 0L)
+    deleteVersion(dir, "bands", 0L)
+    IncrementalDedup.mergeBatch(docsDF(batch), 0L, dir) // the replay
+    assert(!new java.io.File(s"$dir/_LEGACY_BANDS").exists(),
+      "transient crash must not permanently brand the dir legacy")
+    assert(labelsMap(dir) == truth(batch))
+    // deletions stay available (a legacy-branded dir would throw here)
+    IncrementalDedup.mergeBatch(
+      opsDF(Seq((2L, "", "del"))), 1L, dir)
+    val after = batch.filterNot(_._1 == 2L)
+    assert(labelsMap(dir) == truth(after))
+    assert(membersInverse(dir) == labelsMap(dir))
+  }
+
   // ---- bucketed state layout: read-side pruning + the members index ----
 
   private def membersInverse(dir: String): Map[Long, Long] =

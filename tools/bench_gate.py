@@ -49,12 +49,14 @@ def parse_sf(data):
 
 
 def load_queries(path):
+    """(queries, sf) from one artifact — single parse, shared by every
+    caller that needs both."""
     with open(path) as f:
         data = json.load(f)
     q = parse_queries(data)
     if not q:
         sys.exit(f"no per-query bench entries found in {path}")
-    return q
+    return q, parse_sf(data)
 
 
 def full_history_pair():
@@ -112,12 +114,8 @@ def main():
     base_old = base_new = None
     if len(args.files) == 2:
         old_path, new_path = args.files
-        old, new = load_queries(old_path), load_queries(new_path)
+        (old, sf_old), (new, sf_new) = load_queries(old_path), load_queries(new_path)
         base_old, base_new = os.path.basename(old_path), os.path.basename(new_path)
-        with open(old_path) as f:
-            sf_old = parse_sf(json.load(f))
-        with open(new_path) as f:
-            sf_new = parse_sf(json.load(f))
         if sf_old is not None and sf_new is not None and sf_old != sf_new:
             print(f"WARNING: comparing runs at different SF dirs "
                   f"({sf_old} vs {sf_new}) — per-query ratios are not "
@@ -131,7 +129,7 @@ def main():
             if len(rounds) < 2:
                 sys.exit("need BENCH_full.json git history or two BENCH_r*.json rounds")
             old_path, new_path = rounds[-2], rounds[-1]
-            old, new = load_queries(old_path), load_queries(new_path)
+            (old, _), (new, _) = load_queries(old_path), load_queries(new_path)
             base_old = os.path.basename(old_path)
             base_new = os.path.basename(new_path)
     regressions, improvements = [], []

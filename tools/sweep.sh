@@ -48,14 +48,26 @@ for name in $ORDER; do
     overall=1; continue
   fi
   log="$out.check"
-  python3 tools/local_check.py "$SF" "$out" >"$log" 2>&1
+  # a crashed checker (nonzero exit, or no summary line) must FAIL the
+  # sweep — zero '^FAIL' lines in a traceback is not a green gate
+  if ! python3 tools/local_check.py "$SF" "$out" >"$log" 2>&1; then
+    echo "sweep $name: local_check CRASHED (see $log)"; tail -5 "$log"
+    overall=1; continue
+  fi
+  summary=$(grep -E '^[0-9]+/[0-9]+ oracle-checked queries pass$' "$log" | tail -1)
   fails=$(grep -c '^FAIL' "$log" || true)
   tail -1 "$log"
-  if [ "$fails" -ne 0 ]; then
-    echo "sweep $name: $fails ORACLE FAILURES"; grep '^FAIL' "$log" | head -5
+  n_ok=${summary%%/*}
+  total=$(echo "$summary" | sed 's|^[0-9]*/\([0-9]*\) .*|\1|')
+  if [ -z "$summary" ]; then
+    echo "sweep $name: NO SUMMARY LINE from local_check (see $log)"
+    overall=1
+  elif [ "$fails" -ne 0 ] || [ "$n_ok" != "$total" ]; then
+    echo "sweep $name: $fails ORACLE FAILURES ($summary)"
+    grep '^FAIL' "$log" | head -5
     overall=1
   else
-    echo "sweep $name: PASS"
+    echo "sweep $name: PASS ($summary)"
   fi
 done
 [ $overall -eq 0 ] && echo "ALL 5 SWEEPS GREEN" || echo "SWEEP FAILURES (see /tmp/sweep_*.check)"
