@@ -111,9 +111,21 @@ object IncrementalDedup {
   private val fullCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** A version dir's cache stamp: the `_SUCCESS` file's mtime when
+    * present, else the dir's own. Object stores report 0 (or a constant)
+    * for synthetic directory entries, so keying on the dir mtime alone
+    * would let a rebuilt-at-the-same-path state dir inherit stale
+    * answers there — `_SUCCESS` is a real file with a real mtime on
+    * every store, and each (re)publish rewrites it. */
+  private def versionStamp(h: org.apache.hadoop.fs.FileSystem,
+      dir: String): Long =
+    try h.getFileStatus(new Path(dir, "_SUCCESS")).getModificationTime
+    catch { case _: java.io.FileNotFoundException =>
+      h.getFileStatus(new Path(dir)).getModificationTime }
+
   private def isFull(spark: SparkSession, dir: String): Boolean = {
     val h = fs(spark, dir)
-    val key = s"$dir@${h.getFileStatus(new Path(dir)).getModificationTime}"
+    val key = s"$dir@${versionStamp(h, dir)}"
     if (fullCache.size > 8192) fullCache.clear()
     fullCache.computeIfAbsent(key, _ =>
       h.exists(new Path(dir, "_FULL")) ||
@@ -138,7 +150,9 @@ object IncrementalDedup {
   // ---- bucketed layout ----
 
   /** The persisted `_BUCKETS` marker, if any — the single parse point for
-    * the layout property both writers and readers must agree on. */
+    * the layout property both writers and readers must agree on. A
+    * garbled marker is a loud, named error: guessing a B would silently
+    * mis-prune every read. */
   private def readBucketMarker(spark: SparkSession,
       stateDir: String): Option[Int] = {
     val h = fs(spark, stateDir)
@@ -146,8 +160,14 @@ object IncrementalDedup {
     if (!h.exists(marker)) None
     else {
       val in = h.open(marker)
-      try Some(scala.io.Source.fromInputStream(in).mkString.trim.toInt)
+      val body = try scala.io.Source.fromInputStream(in).mkString.trim
       finally in.close()
+      body.toIntOption match {
+        case Some(b) if b > 0 => Some(b)
+        case _ => throw new IllegalStateException(
+          s"unreadable _BUCKETS marker at $stateDir (content: '$body'): " +
+            "the bucket layout of this state dir cannot be determined")
+      }
     }
   }
 
@@ -158,23 +178,41 @@ object IncrementalDedup {
   private def bucketCount(spark: SparkSession, stateDir: String,
       requested: Int): Int =
     readBucketMarker(spark, stateDir).getOrElse {
+      // write-then-rename: a crash mid-write must not leave a torn marker
+      // that bricks every later read of the dir (the version publishes
+      // below use the same discipline for the same reason)
       val h = fs(spark, stateDir)
       h.mkdirs(new Path(stateDir))
-      val out = h.create(new Path(stateDir, "_BUCKETS"), true)
+      val tmp = new Path(stateDir, "._BUCKETS.tmp")
+      val out = h.create(tmp, true)
       try out.write(requested.toString.getBytes("UTF-8"))
       finally out.close()
-      requested
+      if (h.rename(tmp, new Path(stateDir, "_BUCKETS"))) requested
+      else {
+        // lost a (contract-violating) race: trust whoever won
+        h.delete(tmp, false)
+        readBucketMarker(spark, stateDir).getOrElse(requested)
+      }
     }
+
+  /** The two bucket formulas, shared by the write-side layout
+    * ([[bucketExpr]]) and every read-side prune: the file's invariant is
+    * that layout and prune expressions agree forever, so there is exactly
+    * one definition of each. */
+  private[streaming] def idBucket(c: Column, b: Int): Column =
+    pmod(c, lit(b.toLong))
+  private[streaming] def bandBucket(band: Column, bkey: Column,
+      b: Int): Column =
+    pmod(hash(band, bkey).cast("long"), lit(b.toLong))
 
   /** `_b` of each kind, as a function of its fold key — bucketing on a
     * non-key column would be unsound under pruned folds (a key's rows
     * could straddle the prune boundary across versions). */
   private def bucketExpr(kind: String, b: Int): Column = kind match {
-    case "labels"  => pmod(col("node"), lit(b.toLong))
-    case "members" => pmod(col("label"), lit(b.toLong))
-    case "buckets" => pmod(hash(col("band"), col("bkey")).cast("long"),
-      lit(b.toLong))
-    case _         => pmod(col("doc_id"), lit(b.toLong))
+    case "labels"  => idBucket(col("node"), b)
+    case "members" => idBucket(col("label"), b)
+    case "buckets" => bandBucket(col("band"), col("bkey"), b)
+    case _         => idBucket(col("doc_id"), b)
   }
 
   /** The distinct `_b` values a key set can touch — collected to the
@@ -194,31 +232,47 @@ object IncrementalDedup {
     * directories — sound because `_b` is a function of the fold key. */
   private def readFolded(spark: SparkSession, kindDir: String, upTo: Long,
       keyCols: Seq[String], b: Int,
-      prune: Option[Seq[Long]] = None): Option[DataFrame] = {
-    val vs = chain(spark, kindDir, upTo)
-    if (vs.isEmpty) None
+      prune: Option[Seq[Long]] = None): Option[DataFrame] =
+    foldParts(resolveChain(spark, kindDir, upTo, b), keyCols, prune)
+
+  /** The chain's per-version scans, schema-normalized but NOT yet pruned.
+    * Resolving is the expensive part — a directory listing plus an eager
+    * parquet footer read per version — so mergeBatch resolves each kind
+    * ONCE per batch and re-folds the same parts under different prunes;
+    * the old shape re-listed and re-read footers on every stored* call
+    * (a dozen times per delete+append batch). */
+  private def resolveChain(spark: SparkSession, kindDir: String,
+      upTo: Long, b: Int): Seq[DataFrame] = {
+    val kind = new Path(kindDir).getName
+    chain(spark, kindDir, upTo).map { v =>
+      val raw = spark.read.parquet(s"$kindDir/v=$v")
+      // legacy (pre-delta) snapshot: no tombstone column — all rows live
+      val withRemoved =
+        if (raw.columns.contains("removed")) raw
+        else raw.withColumn("removed", lit(false))
+      // pre-bucketing versions: compute `_b` on read (no directory
+      // pruning for them, but the filter semantics are identical)
+      if (withRemoved.columns.contains("_b")) withRemoved
+      else withRemoved.withColumn("_b", bucketExpr(kind, b).cast("int"))
+    }
+  }
+
+  /** Fold resolved chain parts: latest version wins per key; tombstones
+    * drop keys. Pruning filters each part to the listed `_b` buckets —
+    * directory-level pruning for bucketed versions, an ordinary filter
+    * for pre-layout ones. */
+  private def foldParts(parts: Seq[DataFrame], keyCols: Seq[String],
+      prune: Option[Seq[Long]]): Option[DataFrame] =
+    if (parts.isEmpty) None
     else {
-      val kind = new Path(kindDir).getName
-      val parts = vs.map { v =>
-        val raw = spark.read.parquet(s"$kindDir/v=$v")
-        // legacy (pre-delta) snapshot: no tombstone column — all rows live
-        val withRemoved =
-          if (raw.columns.contains("removed")) raw
-          else raw.withColumn("removed", lit(false))
-        // pre-bucketing versions: compute `_b` on read (no directory
-        // pruning for them, but the filter semantics are identical)
-        val withB =
-          if (withRemoved.columns.contains("_b")) withRemoved
-          else withRemoved.withColumn("_b", bucketExpr(kind, b).cast("int"))
-        prune.fold(withB)(s => withB.filter(col("_b").isin(s: _*)))
-      }
-      val folded = parts.reduce { (acc, d) =>
+      val pruned = parts.map(p =>
+        prune.fold(p)(s => p.filter(col("_b").isin(s: _*))))
+      val folded = pruned.reduce { (acc, d) =>
         acc.join(d.select(keyCols.map(col): _*), keyCols, "left_anti")
           .unionByName(d)
       }
       Some(folded.filter(!col("removed")).drop("removed", "_b"))
     }
-  }
 
   /** True iff this state dir ever lacked the `bands` table while holding
     * labels (pre-retraction legacy state). Diagnosed once and persisted as
@@ -230,12 +284,11 @@ object IncrementalDedup {
     * REPLAY see labels-without-bands and permanently brand a modern dir
     * legacy (refusing deletions forever over a transient crash). */
   private def legacyBandsMarked(spark: SparkSession, stateDir: String,
-      batchId: Long): Boolean = {
+      batchId: Long, labelVs: Seq[Long], bandVs: Seq[Long]): Boolean = {
     val h = fs(spark, stateDir)
     val marker = new Path(stateDir, "_LEGACY_BANDS")
     if (h.exists(marker)) true
-    else if (versions(spark, s"$stateDir/labels").exists(_ < batchId) &&
-        !versions(spark, s"$stateDir/bands").exists(_ < batchId)) {
+    else if (labelVs.exists(_ < batchId) && !bandVs.exists(_ < batchId)) {
       h.mkdirs(new Path(stateDir)); h.createNewFile(marker); true
     } else false
   }
@@ -274,9 +327,39 @@ object IncrementalDedup {
   def mergeBatch(docs: DataFrame, batchId: Long, stateDir: String,
                  compactEvery: Int = 8, stateBuckets: Int = 64): Unit = {
     val spark = docs.sparkSession
+    // OWNERSHIP guard: batch ids come from THIS stream's checkpoint. A
+    // stored version NEWER than the current batch means some other
+    // checkpoint's history wrote the dir (a fresh checkpoint restarts ids
+    // at 0) — folding with upTo=batchId would silently hide, then
+    // clobber, the existing corpus. The same id with a pre-delta (legacy)
+    // payload is the batchId-0 collision of the same mistake; an own
+    // replay re-publishes the modern schema and passes.
+    val kinds = Seq("labels", "members", "buckets", "bands")
+    val kindVersions: Map[String, Seq[Long]] =
+      kinds.map(k => k -> versions(spark, s"$stateDir/$k")).toMap
+    kinds.foreach { k =>
+      val vs = kindVersions(k)
+      vs.find(_ > batchId).foreach { v =>
+        throw new IllegalStateException(
+          s"state dir $stateDir holds $k/v=$v, newer than batchId=" +
+            s"$batchId: this stream's checkpoint does not own the dir. " +
+            "Resume with the original checkpoint, or adopt the dir by " +
+            "starting the new stream's batch ids above the newest " +
+            "stored version.")
+      }
+      if (vs.contains(batchId) && !spark.read
+          .parquet(s"$stateDir/$k/v=$batchId").schema.fieldNames
+          .contains("removed"))
+        throw new IllegalStateException(
+          s"state dir $stateDir holds a pre-delta (legacy) $k/v=$batchId" +
+            s" colliding with batchId=$batchId: adopt a legacy dir by " +
+            "starting the new stream's batch ids above its newest " +
+            "version.")
+    }
     // diagnose legacy state BEFORE this batch publishes anything — an
     // append would create a partial `bands` table and mask the condition
-    val legacyBands = legacyBandsMarked(spark, stateDir, batchId)
+    val legacyBands = legacyBandsMarked(spark, stateDir, batchId,
+      kindVersions("labels"), kindVersions("bands"))
     val b = bucketCount(spark, stateDir, stateBuckets)
     val hasOp = docs.columns.contains("op")
     val adds = if (hasOp) docs.filter(col("op") === "add") else docs
@@ -295,9 +378,13 @@ object IncrementalDedup {
       .persist()
     val nNewBands = newBands.count()
 
+    // each kind's chain is resolved (listed + footer-read) at most once
+    // per batch; stored* calls re-fold the same parts under their prunes
+    val chainMemo = scala.collection.mutable.Map.empty[String, Seq[DataFrame]]
     def readPruned(kind: String, keys: Seq[String],
         prune: Option[Seq[Long]]): Option[DataFrame] =
-      readFolded(spark, s"$stateDir/$kind", batchId, keys, b, prune)
+      foldParts(chainMemo.getOrElseUpdate(kind,
+        resolveChain(spark, s"$stateDir/$kind", batchId, b)), keys, prune)
     val emptyLabels = spark.range(0)
       .select(col("id").as("node"), col("id").as("label"))
     def storedLabels(prune: Option[Seq[Long]]): DataFrame =
@@ -317,13 +404,13 @@ object IncrementalDedup {
     // the read branch on its evidence would replace the derived index with
     // an empty one — and then publish that as the members full snapshot.
     def storedMembers(prune: Option[Seq[Long]]): DataFrame =
-      if (versions(spark, s"$stateDir/members").exists(_ < batchId))
+      if (kindVersions("members").exists(_ < batchId))
         readPruned("members", Seq("label", "node"), prune)
           .getOrElse(emptyLabels.select(col("label"), col("node")))
       else {
         val inv = storedLabels(None).select(col("label"), col("node"))
         prune.fold(inv)(s =>
-          inv.filter(pmod(col("label"), lit(b.toLong)).isin(s: _*)))
+          inv.filter(idBucket(col("label"), b).isin(s: _*)))
       }
 
     // ---- deletion phase: retractions can split components ----
@@ -340,10 +427,10 @@ object IncrementalDedup {
     // micro-batch pays only for the phases its rows actually exercise
     val newIdBuckets =
       if (nNew == 0) Seq.empty[Long]
-      else bucketsOf(newDocs, pmod(col("doc_id"), lit(b.toLong)))
+      else bucketsOf(newDocs, idBucket(col("doc_id"), b))
     val delIdBuckets =
       if (!hasOp) Seq.empty[Long]
-      else bucketsOf(dels, pmod(col("doc_id"), lit(b.toLong)))
+      else bucketsOf(dels, idBucket(col("doc_id"), b))
     val touchedIdBuckets = Some((newIdBuckets ++ delIdBuckets).distinct)
     val reIngested =
       if (nNew == 0) dels.limit(0)
@@ -405,7 +492,7 @@ object IncrementalDedup {
         .select(col("node"), col("label").as("old_label"))
         .localCheckpoint()
       val survBuckets = bucketsOf(survivors,
-        pmod(col("node"), lit(b.toLong)))
+        idBucket(col("node"), b))
       // real co-bucket edges among survivors, from the per-doc band keys:
       // within each bucket connect member → bucket minimum (star, not df²)
       val survBands = storedBands(Some(survBuckets))
@@ -485,7 +572,7 @@ object IncrementalDedup {
     val newBandBuckets =
       if (nNewBands == 0) Seq.empty[Long]
       else bucketsOf(newBands,
-        pmod(hash(col("band"), col("bkey")).cast("long"), lit(b.toLong)))
+        bandBucket(col("band"), col("bkey"), b))
     val probeBase = overlay(storedBuckets(Some(newBandBuckets)),
       delBucketDelta, Seq("band", "bkey"))
     val matched = newBands.join(probeBase, Seq("band", "bkey"))
@@ -496,7 +583,7 @@ object IncrementalDedup {
     //    the pruned inverted index, overlaid with the delete relabels
     val affected = matched.select(col("label")).distinct().localCheckpoint()
     val affectedLabelBuckets = bucketsOf(affected,
-      pmod(col("label"), lit(b.toLong)))
+      idBucket(col("label"), b))
     val membersBase = overlay(storedMembers(Some(affectedLabelBuckets)),
       delMemberDelta, Seq("label", "node"))
     val affectedMembers = membersBase.join(affected, Seq("label"))
@@ -566,14 +653,14 @@ object IncrementalDedup {
         .join(affected, Seq("label"), "left_semi")
     } else {
       val memberDocBuckets = bucketsOf(affectedMembers,
-        pmod(col("node"), lit(b.toLong)))
+        idBucket(col("node"), b))
       val memberBands = overlay(storedBands(Some(memberDocBuckets)),
         delBandDelta, Seq("doc_id", "band", "bkey"))
         .join(affectedMembers.select(col("node").as("am_node")),
           col("doc_id") === col("am_node"), "left_semi")
         .select(col("band"), col("bkey")).distinct().localCheckpoint()
       val memberBandKeyBuckets = bucketsOf(memberBands,
-        pmod(hash(col("band"), col("bkey")).cast("long"), lit(b.toLong)))
+        bandBucket(col("band"), col("bkey"), b))
       overlay(storedBuckets(Some(memberBandKeyBuckets)),
           delBucketDelta, Seq("band", "bkey"))
         .join(memberBands, Seq("band", "bkey"), "left_semi")
@@ -679,13 +766,19 @@ object IncrementalDedup {
   }
 
   /** Wire a stream of (doc_id, text[, op]) rows into the maintained
-    * clusters. */
+    * clusters. `stateBuckets` only matters on the FIRST batch of a fresh
+    * state dir — the layout is persisted there and later merges read it
+    * back — so the production entry point must be able to set it (64 is
+    * far too coarse for a corpus whose touched-bucket sets should stay
+    * small relative to B). */
   def maintain(docs: DataFrame, stateDir: String,
-               checkpoint: String): StreamingQuery =
+               checkpoint: String, compactEvery: Int = 8,
+               stateBuckets: Int = 64): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        mergeBatch(batch.toDF(), batchId, stateDir)
+        mergeBatch(batch.toDF(), batchId, stateDir, compactEvery,
+          stateBuckets)
       }
       .start()
 }

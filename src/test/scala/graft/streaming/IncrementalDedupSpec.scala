@@ -350,6 +350,33 @@ class IncrementalDedupSpec extends SparkSpecBase {
     assert(membersInverse(dir) == labelsMap(dir))
   }
 
+  test("ownership: a fresh checkpoint cannot silently adopt an existing state dir") {
+    // a new stream's batch ids restart at 0; folding a populated dir with
+    // upTo=0 would hide the corpus and then clobber it — the guard must
+    // throw instead, naming the adoption rule
+    val dir = Files.createTempDirectory("inc_owner").toString
+    val text = "owner alpha beta gamma delta epsilon zeta"
+    IncrementalDedup.mergeBatch(docsDF(Seq((1L, text), (2L, text))), 5L, dir)
+    val e = intercept[IllegalStateException] {
+      IncrementalDedup.mergeBatch(docsDF(Seq((3L, text))), 0L, dir)
+    }
+    assert(e.getMessage.contains("does not own"))
+    assert(labelsMap(dir) == truth(Seq((1L, text), (2L, text))),
+      "the guarded dir must be untouched")
+    // the batchId-0 collision flavor: a legacy dir whose newest version
+    // id EQUALS the adopting stream's first batch id
+    val legacyDir = Files.createTempDirectory("inc_owner_legacy").toString
+    writeLegacyState(legacyDir, Seq((10L, text), (20L, text))) // v=0
+    val e2 = intercept[IllegalStateException] {
+      IncrementalDedup.mergeBatch(docsDF(Seq((30L, text))), 0L, legacyDir)
+    }
+    assert(e2.getMessage.contains("legacy"))
+    // the documented adoption path — ids above the newest version — works
+    IncrementalDedup.mergeBatch(docsDF(Seq((30L, text))), 1L, legacyDir)
+    assert(labelsMap(legacyDir) ==
+      truth(Seq((10L, text), (20L, text), (30L, text))))
+  }
+
   // ---- bucketed state layout: read-side pruning + the members index ----
 
   private def membersInverse(dir: String): Map[Long, Long] =
