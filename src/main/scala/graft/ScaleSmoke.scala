@@ -272,7 +272,11 @@ object ScaleSmoke {
       val t0 = System.nanoTime()
       VectorOps.writeIvfIndex(bigE, idxPath) // cells = 0 → √N auto
       val tw = (System.nanoTime() - t0) / 1e9
-      val cells = new java.io.File(s"$idxPath/corpus").listFiles()
+      // listFiles() is nullable (missing/unreadable dir) — a broken index
+      // write should surface as cells=0 in the log line, not an NPE that
+      // kills the rest of the smoke run
+      val cells = Option(new java.io.File(s"$idxPath/corpus").listFiles())
+        .getOrElse(Array.empty[java.io.File])
         .count(_.getName.startsWith("cell="))
       println(f"SCALE ivf_write          $tw%8.2f s  cells=$cells " +
         s"(rows=$nVecs)")
@@ -283,12 +287,22 @@ object ScaleSmoke {
         k = 5, nprobe = 2)
       val rows = probed.count()
       val tp = (System.nanoTime() - t1) / 1e9
-      val sel = probed.queryExecution.sparkPlan.collect {
+      // headOption: a plan-shape change (e.g. the scan moving to a V2
+      // read path) must degrade to a labelled "metric unavailable" line,
+      // not a NoSuchElementException mid-smoke
+      probed.queryExecution.sparkPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec
             if f.metadata.get("Location").exists(_.contains("corpus")) => f
-      }.head.selectedPartitions.partitionCount
-      println(f"SCALE ivf_probe          $tp%8.2f s  rows=$rows  " +
-        f"selected=$sel/$cells cells (${100.0 * sel / cells}%.1f%% of the index)")
+      }.headOption match {
+        case Some(scan) =>
+          val sel = scan.selectedPartitions.partitionCount
+          println(f"SCALE ivf_probe          $tp%8.2f s  rows=$rows  " +
+            f"selected=$sel/$cells cells (${100.0 * sel / cells}%.1f%% of the index)")
+        case None =>
+          println(f"SCALE ivf_probe          $tp%8.2f s  rows=$rows  " +
+            "selected=?/"+ cells + " cells (no FileSourceScanExec over " +
+            "corpus in the plan — prune metric unavailable)")
+      }
       spark.catalog.clearCache()
     }
 

@@ -106,10 +106,17 @@ object IncrementalDedup {
     * documented response to the legacy-deletion error) must not inherit
     * the old incarnation's fullness answers, and replay-overwritten dirs
     * re-derive the same decision so a changed mtime is merely a cheap
-    * recompute. Size-capped so a months-long driver can't leak entries
-    * for GC-deleted versions. */
-  private val fullCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    * recompute. Eviction is access-order LRU (a months-long driver can't
+    * leak unboundedly) PLUS targeted prefix removal when GC deletes a
+    * version dir — the old size-cap `clear()` dumped hot current-chain
+    * entries on every trip and raced with concurrent readers. */
+  private val fullCache: java.util.Map[String, java.lang.Boolean] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.lang.Boolean](256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+          size() > 8192
+      })
 
   /** A version dir's cache stamp: the `_SUCCESS` file's mtime when
     * present, else the dir's own. Object stores report 0 (or a constant)
@@ -126,16 +133,25 @@ object IncrementalDedup {
   private def isFull(spark: SparkSession, dir: String): Boolean = {
     val h = fs(spark, dir)
     val key = s"$dir@${versionStamp(h, dir)}"
-    if (fullCache.size > 8192) fullCache.clear()
-    fullCache.computeIfAbsent(key, _ =>
-      h.exists(new Path(dir, "_FULL")) ||
-        // MIGRATION: pre-delta state versions have neither a `_FULL`
-        // marker nor a `removed` column — they were written as complete
-        // snapshots, so a legacy schema IS a full-snapshot marker. Without
-        // this, a maintainer restarted against an old state dir would fold
-        // legacy fulls as if they were deltas (resurrecting rows deleted
-        // between them) and then throw on the missing `removed` column.
-        !spark.read.parquet(dir).schema.fieldNames.contains("removed"))
+    // get-then-put, not computeIfAbsent: the probe below does real FS
+    // work, and holding the synchronizedMap's lock through it would stall
+    // every other maintainer in the JVM. A racing duplicate probe is
+    // benign — the value is deterministic.
+    val cached = fullCache.get(key)
+    if (cached != null) cached.booleanValue()
+    else {
+      val v: Boolean =
+        h.exists(new Path(dir, "_FULL")) ||
+          // MIGRATION: pre-delta state versions have neither a `_FULL`
+          // marker nor a `removed` column — they were written as complete
+          // snapshots, so a legacy schema IS a full-snapshot marker. Without
+          // this, a maintainer restarted against an old state dir would fold
+          // legacy fulls as if they were deltas (resurrecting rows deleted
+          // between them) and then throw on the missing `removed` column.
+          !spark.read.parquet(dir).schema.fieldNames.contains("removed")
+      fullCache.put(key, v)
+      v
+    }
   }
 
   /** The version chain a reader at `upTo` folds: newest full ≤ newest
@@ -149,10 +165,34 @@ object IncrementalDedup {
 
   // ---- bucketed layout ----
 
+  /** [[bandBucket]] bakes Spark's built-in Murmur3 `hash()` into the
+    * PERSISTED partition layout — directory-prune correctness depends on
+    * that function staying byte-stable across Spark upgrades, and a
+    * silent change would mis-prune every bucketed read with no error.
+    * This probe is the engine's answer for a fixed (int, string) input —
+    * the same type shape `bandBucket` hashes — recorded in the `_BUCKETS`
+    * marker at state creation and VERIFIED on every open, so a changed
+    * hash becomes a loud named error instead of silent data loss.
+    * Evaluated via the expression the SQL `hash()` function resolves to
+    * (seed 42), once per JVM. */
+  private lazy val currentHashProbe: Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    new Murmur3Hash(Seq(Literal(7),
+        Literal.create("graft-bucket-probe",
+          org.apache.spark.sql.types.StringType)))
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Int]
+  }
+
   /** The persisted `_BUCKETS` marker, if any — the single parse point for
     * the layout property both writers and readers must agree on. A
     * garbled marker is a loud, named error: guessing a B would silently
-    * mis-prune every read. */
+    * mis-prune every read. Line 1 is B; an optional `hashprobe=<n>` line
+    * (written since round 9) pins the engine hash [[bandBucket]] bakes
+    * into the directory layout — a mismatch on open means this Spark's
+    * `hash()` differs from the one that laid out the state, and every
+    * pruned read would silently miss rows. Markers written before the
+    * probe line (bare int) read fine but can't be verified. */
   private def readBucketMarker(spark: SparkSession,
       stateDir: String): Option[Int] = {
     val h = fs(spark, stateDir)
@@ -162,7 +202,20 @@ object IncrementalDedup {
       val in = h.open(marker)
       val body = try scala.io.Source.fromInputStream(in).mkString.trim
       finally in.close()
-      body.toIntOption match {
+      val lines = body.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+      lines.collectFirst {
+        case l if l.startsWith("hashprobe=") => l.stripPrefix("hashprobe=")
+      }.foreach { recorded =>
+        if (recorded.toIntOption.forall(_ != currentHashProbe))
+          throw new IllegalStateException(
+            s"_BUCKETS marker at $stateDir records hashprobe=$recorded " +
+              s"but this engine's hash() evaluates the probe to " +
+              s"$currentHashProbe: the persisted `_b` directory layout " +
+              "was produced by a DIFFERENT hash function and every " +
+              "bucket-pruned read would silently miss rows. Rebuild the " +
+              "state dir from the source corpus under this engine.")
+      }
+      lines.headOption.flatMap(_.toIntOption) match {
         case Some(b) if b > 0 => Some(b)
         case _ => throw new IllegalStateException(
           s"unreadable _BUCKETS marker at $stateDir (content: '$body'): " +
@@ -185,7 +238,8 @@ object IncrementalDedup {
       h.mkdirs(new Path(stateDir))
       val tmp = new Path(stateDir, "._BUCKETS.tmp")
       val out = h.create(tmp, true)
-      try out.write(requested.toString.getBytes("UTF-8"))
+      try out.write(
+        s"$requested\nhashprobe=$currentHashProbe".getBytes("UTF-8"))
       finally out.close()
       if (h.rename(tmp, new Path(stateDir, "_BUCKETS"))) requested
       else {
@@ -423,14 +477,34 @@ object IncrementalDedup {
     // otherwise the stale keys stay in `bands` and a later deletion in
     // the component would reconnect clusters through text the doc no
     // longer has.
-    // statically-empty inputs skip their bucket-id collect jobs: a
-    // micro-batch pays only for the phases its rows actually exercise
-    val newIdBuckets =
-      if (nNew == 0) Seq.empty[Long]
-      else bucketsOf(newDocs, idBucket(col("doc_id"), b))
-    val delIdBuckets =
-      if (!hasOp) Seq.empty[Long]
-      else bucketsOf(dels, idBucket(col("doc_id"), b))
+    // ONE-JOB bucket planning for every key set derivable from the batch
+    // itself (new doc ids, deleted ids, new band keys): their bucket-id
+    // collects have no dependency on any stored read, so a tagged union
+    // collects all three sets in a single tiny driver job instead of
+    // three — at sub-second trigger cadence the scheduler round-trips of
+    // the separate jobs were the dominant per-batch latency (round-8
+    // SURVEY measured ~40 driver jobs per small batch). The remaining
+    // bucketsOf calls below are inherently sequential: each prunes a
+    // stored read whose input is the PREVIOUS collect's result.
+    // Statically-empty inputs still contribute nothing: a micro-batch
+    // pays only for the phases its rows actually exercise.
+    val plannedBuckets: Map[String, Seq[Long]] = {
+      val parts = Seq.newBuilder[DataFrame]
+      if (nNew > 0) parts += newDocs.select(lit("newId").as("_t"),
+        idBucket(col("doc_id"), b).cast("long").as("_pb"))
+      if (hasOp) parts += dels.select(lit("delId").as("_t"),
+        idBucket(col("doc_id"), b).cast("long").as("_pb"))
+      if (nNewBands > 0) parts += newBands.select(lit("newBand").as("_t"),
+        bandBucket(col("band"), col("bkey"), b).cast("long").as("_pb"))
+      val ps = parts.result()
+      if (ps.isEmpty) Map.empty
+      else ps.reduce(_ unionByName _).distinct().collect()
+        .groupBy(_.getString(0))
+        .view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    }
+    val newIdBuckets = plannedBuckets.getOrElse("newId", Seq.empty)
+    val delIdBuckets = plannedBuckets.getOrElse("delId", Seq.empty)
+    val newBandBuckets = plannedBuckets.getOrElse("newBand", Seq.empty)
     val touchedIdBuckets = Some((newIdBuckets ++ delIdBuckets).distinct)
     val reIngested =
       if (nNew == 0) dels.limit(0)
@@ -566,13 +640,10 @@ object IncrementalDedup {
 
     // ---- append phase (against the post-delete overlays) ----
     // 1. probe the stored bucket index with the new docs' band keys —
-    //    pruned to the buckets those keys can live in (a band-less batch
-    //    — pure deletes, or all-null signatures — skips the collect and
-    //    prunes the probe to zero buckets)
-    val newBandBuckets =
-      if (nNewBands == 0) Seq.empty[Long]
-      else bucketsOf(newBands,
-        bandBucket(col("band"), col("bkey"), b))
+    //    pruned to the buckets those keys can live in (newBandBuckets
+    //    came from the one-job planning collect above; a band-less batch
+    //    — pure deletes, or all-null signatures — contributed nothing
+    //    and prunes the probe to zero buckets)
     val probeBase = overlay(storedBuckets(Some(newBandBuckets)),
       delBucketDelta, Seq("band", "bkey"))
     val matched = newBands.join(probeBase, Seq("band", "bkey"))
@@ -751,8 +822,15 @@ object IncrementalDedup {
       val fulls = vs.filter(v => isFull(spark, s"$stateDir/$kind/v=$v"))
       if (fulls.length >= 2) {
         val keepFrom = fulls(fulls.length - 2)
-        vs.filter(_ < keepFrom).foreach(v =>
-          hfs.delete(new Path(s"$stateDir/$kind/v=$v"), true))
+        vs.filter(_ < keepFrom).foreach { v =>
+          val dir = s"$stateDir/$kind/v=$v"
+          hfs.delete(new Path(dir), true)
+          // drop the deleted version's fullness memo (all stamps): the
+          // targeted eviction that lets the LRU cap stay a backstop
+          fullCache.synchronized {
+            fullCache.keySet.removeIf(_.startsWith(dir + "@"))
+          }
+        }
       }
       } finally df.unpersist()
     }

@@ -109,6 +109,8 @@ def main():
     ap.add_argument("files", nargs="*", help="OLD.json NEW.json")
     ap.add_argument("--ratio", type=float, default=1.5)
     ap.add_argument("--abs", dest="abs_floor", type=float, default=0.3)
+    ap.add_argument("--force", action="store_true",
+                    help="gate anyway when the two runs' SF dirs differ")
     args = ap.parse_args()
 
     base_old = base_new = None
@@ -117,9 +119,14 @@ def main():
         (old, sf_old), (new, sf_new) = load_queries(old_path), load_queries(new_path)
         base_old, base_new = os.path.basename(old_path), os.path.basename(new_path)
         if sf_old is not None and sf_new is not None and sf_old != sf_new:
-            print(f"WARNING: comparing runs at different SF dirs "
-                  f"({sf_old} vs {sf_new}) — per-query ratios are not "
-                  f"meaningful across scale factors")
+            # history mode SKIPS mismatched baselines; explicit two-file
+            # mode must not silently produce bogus pass/fail either —
+            # refuse unless the caller forces the cross-SF comparison
+            msg = (f"SF dir mismatch ({sf_old} vs {sf_new}) — per-query "
+                   f"ratios are not meaningful across scale factors")
+            if not args.force:
+                sys.exit(f"ERROR: {msg}; pass --force to compare anyway")
+            print(f"WARNING: {msg} (--force given)")
     else:
         pair = full_history_pair()
         if pair is not None:
