@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   *  - Plain `spark.read.parquet` keeps the scan declarative so Catalyst can
   *    push filters / prune columns into the vectorized parquet reader; never
   *    materialize or cache here.
-  *  - `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-  *    reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it under
-  *    `spark.sql.legacy.parquet.nanosAsLong` and truncate to microseconds —
-  *    exactly what DuckDB does when it casts TIMESTAMP_NS → TIMESTAMP — so
-  *    oracle comparisons agree. Integer `div` (not `/`) avoids the
-  *    double-precision loss on ~1.7e18 nanosecond values.
+  *  - `events.ts` has shipped under two encodings across driver testdata
+  *    regenerations, so the loader is TYPE-ADAPTIVE on the read schema
+  *    rather than assuming one: parquet TIMESTAMP(NANOS) (read as BIGINT
+  *    under `spark.sql.legacy.parquet.nanosAsLong`, truncated to micros
+  *    with integer `div` — matching DuckDB's TIMESTAMP_NS → TIMESTAMP
+  *    cast), or TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+  *    TIMESTAMP_NTZ, cast to TIMESTAMP — the session tz is UTC, so values
+  *    match DuckDB's naive read). Either way the engine-facing schema is
+  *    always `ts: TIMESTAMP`. Any other encoding fails LOUDLY in one
+  *    labelled place here, not in 100 downstream artifacts.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -24,10 +28,30 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      normalizeEventsTs(spark.read.parquet(s"$sfDir/events.parquet"))
     case n =>
       spark.read.parquet(s"$sfDir/$n.parquet")
+  }
+
+  /** Normalize `events.ts` to `TIMESTAMP` whatever encoding the driver's
+    * testdata generator used (see object Scaladoc). Works on batch AND
+    * streaming DataFrames — the match is on the analyzed schema only. */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType => // legacy TIMESTAMP(NANOS) data read as BIGINT
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // TIMESTAMP(MICROS, isAdjustedToUTC=false)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType =>
+        raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts schema drift: expected BIGINT (legacy nanos), " +
+          s"TIMESTAMP_NTZ (micros) or TIMESTAMP, got $other — the driver " +
+          s"testdata encoding changed; teach Tables.normalizeEventsTs the " +
+          s"new type.")
+    }
   }
 
   /** Widen a scan to the session's default parallelism when the source read

@@ -55,4 +55,38 @@ class FormatsSpec extends SparkSpecBase {
     assert(permissive(1).getStruct(0) == null ||
       permissive(1).getStruct(0).isNullAt(0)) // malformed → nulls, no failure
   }
+
+  test("events.ts loader is type-adaptive; unknown encodings fail loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // the three accepted encodings all normalize to TIMESTAMP
+    val legacyNanos = Seq(1700000000123456789L).toDF("ts")
+    assert(Tables.normalizeEventsTs(legacyNanos).schema("ts").dataType ==
+      TimestampType)
+    val ntz = legacyNanos.select(
+      timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType).as("ts"))
+    assert(Tables.normalizeEventsTs(ntz).schema("ts").dataType ==
+      TimestampType)
+    val already = legacyNanos.select(
+      timestamp_micros(expr("ts div 1000")).as("ts"))
+    assert(Tables.normalizeEventsTs(already).schema("ts").dataType ==
+      TimestampType)
+    // nanos truncation and NTZ cast agree on the same instant (UTC session)
+    val a = Tables.normalizeEventsTs(legacyNanos).head().getTimestamp(0)
+    val b = Tables.normalizeEventsTs(ntz).head().getTimestamp(0)
+    assert(a == b, s"nanos-shim and NTZ-cast disagree: $a vs $b")
+    // any other encoding → one named load-time error, not 27 broken artifacts
+    val drifted = Seq("2024-01-01").toDF("ts")
+    val ex = intercept[IllegalStateException] {
+      Tables.normalizeEventsTs(drifted)
+    }
+    assert(ex.getMessage.contains("events.ts schema drift"))
+  }
+
+  test("real testdata events.ts loads as TIMESTAMP under the current encoding") {
+    val ev = Tables.events(spark, sf)
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(ev.count() > 0)
+  }
 }

@@ -143,7 +143,7 @@ class StreamOpsSpec extends SparkSpecBase {
   }
 
   test("S1 analog: events parquet as a real file-source stream → windowed agg") {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros, window}
+    import org.apache.spark.sql.functions.{col, window}
     // stage the events file alone in a dir (a file stream reads a directory)
     val dir = java.nio.file.Files.createTempDirectory("events_stream")
     java.nio.file.Files.copy(
@@ -151,8 +151,8 @@ class StreamOpsSpec extends SparkSpecBase {
       dir.resolve("events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir.toString).schema
-    val st = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val st = graft.sources.Tables.normalizeEventsTs(
+        spark.readStream.schema(schema).parquet(dir.toString))
       .groupBy(window(col("ts"), "1 day")).count()
     val q = st.writeStream.format("memory").queryName("file_stream_out")
       .outputMode("complete").start()
