@@ -192,7 +192,14 @@ object IncrementalDedup {
     * into the directory layout — a mismatch on open means this Spark's
     * `hash()` differs from the one that laid out the state, and every
     * pruned read would silently miss rows. Markers written before the
-    * probe line (bare int) read fine but can't be verified. */
+    * probe line (bare int) read fine but can't be verified.
+    *
+    * FORWARD-COMPAT NOTE: engines from before the probe line parsed the
+    * whole body as one int, so they REFUSE (loud 'unreadable _BUCKETS
+    * marker' error, never silent mis-pruning) to open a state dir
+    * created by this engine. Rolling back the engine binary therefore
+    * requires state dirs created by the old binary; this reader
+    * tolerates both formats via lines.headOption. */
   private def readBucketMarker(spark: SparkSession,
       stateDir: String): Option[Int] = {
     val h = fs(spark, stateDir)
@@ -206,14 +213,26 @@ object IncrementalDedup {
       lines.collectFirst {
         case l if l.startsWith("hashprobe=") => l.stripPrefix("hashprobe=")
       }.foreach { recorded =>
-        if (recorded.toIntOption.forall(_ != currentHashProbe))
-          throw new IllegalStateException(
-            s"_BUCKETS marker at $stateDir records hashprobe=$recorded " +
-              s"but this engine's hash() evaluates the probe to " +
-              s"$currentHashProbe: the persisted `_b` directory layout " +
-              "was produced by a DIFFERENT hash function and every " +
-              "bucket-pruned read would silently miss rows. Rebuild the " +
-              "state dir from the source corpus under this engine.")
+        recorded.toIntOption match {
+          case None =>
+            // a garbled probe is an UNREADABLE marker, not a hash
+            // mismatch — diagnosing it as "different hash function"
+            // would send operators chasing a Spark upgrade that never
+            // happened
+            throw new IllegalStateException(
+              s"unreadable _BUCKETS marker at $stateDir (garbled " +
+                s"hashprobe line: '$recorded'): the bucket layout of " +
+                "this state dir cannot be verified")
+          case Some(n) if n != currentHashProbe =>
+            throw new IllegalStateException(
+              s"_BUCKETS marker at $stateDir records hashprobe=$recorded " +
+                s"but this engine's hash() evaluates the probe to " +
+                s"$currentHashProbe: the persisted `_b` directory layout " +
+                "was produced by a DIFFERENT hash function and every " +
+                "bucket-pruned read would silently miss rows. Rebuild the " +
+                "state dir from the source corpus under this engine.")
+          case _ => ()
+        }
       }
       lines.headOption.flatMap(_.toIntOption) match {
         case Some(b) if b > 0 => Some(b)
@@ -780,9 +799,22 @@ object IncrementalDedup {
     def wantFull(kind: String): Boolean =
       chain(spark, s"$stateDir/$kind", batchId).length >= compactEvery ||
         versions(spark, s"$stateDir/$kind").forall(_ >= batchId)
-    // the final folded state as a full snapshot: UNPRUNED base fold (the
-    // one O(corpus) read, paid only on compaction batches) + this batch's
-    // combined delta overlaid
+    def foldKeys(kind: String): Seq[String] = kind match {
+      case "labels"  => Seq("node")
+      case "members" => Seq("label", "node")
+      case "buckets" => Seq("band", "bkey")
+      case _         => Seq("doc_id", "band", "bkey")
+    }
+    def baseOf(kind: String, prune: Option[Seq[Long]]): DataFrame =
+      kind match {
+        case "labels"  => storedLabels(prune)
+        case "members" => storedMembers(prune)
+        case "buckets" => storedBuckets(prune)
+        case _         => storedBands(prune)
+      }
+    // the final folded state as a full snapshot: UNPRUNED base fold +
+    // this batch's combined delta overlaid — the monolithic fallback,
+    // paid only when the chain isn't bucket-wise eligible below
     def fullOf(kind: String): DataFrame = {
       val (base, delta, keys) = kind match {
         case "labels" => (storedLabels(None), labelsOutDelta, Seq("node"))
@@ -796,43 +828,133 @@ object IncrementalDedup {
       overlay(base, delta, keys).withColumn("removed", lit(false))
     }
 
+    // BUCKET-WISE COMPACTION eligibility: every chain version must be
+    // directory-bucketed (`_b=` subdirs) or a marked-empty publish
+    // (`_EMPTY`) — a pre-layout version carrying rows would be rescanned
+    // WHOLE by every per-bucket fold (B × O(version) instead of one
+    // read), so legacy chains take the monolithic path until their first
+    // compaction rewrites them bucketed. `members` additionally needs a
+    // stored table: the migration derivation folds ALL of `labels` per
+    // call, which per-bucket would be B full labels scans.
+    def chainAllBucketed(kind: String): Boolean = {
+      val h = fs(spark, stateDir)
+      chain(spark, s"$stateDir/$kind", batchId).forall { v =>
+        val vp = new Path(s"$stateDir/$kind/v=$v")
+        h.exists(new Path(vp, "_EMPTY")) ||
+          h.listStatus(vp).exists(_.getPath.getName.startsWith("_b="))
+      }
+    }
+
     def publish(kind: String, delta: DataFrame): Unit = {
       val full = wantFull(kind)
-      // cache before probing emptiness: the probe is an action, and the
-      // window-combined deltas (and compaction's O(corpus) fold) would
-      // otherwise execute twice — once for isEmpty, once for the write
-      val df = (if (full) fullOf(kind) else delta)
-        .withColumn("_b", bucketExpr(kind, b).cast("int"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
+      val hfs = fs(spark, stateDir)
       val tmp = s"$stateDir/$kind/.tmp_v_$batchId"
       val dest = s"$stateDir/$kind/v=$batchId"
-      // a zero-row partitioned write leaves no readable footer at all —
-      // publish empty deltas unpartitioned (readFolded computes `_b`)
-      if (df.isEmpty) df.write.mode("overwrite").parquet(tmp)
-      else df.write.mode("overwrite").partitionBy("_b").parquet(tmp)
-      val hfs = fs(spark, stateDir)
-      if (full) hfs.createNewFile(new Path(tmp, "_FULL"))
-      val destPath = new Path(dest)
-      if (hfs.exists(destPath)) hfs.delete(destPath, true)
-      hfs.rename(new Path(tmp), destPath)
-      // GC: keep the two newest fulls and everything after the older one
-      // (any replayed batch ≥ the older full can still fold its chain)
-      val vs = versions(spark, s"$stateDir/$kind").sorted
-      val fulls = vs.filter(v => isFull(spark, s"$stateDir/$kind/v=$v"))
-      if (fulls.length >= 2) {
-        val keepFrom = fulls(fulls.length - 2)
-        vs.filter(_ < keepFrom).foreach { v =>
-          val dir = s"$stateDir/$kind/v=$v"
-          hfs.delete(new Path(dir), true)
-          // drop the deleted version's fullness memo (all stamps): the
-          // targeted eviction that lets the LRU cap stay a backstop
-          fullCache.synchronized {
-            fullCache.keySet.removeIf(_.startsWith(dir + "@"))
+
+      // promote tmp → v=batchId and GC old versions; shared by both
+      // publish shapes so the rename/retention discipline has one home
+      def promote(): Unit = {
+        if (full) hfs.createNewFile(new Path(tmp, "_FULL"))
+        val destPath = new Path(dest)
+        if (hfs.exists(destPath)) hfs.delete(destPath, true)
+        hfs.rename(new Path(tmp), destPath)
+        // GC: keep the two newest fulls and everything after the older
+        // one (any replayed batch ≥ the older full can still fold)
+        val vs = versions(spark, s"$stateDir/$kind").sorted
+        val fulls = vs.filter(v => isFull(spark, s"$stateDir/$kind/v=$v"))
+        if (fulls.length >= 2) {
+          val keepFrom = fulls(fulls.length - 2)
+          vs.filter(_ < keepFrom).foreach { v =>
+            val dir = s"$stateDir/$kind/v=$v"
+            hfs.delete(new Path(dir), true)
+            // drop the deleted version's fullness memo (all stamps): the
+            // targeted eviction that lets the LRU cap stay a backstop
+            fullCache.synchronized {
+              fullCache.keySet.removeIf(_.startsWith(dir + "@"))
+            }
           }
         }
       }
-      } finally df.unpersist()
+
+      val bucketwise = full && chainAllBucketed(kind) &&
+        (kind != "members" || kindVersions("members").exists(_ < batchId))
+      if (bucketwise) {
+        // BUCKET-WISE full: fold the chain one `_b` bucket at a time —
+        // each fold job reads ~1/B of the state (directory-pruned) plus
+        // the bucket's slice of this batch's delta, so compaction's peak
+        // per-job input is bounded by the LARGEST BUCKET, not the corpus,
+        // and a crashed compaction resumes (replays skip buckets whose
+        // `_SUCCESS` already landed in the tmp dir — content is
+        // deterministic, so reuse is sound). Folds run on a small thread
+        // pool: Spark schedules the concurrent jobs independently, so
+        // wall time stays ~B/threads × per-bucket instead of serial.
+        val keys = foldKeys(kind)
+        val deltaB = delta
+          .withColumn("_b", bucketExpr(kind, b).cast("int"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // pre-resolve this kind's chain on the caller thread — the
+          // chainMemo map is not safe for concurrent first-resolution
+          chainMemo.getOrElseUpdate(kind,
+            resolveChain(spark, s"$stateDir/$kind", batchId, b))
+          val chainBuckets = chain(spark, s"$stateDir/$kind", batchId)
+            .flatMap { v =>
+              hfs.listStatus(new Path(s"$stateDir/$kind/v=$v"))
+                .map(_.getPath.getName).filter(_.startsWith("_b="))
+                .map(_.stripPrefix("_b=").toLong)
+            }
+          val deltaBuckets = deltaB.select(col("_b").cast("long"))
+            .distinct().collect().map(_.getLong(0)).toSeq
+          val active = (chainBuckets ++ deltaBuckets).distinct.sorted
+          if (active.isEmpty) {
+            deltaB.drop("_b").limit(0).write.mode("overwrite").parquet(tmp)
+            hfs.createNewFile(new Path(tmp, "_EMPTY"))
+          } else {
+            hfs.mkdirs(new Path(tmp))
+            val pool = java.util.concurrent.Executors
+              .newFixedThreadPool(math.min(8, active.size))
+            try {
+              implicit val ec: scala.concurrent.ExecutionContext =
+                scala.concurrent.ExecutionContext.fromExecutor(pool)
+              val folds = active.map { bkt =>
+                scala.concurrent.Future {
+                  val bdir = s"$tmp/_b=$bkt"
+                  if (!hfs.exists(new Path(bdir, "_SUCCESS")))
+                    overlay(baseOf(kind, Some(Seq(bkt))),
+                        deltaB.filter(col("_b") === bkt).drop("_b"), keys)
+                      .withColumn("removed", lit(false))
+                      .write.mode("overwrite").parquet(bdir)
+                }
+              }
+              scala.concurrent.Await.result(
+                scala.concurrent.Future.sequence(folds),
+                scala.concurrent.duration.Duration.Inf)
+            } finally pool.shutdown()
+            // top-level marker: versionStamp keys the fullness cache on
+            // the _SUCCESS mtime, and per-bucket writes only leave
+            // markers inside their own `_b=` dirs
+            hfs.createNewFile(new Path(tmp, "_SUCCESS"))
+          }
+          promote()
+        } finally deltaB.unpersist()
+      } else {
+        // cache before probing emptiness: the probe is an action, and the
+        // window-combined deltas (and a monolithic full's O(corpus) fold)
+        // would otherwise execute twice — for isEmpty, then the write
+        val df = (if (full) fullOf(kind) else delta)
+          .withColumn("_b", bucketExpr(kind, b).cast("int"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // a zero-row partitioned write leaves no readable footer at
+          // all — publish empty versions unpartitioned, marked `_EMPTY`
+          // so bucket-wise eligibility can tell them from legacy layouts
+          if (df.isEmpty) {
+            df.write.mode("overwrite").parquet(tmp)
+            hfs.createNewFile(new Path(tmp, "_EMPTY"))
+          } else df.write.mode("overwrite").partitionBy("_b").parquet(tmp)
+          promote()
+        } finally df.unpersist()
+      }
     }
     publish("labels", labelsOutDelta)
     publish("members", membersOutDelta)

@@ -440,6 +440,112 @@ class IncrementalDedupSpec extends SparkSpecBase {
     assert(labelsMap(dir).size == 2401)
   }
 
+  // ---- bucket-wise compaction: bounded per-job input + resumability ----
+
+  test("bucket-wise compaction: per-job input bounded well below state size, content exact") {
+    val dir = Files.createTempDirectory("inc_bktcompact").toString
+    val bulk = (0L until 2400L).map(i =>
+      (i, s"document $i unique words a$i b$i c$i d e f g h"))
+    IncrementalDedup.mergeBatch(docsDF(bulk), 0L, dir, compactEvery = 3)
+    val d1 = Seq((900001L, "document 900001 unique words a900001 b1 c x y"))
+    val d2 = Seq((900002L, "document 900002 unique words a900002 b2 c x y"))
+    IncrementalDedup.mergeBatch(docsDF(d1), 1L, dir, compactEvery = 3)
+    IncrementalDedup.mergeBatch(docsDF(d2), 2L, dir, compactEvery = 3)
+    val stateBytes = dirBytes(dir)
+    // capture per-JOB input bytes over the compaction batch: the folds
+    // run one job per `_b` bucket, so no job may read O(corpus)
+    val stageToJob = new scala.collection.concurrent.TrieMap[Int, Int]()
+    val perJob = new scala.collection.concurrent.TrieMap[Int, Long]()
+    @volatile var jobsEnded = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        j.stageIds.foreach(s => stageToJob.put(s, j.jobId))
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stageToJob.get(s.stageInfo.stageId).foreach { job =>
+          val in = Option(s.stageInfo.taskMetrics)
+            .map(_.inputMetrics.bytesRead).getOrElse(0L)
+          perJob.put(job, perJob.getOrElse(job, 0L) + in)
+        }
+      override def onJobEnd(
+          j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobsEnded += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val d3 = Seq((900003L, "document 900003 unique words a900003 b3 c x"))
+      // chain = [full v=0, v=1, v=2] ≥ compactEvery → compaction at v=3
+      IncrementalDedup.mergeBatch(docsDF(d3), 3L, dir, compactEvery = 3)
+      // listener events are async: wait until the end-count stabilizes
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1
+      while (last != jobsEnded && System.nanoTime() < deadline) {
+        last = jobsEnded; Thread.sleep(300)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the compaction produced a bucket-wise full
+    val v3 = new java.io.File(s"$dir/labels/v=3")
+    assert(new java.io.File(v3, "_FULL").exists(), "v=3 must be a full")
+    assert(v3.listFiles().count(_.getName.startsWith("_b=")) > 16,
+      "bucket-wise full must be laid out in _b dirs")
+    // per-job bound: each fold reads ~1/B of one kind's state (plus
+    // footer/listing overhead); nothing may read a corpus-sized input.
+    // stateBytes/8 gives 8× headroom over the theoretical 1/64 while
+    // still failing loudly if any job folds a whole table again.
+    val maxJob = perJob.values.max
+    assert(maxJob < stateBytes / 8,
+      s"a compaction job read $maxJob of $stateBytes state bytes — " +
+        "per-bucket folds must stay bounded by the bucket, not the corpus")
+    // content identical to a from-scratch recompute
+    val all = bulk ++ d1 ++ d2 ++ Seq(
+      (900003L, "document 900003 unique words a900003 b3 c x"))
+    assert(labelsMap(dir) == truth(all))
+    // and a replay of the compaction batch is still idempotent
+    IncrementalDedup.mergeBatch(docsDF(Seq(
+      (900003L, "document 900003 unique words a900003 b3 c x"))), 3L, dir,
+      compactEvery = 3)
+    assert(labelsMap(dir) == truth(all), "compaction replay changed state")
+  }
+
+  test("bucket-wise compaction resumes: completed tmp buckets are kept, partial ones rewritten") {
+    val dir = Files.createTempDirectory("inc_bktresume").toString
+    val bulk = (0L until 400L).map(i =>
+      (i, s"resume doc $i words a$i b$i c$i d e f"))
+    IncrementalDedup.mergeBatch(docsDF(bulk), 0L, dir, compactEvery = 2)
+    IncrementalDedup.mergeBatch(docsDF(Seq(
+      (900001L, "resume doc 900001 words a900001 b c d"))), 1L, dir,
+      compactEvery = 2)
+    // simulate a crashed compaction attempt for batch 2: bucket 0 already
+    // folded (sentinel content + _SUCCESS → must be TRUSTED and kept:
+    // replays re-derive identical content, so a skip is sound and is what
+    // makes compaction resumable), bucket 1 partially written (no
+    // _SUCCESS → must be overwritten by the real fold)
+    val tmp = s"$dir/labels/.tmp_v_2"
+    val sentinel = Seq((999999L, 999999L))
+      .toDF("node", "label")
+      .withColumn("removed", org.apache.spark.sql.functions.lit(false))
+    sentinel.write.parquet(s"$tmp/_b=0")
+    sentinel.write.parquet(s"$tmp/_b=1")
+    new java.io.File(s"$tmp/_b=1/_SUCCESS").delete() // partial: no marker
+    IncrementalDedup.mergeBatch(docsDF(Seq(
+      (900002L, "resume doc 900002 words a900002 b c d"))), 2L, dir,
+      compactEvery = 2)
+    assert(new java.io.File(s"$dir/labels/v=2/_FULL").exists())
+    val published = spark.read.parquet(s"$dir/labels/v=2")
+    // the _SUCCESS-marked bucket survived verbatim (resume skipped it)
+    assert(published.filter($"node" === 999999L).count() == 1,
+      "a completed tmp bucket must be reused on resume, not re-folded")
+    // the partial bucket was re-folded: its real nodes are present and
+    // the sentinel is gone (bucket 1 holds nodes ≡ 1 mod 64)
+    val b1nodes = spark.read.parquet(s"$dir/labels/v=2/_b=1")
+      .select($"node").collect().map(_.getLong(0)).toSet
+    assert(!b1nodes.contains(999999L),
+      "a partial (no _SUCCESS) tmp bucket must be overwritten")
+    assert(b1nodes.contains(1L) && b1nodes.contains(65L),
+      s"re-folded bucket 1 must hold its real nodes, got $b1nodes")
+  }
+
   // ---- legacy-state migration (pre-delta dirs: no `removed`, no `_FULL`,
   //      no `bands` table) ----
 
