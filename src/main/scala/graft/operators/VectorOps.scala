@@ -301,6 +301,63 @@ object VectorOps {
     c2.unpersist()
   }
 
+  /** Append new (vec_id, embedding) vectors to a WRITTEN index without
+    * retraining: assign each to its nearest STORED centroid (the same
+    * fused argmin the trainer uses, against the persisted c2 table) and
+    * append into the matching `cell=` partitions — an O(batch) operation,
+    * the growing-corpus lifecycle a 100 TB index needs (full retrain +
+    * rewrite per arrival batch would re-read the corpus every time).
+    *
+    * Because appended vectors use the same assignment function as
+    * training, a probe at nprobe = cells is EXHAUSTIVE over old + new
+    * rows (spec-pinned against brute force), and cluster-structured
+    * appends land in their home cells so recall at small nprobe is
+    * preserved (spec-pinned on the planted-cluster fixture).
+    *
+    * DRIFT: stored centroids slowly stop describing a corpus that keeps
+    * growing. The heuristic is appended mass — sum(cn) in the centroid
+    * table is the trained row count, so (current − trained)/trained is
+    * the fraction added since training without any extra metadata. Above
+    * `retrainThreshold` the index is RETRAINED over the full corpus into
+    * a tmp dir and swapped in atomically (never read-and-overwrite the
+    * live dirs in one job). `retrainCells = 0` re-derives √N so the
+    * quantizer granularity grows with the corpus; pass the original cell
+    * count to keep a pinned layout. Returns true iff a retrain ran. */
+  def appendToIvfIndex(s: SparkSession, path: String, newVecs: DataFrame,
+      retrainThreshold: Double = 0.5, retrainCells: Int = 0): Boolean = {
+    val c2 = s.read.parquet(s"$path/centroids")
+    val assigned = assignWithCentroids(
+      newVecs.select(col("vec_id"), col("embedding"),
+        intVec(col("embedding")).as("iv")), c2)
+      .select(col("vec_id"), col("embedding"), col("iv"), col("cell"))
+    assigned.write.mode("append").partitionBy("cell")
+      .parquet(s"$path/corpus")
+    val trained = c2.agg(sum(col("cn"))).head().getLong(0)
+    val total = s.read.parquet(s"$path/corpus").count()
+    val drifted = (total - trained).toDouble / trained > retrainThreshold
+    if (drifted) {
+      val corpus = s.read.parquet(s"$path/corpus")
+        .select(col("vec_id"), col("embedding"))
+      val tmp = s"$path/.retrain_tmp"
+      writeIvfIndex(corpus, tmp, retrainCells)
+      val hfs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq("corpus", "centroids").foreach { part =>
+        val dest = new org.apache.hadoop.fs.Path(s"$path/$part")
+        hfs.delete(dest, true)
+        hfs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$part"), dest)
+      }
+      hfs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      // the swap happened at the FILESYSTEM level, invisible to Spark's
+      // file-listing and plan caches — without this, a probe after retrain
+      // can silently reuse pre-retrain cached state for these paths
+      // (measured: wrong top-k, not an error). refreshByPath drops both
+      // the listing cache and any cached plans reading the index.
+      s.catalog.refreshByPath(path)
+    }
+    drifted
+  }
+
   /** Search a written index: rank cells per query against the stored
     * centroids, then read ONLY the probed cell partitions (the `cell IN
     * (...)` filter prunes at the parquet directory level — asserted on

@@ -142,6 +142,58 @@ class IvfIndexSpec extends SparkSpecBase {
       s"held-out queries must land in their home cells: recall $recall")
   }
 
+  test("append path: stored-centroid assignment, exhaustive parity, recall kept, drift retrain") {
+    val rnd = new scala.util.Random(13L)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    def mk(ids: Range): Seq[(Long, Seq[Float])] = ids.map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f).toSeq)
+    }
+    val initial = mk(0 until 320)
+    val path = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    VectorOps.writeIvfIndex(initial.toDF("vec_id", "embedding"), path,
+      cells = 8)
+    // small append: 40/320 = 12.5% added mass, under the 50% threshold —
+    // assigned to STORED centroids, appended into cell partitions only
+    val extra = mk(1000 until 1040)
+    val retrained = VectorOps.appendToIvfIndex(spark, path,
+      extra.toDF("vec_id", "embedding"), retrainThreshold = 0.5,
+      retrainCells = 8)
+    assert(!retrained, "12.5% added mass must not trigger a retrain")
+    val queries = mk(5000 until 5012)
+      .map { case (id, v) => (id - 5000L, v) }.toDF("qid", "embedding")
+    val all = (initial ++ extra).toDF("vec_id", "embedding")
+    val brute = topkSet(VectorOps.dotTopKWith(all, queries, k = 5))
+    // probing EVERY cell is exhaustive over old + new rows: append must
+    // have placed each new vector somewhere a full probe can see
+    val exhaustive = topkSet(VectorOps.probeIvfIndex(spark, path, queries,
+      k = 5, nprobe = 8))
+    assert(exhaustive == brute,
+      "search-after-append at nprobe=cells must equal brute force")
+    // cluster-structured appends land in their home cells, so low-nprobe
+    // recall is preserved
+    val low = topkSet(VectorOps.probeIvfIndex(spark, path, queries,
+      k = 5, nprobe = 2))
+    val recall = (brute & low).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall after append degraded: $recall")
+    // big append: 340/320 > 50% added mass → drift-triggered retrain
+    val big = mk(2000 until 2300)
+    val retrained2 = VectorOps.appendToIvfIndex(spark, path,
+      big.toDF("vec_id", "embedding"), retrainThreshold = 0.5,
+      retrainCells = 8)
+    assert(retrained2, "106% added mass must trigger a retrain")
+    // the swapped-in retrained index is complete and consistent
+    val all2 = (initial ++ extra ++ big).toDF("vec_id", "embedding")
+    val brute2 = topkSet(VectorOps.dotTopKWith(all2, queries, k = 5))
+    val ex2 = topkSet(VectorOps.probeIvfIndex(spark, path, queries,
+      k = 5, nprobe = 8))
+    assert(ex2 == brute2, "retrained index must still match brute force")
+    // and the retrained centroid table reflects the full corpus mass
+    val trained = spark.read.parquet(s"$path/centroids")
+      .agg(sum($"cn")).head().getLong(0)
+    assert(trained == 660L, s"retrained cn mass must be 660, got $trained")
+  }
+
   test("recall on a clustered corpus: >=0.9 probing 2 of 8 cells") {
     // 8 planted clusters: deterministic centers, small perturbations —
     // the shape a trained quantizer exists for. 64-dim, 400 vectors.
