@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // provider override hook for tools/rocksdb_sweep.sh: spark.* system
+  // properties flow into SparkConf, so every test/run session in the
+  // forked JVM picks the provider up without code changes
+  sys.env.get("GRAFT_STATE_PROVIDER").map(p =>
+    s"-Dspark.sql.streaming.stateStore.providerClass=$p").toSeq
