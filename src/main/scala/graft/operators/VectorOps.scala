@@ -292,11 +292,23 @@ object VectorOps {
   /** Persist the trained index: the assigned corpus laid out PARTITIONED
     * BY CELL (so a probe is a directory-pruned read, not a scan + filter)
     * plus the centroid table. The 100 TB shape: training writes once;
-    * every search afterwards opens only its nprobe directories. */
+    * every search afterwards opens only its nprobe directories.
+    *
+    * The centroid table carries one extra column over the in-memory
+    * form: `qerr`, each cell's mean quantization key (the member-mean
+    * [[distKey]] to its own centroid) at train time. It costs one
+    * map-side pass at write time and gives [[appendToIvfIndex]] a
+    * DISTRIBUTION-shift drift signal: vectors from a region the
+    * quantizer never saw land far from every centroid, so their batch
+    * mean key dwarfs the trained mean even when their MASS is small. */
   def writeIvfIndex(corpus: DataFrame, path: String, cells: Int = 0): Unit = {
     val (a2, c2, base) = trainAssign(corpus, cells)
     a2.write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
-    c2.write.mode("overwrite").parquet(s"$path/centroids")
+    val qerr = a2.join(broadcast(c2), "cell")
+      .withColumn("dkey", distKey(col("iv"), col("csum"), col("cn")))
+      .groupBy(col("cell")).agg(avg(col("dkey")).as("qerr"))
+    c2.join(qerr, Seq("cell"), "left")
+      .write.mode("overwrite").parquet(s"$path/centroids")
     base.unpersist()
     c2.unpersist()
   }
@@ -314,17 +326,26 @@ object VectorOps {
     * appends land in their home cells so recall at small nprobe is
     * preserved (spec-pinned on the planted-cluster fixture).
     *
-    * DRIFT: stored centroids slowly stop describing a corpus that keeps
-    * growing. The heuristic is appended mass — sum(cn) in the centroid
-    * table is the trained row count, so (current − trained)/trained is
-    * the fraction added since training without any extra metadata. Above
-    * `retrainThreshold` the index is RETRAINED over the full corpus into
-    * a tmp dir and swapped in atomically (never read-and-overwrite the
-    * live dirs in one job). `retrainCells = 0` re-derives √N so the
-    * quantizer granularity grows with the corpus; pass the original cell
-    * count to keep a pinned layout. Returns true iff a retrain ran. */
+    * DRIFT, two signals (either triggers):
+    *  - MASS: sum(cn) in the centroid table is the trained row count, so
+    *    (current − trained)/trained is the fraction added since training
+    *    with zero extra metadata; above `retrainThreshold` the quantizer
+    *    no longer represents most of the corpus it serves.
+    *  - DISTRIBUTION: a small append from a region the quantizer never
+    *    saw keeps mass low but quantizes badly. The batch's mean
+    *    [[distKey]] to its assigned centroids is compared against the
+    *    cn-weighted trained mean (`qerr`, persisted by
+    *    [[writeIvfIndex]]); a ratio above `errFactor` retrains. Indexes
+    *    written before `qerr` existed fall back to mass-only (migration
+    *    safe — the column reads as null).
+    * A retrain rebuilds over the full corpus into a tmp dir and swaps in
+    * atomically (never read-and-overwrite the live dirs in one job).
+    * `retrainCells = 0` re-derives √N so the quantizer granularity grows
+    * with the corpus; pass the original cell count to keep a pinned
+    * layout. Returns true iff a retrain ran. */
   def appendToIvfIndex(s: SparkSession, path: String, newVecs: DataFrame,
-      retrainThreshold: Double = 0.5, retrainCells: Int = 0): Boolean = {
+      retrainThreshold: Double = 0.5, retrainCells: Int = 0,
+      errFactor: Double = 4.0): Boolean = {
     val c2 = s.read.parquet(s"$path/centroids")
     val assigned = assignWithCentroids(
       newVecs.select(col("vec_id"), col("embedding"),
@@ -334,7 +355,20 @@ object VectorOps {
       .parquet(s"$path/corpus")
     val trained = c2.agg(sum(col("cn"))).head().getLong(0)
     val total = s.read.parquet(s"$path/corpus").count()
-    val drifted = (total - trained).toDouble / trained > retrainThreshold
+    val massDrift = (total - trained).toDouble / trained > retrainThreshold
+    val errDrift = c2.columns.contains("qerr") && {
+      val trainedErr = c2.filter(col("qerr").isNotNull)
+        .agg(sum(col("qerr") * col("cn")) / sum(col("cn"))).head()
+      val batchErr = assigned.join(broadcast(c2), "cell")
+        .withColumn("dkey", distKey(col("iv"), col("csum"), col("cn")))
+        .agg(avg(col("dkey"))).head()
+      !trainedErr.isNullAt(0) && !batchErr.isNullAt(0) &&
+        // guard the degenerate zero-error train (every member ON its
+        // centroid): any nonzero batch error is then infinite drift
+        (if (trainedErr.getDouble(0) == 0.0) batchErr.getDouble(0) > 0.0
+         else batchErr.getDouble(0) / trainedErr.getDouble(0) > errFactor)
+    }
+    val drifted = massDrift || errDrift
     if (drifted) {
       val corpus = s.read.parquet(s"$path/corpus")
         .select(col("vec_id"), col("embedding"))

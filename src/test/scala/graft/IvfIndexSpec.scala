@@ -194,6 +194,54 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(trained == 660L, s"retrained cn mass must be 660, got $trained")
   }
 
+  test("append path: distribution shift below the mass threshold still retrains (qerr drift)") {
+    val rnd = new scala.util.Random(17L)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    def mk(ids: Range, shift: Float = 0f): Seq[(Long, Seq[Float])] =
+      ids.map { i =>
+        val c = centers(i % 8)
+        (i.toLong,
+          c.map(x => x + shift + (rnd.nextFloat() - 0.5f) * 0.02f).toSeq)
+      }
+    val path = java.nio.file.Files.createTempDirectory("ivf_qerr").toString
+    VectorOps.writeIvfIndex(mk(0 until 320).toDF("vec_id", "embedding"),
+      path, cells = 8)
+    // same-distribution small append: neither mass (12.5%) nor error
+    // drift — the qerr signal must not fire on ordinary growth
+    assert(!VectorOps.appendToIvfIndex(spark, path,
+      mk(1000 until 1040).toDF("vec_id", "embedding"),
+      retrainThreshold = 0.5, retrainCells = 8),
+      "same-distribution append must not retrain")
+    // NEW-REGION small append: every coordinate shifted +10 puts the
+    // batch ~64·10² away from every centroid (trained mean error is the
+    // ±0.01 perturbation scale) — mass is still 12.5%, but the
+    // quantization-error ratio is astronomical → retrain
+    assert(VectorOps.appendToIvfIndex(spark, path,
+      mk(3000 until 3040, shift = 10f).toDF("vec_id", "embedding"),
+      retrainThreshold = 0.5, retrainCells = 9),
+      "a distribution-shifting append must trigger the qerr retrain")
+    // the retrained quantizer now has a cell for the new region: the
+    // shifted vectors quantize well again, and search stays exact at
+    // nprobe=cells over the whole grown corpus
+    val corpusNow = spark.read.parquet(s"$path/corpus")
+      .select($"vec_id", $"embedding")
+    val queries = mk(5000 until 5004, shift = 10f)
+      .map { case (id, v) => (id - 5000L, v) }.toDF("qid", "embedding")
+    def tk(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = tk(VectorOps.dotTopKWith(corpusNow, queries, k = 5))
+    val ex = tk(VectorOps.probeIvfIndex(spark, path, queries, k = 5,
+      nprobe = 9))
+    assert(ex == brute, "post-qerr-retrain index must match brute force")
+    // and a LOW-nprobe probe of shifted queries is now accurate too:
+    // the new region got its own cell(s), so nprobe=2 finds the
+    // shifted vectors (pre-retrain they shared cells with everything)
+    val low = tk(VectorOps.probeIvfIndex(spark, path, queries, k = 5,
+      nprobe = 2))
+    val recall = (brute & low).size.toDouble / brute.size
+    assert(recall >= 0.9, s"shifted-region recall after retrain: $recall")
+  }
+
   test("recall on a clustered corpus: >=0.9 probing 2 of 8 cells") {
     // 8 planted clusters: deterministic centers, small perturbations —
     // the shape a trained quantizer exists for. 64-dim, 400 vectors.
