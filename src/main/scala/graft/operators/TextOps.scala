@@ -402,6 +402,40 @@ object TextOps {
         .select(col("doc_id"), col("text")))
         .orderBy(col("doc_id"))),
 
+    // Canonical selection per near-dup cluster — the step every dedup
+    // pipeline runs AFTER clustering: keep ONE member per cluster, by
+    // quality, not by accident of id order. Rank = quality class (q32's
+    // keep < boilerplate < too_short), then token count DESC (prefer the
+    // fuller version), then doc_id — fully deterministic, so the argmax
+    // is oracle-exact. Scale shape: clusterAssignments' LSH pipeline +
+    // one map-only quality pass + a single window keyed by cluster
+    // (near-dup clusters are small by construction, so the per-key work
+    // is bounded; no join back to text, no second corpus scan).
+    "q104_cluster_canonical" -> ((s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))
+      val ws = T.tokens(col("text"))
+      val scored = Tables.documents(s, d)
+        .withColumn("n_tokens", size(ws).cast("long"))
+        .withColumn("n_stop", T.stopwordCount(ws, stopwords).cast("long"))
+        .withColumn("prio",
+          when(col("n_tokens") < 20, 2)
+            .when(col("n_stop").cast("double") / col("n_tokens") > 0.5, 1)
+            .otherwise(0))
+        .select(col("doc_id"), col("n_tokens"), col("prio"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("prio"), col("n_tokens").desc, col("doc_id"))
+      clusterAssignments(docs)
+        .join(scored, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("doc_id").as("canonical_doc_id"),
+          col("n_tokens").as("canonical_tokens"), col("n_members"))
+        .orderBy(col("cluster"))
+    }),
+
     // Rolling-hash fingerprint profile: which sampled substring hashes are
     // shared by the most documents (containment/boilerplate detection —
     // a fingerprint shared by many docs marks copied spans). Map-only
@@ -941,6 +975,58 @@ object TextOps {
          SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster
          FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
          ORDER BY d.doc_id""",
+
+    // q58's full reachability mirror + q32's quality metrics, composed:
+    // rank members per cluster by (quality class, token count DESC,
+    // doc_id) and keep rank 1. count() over the cluster window is BIGINT
+    // in both engines; the rank inputs are exact integers, so the argmax
+    // is hash-stable.
+    "q104_cluster_canonical" ->
+      s"""WITH RECURSIVE toks AS (
+           SELECT doc_id, $duckTokens AS ws FROM documents),
+         sh AS (
+           SELECT doc_id, ${duckShingles("ws")} AS shingles FROM toks),
+         sig AS (
+           SELECT doc_id, ${duckSig("shingles")} AS sig FROM sh
+           WHERE len(shingles) > 0),
+         bands AS (
+           SELECT doc_id, b AS band,
+             md5(CAST(sig[2*b + 1] AS VARCHAR) || '#' || CAST(sig[2*b + 2] AS VARCHAR)) AS bkey
+           FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT a AS node, b AS peer FROM edges
+           UNION
+           SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.peer),
+         cc AS (
+           SELECT node, least(node, min(peer)) AS cluster
+           FROM reach GROUP BY node),
+         asg AS (
+           SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster
+           FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+         q AS (
+           SELECT doc_id, len(ws) AS n_tokens,
+             CASE WHEN len(ws) < 20 THEN 2
+                  WHEN CAST(len(list_filter(ws,
+                    w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                    / len(ws) > 0.5 THEN 1
+                  ELSE 0 END AS prio
+           FROM toks),
+         r AS (
+           SELECT a.cluster, q.doc_id, q.n_tokens,
+             row_number() OVER (PARTITION BY a.cluster
+               ORDER BY q.prio, q.n_tokens DESC, q.doc_id) AS rn,
+             count(*) OVER (PARTITION BY a.cluster) AS n_members
+           FROM asg a JOIN q ON q.doc_id = a.doc_id)
+         SELECT cluster, doc_id AS canonical_doc_id,
+           n_tokens AS canonical_tokens, n_members
+         FROM r WHERE rn = 1 ORDER BY cluster""",
 
     "q36_lang_profile" ->
       """SELECT lang, count(*) AS n_docs,
