@@ -429,6 +429,12 @@ object IncrementalDedup {
             "starting the new stream's batch ids above its newest " +
             "version.")
     }
+    // FULL-REPLAY fast path: every kind already holds v=batchId, so a
+    // prior attempt completed all four publishes (each rename atomic,
+    // content deterministic) — the entire batch is a no-op. Without
+    // this, a crash between the last publish and the checkpoint commit
+    // re-ran the whole merge only for publish() to skip all four writes.
+    if (kinds.forall(k => kindVersions(k).contains(batchId))) return
     // diagnose legacy state BEFORE this batch publishes anything — an
     // append would create a partial `bands` table and mask the condition
     val legacyBands = legacyBandsMarked(spark, stateDir, batchId,
@@ -846,10 +852,17 @@ object IncrementalDedup {
     }
 
     def publish(kind: String, delta: DataFrame): Unit = {
-      val full = wantFull(kind)
       val hfs = fs(spark, stateDir)
       val tmp = s"$stateDir/$kind/.tmp_v_$batchId"
       val dest = s"$stateDir/$kind/v=$batchId"
+      // PUBLISH-ONCE: dest exists ⟹ a prior attempt's rename completed
+      // (atomic) and this replay derives identical content — skip. The
+      // old delete+re-rename minted new part-file names for the same
+      // rows on every replay, needlessly invalidating any cached listing
+      // and re-running the fold/delta job. GC for this kind runs on the
+      // next batch's publish.
+      if (hfs.exists(new Path(dest))) return
+      val full = wantFull(kind)
 
       // promote tmp → v=batchId and GC old versions; shared by both
       // publish shapes so the rename/retention discipline has one home

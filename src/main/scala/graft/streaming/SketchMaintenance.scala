@@ -58,11 +58,14 @@ object SketchMaintenance {
       .agg(hll_union_agg(col("sk"), lit(false)).as("sk")) // same lgK always
     val tmp = s"$viewDir/.tmp_v_$batchId"
     val dest = s"$viewDir/v=$batchId"
-    merged.write.mode("overwrite").parquet(tmp)
     val fs = new Path(viewDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val destPath = new Path(dest)
-    if (fs.exists(destPath)) fs.delete(destPath, true)
+    // PUBLISH-ONCE (see ViewMaintenance): dest exists ⟹ complete +
+    // replay-equivalent (HLL register merge is order-independent) — skip
+    // the merge job and keep the published file set stable
+    if (fs.exists(destPath)) return
+    merged.write.mode("overwrite").parquet(tmp)
     fs.rename(new Path(tmp), destPath)
     val keep = math.max(2, retainVersions)
     versions(spark, viewDir).sorted.dropRight(keep)

@@ -78,11 +78,16 @@ object ViewMaintenance {
       .agg(sum(col("rev")).as("rev"), sum(col("n")).cast("long").as("n"))
     val tmp = s"$viewDir/.tmp_v_$batchId"
     val dest = s"$viewDir/v=$batchId"
-    merged.write.mode("overwrite").parquet(tmp)
     val fs = new Path(viewDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val destPath = new Path(dest)
-    if (fs.exists(destPath)) fs.delete(destPath, true) // replay overwrite
+    // PUBLISH-ONCE: dest exists ⟹ a prior attempt completed its rename
+    // (atomic) and a replay re-derives the same relation — skip instead
+    // of delete+re-rename. Rewriting would mint new part-file names for
+    // identical content, which both invalidates any reader's cached file
+    // listing for no reason and wastes the whole merge job.
+    if (fs.exists(destPath)) return
+    merged.write.mode("overwrite").parquet(tmp)
     fs.rename(new Path(tmp), destPath)
     // GC: the view would otherwise grow one full snapshot per batch.
     // Keep the newest `retainVersions` (min 2 — the newest's predecessor
