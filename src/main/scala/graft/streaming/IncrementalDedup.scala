@@ -889,7 +889,14 @@ object IncrementalDedup {
         }
       }
 
-      val bucketwise = full && chainAllBucketed(kind) &&
+      // Bucket-wise only pays when there is a CHAIN to fold — its point
+      // is bounding the fold's per-job read. On a chainless full (batch
+      // 0 / first publish) the "fold" is just the delta itself, and B
+      // per-bucket jobs over a corpus-sized cached delta would rescan it
+      // B times; the single partitionBy write is strictly better there.
+      val bucketwise = full &&
+        chain(spark, s"$stateDir/$kind", batchId).nonEmpty &&
+        chainAllBucketed(kind) &&
         (kind != "members" || kindVersions("members").exists(_ < batchId))
       if (bucketwise) {
         // BUCKET-WISE full: fold the chain one `_b` bucket at a time —
@@ -902,8 +909,14 @@ object IncrementalDedup {
         // pool: Spark schedules the concurrent jobs independently, so
         // wall time stays ~B/threads × per-bucket instead of serial.
         val keys = foldKeys(kind)
+        // repartition by `_b` BEFORE caching: the per-bucket filters
+        // below then skip non-matching cached batches via in-memory
+        // batch stats, so B filters of the delta cost ~O(delta) total
+        // instead of B full cache scans (the shuffle is no extra cost —
+        // the partitionBy write of the monolithic path pays it too)
         val deltaB = delta
           .withColumn("_b", bucketExpr(kind, b).cast("int"))
+          .repartition(col("_b")).sortWithinPartitions("_b")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           // pre-resolve this kind's chain on the caller thread — the
@@ -914,10 +927,10 @@ object IncrementalDedup {
             .flatMap { v =>
               hfs.listStatus(new Path(s"$stateDir/$kind/v=$v"))
                 .map(_.getPath.getName).filter(_.startsWith("_b="))
-                .map(_.stripPrefix("_b=").toLong)
+                .flatMap(_.stripPrefix("_b=").toIntOption)
             }
-          val deltaBuckets = deltaB.select(col("_b").cast("long"))
-            .distinct().collect().map(_.getLong(0)).toSeq
+          val deltaBuckets = deltaB.select(col("_b"))
+            .distinct().collect().map(_.getInt(0)).toSeq
           val active = (chainBuckets ++ deltaBuckets).distinct.sorted
           if (active.isEmpty) {
             deltaB.drop("_b").limit(0).write.mode("overwrite").parquet(tmp)
@@ -933,8 +946,9 @@ object IncrementalDedup {
                 scala.concurrent.Future {
                   val bdir = s"$tmp/_b=$bkt"
                   if (!hfs.exists(new Path(bdir, "_SUCCESS")))
-                    overlay(baseOf(kind, Some(Seq(bkt))),
-                        deltaB.filter(col("_b") === bkt).drop("_b"), keys)
+                    overlay(baseOf(kind, Some(Seq(bkt.toLong))),
+                        deltaB.filter(col("_b") === lit(bkt)).drop("_b"),
+                        keys)
                       .withColumn("removed", lit(false))
                       .write.mode("overwrite").parquet(bdir)
                 }
