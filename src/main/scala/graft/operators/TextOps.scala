@@ -407,10 +407,11 @@ object TextOps {
     // quality, not by accident of id order. Rank = quality class (q32's
     // keep < boilerplate < too_short), then token count DESC (prefer the
     // fuller version), then doc_id — fully deterministic, so the argmax
-    // is oracle-exact. Scale shape: clusterAssignments' LSH pipeline +
-    // one map-only quality pass + a single window keyed by cluster
-    // (near-dup clusters are small by construction, so the per-key work
-    // is bounded; no join back to text, no second corpus scan).
+    // is oracle-exact. Scale shape: clusterAssignments' LSH pipeline
+    // joined with one extra MAP-ONLY quality scan (integer metrics only
+    // — the text column itself never enters the shuffle), then a single
+    // window keyed by cluster (near-dup clusters are small by
+    // construction, so per-key work is bounded).
     "q104_cluster_canonical" -> ((s, d) => {
       val docs = Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), col("text"))
