@@ -136,6 +136,23 @@ class PlanAuditSpec extends SparkSpecBase {
       s"a Window appears on the fact path (before the broadcast subtree):\n$p94")
   }
 
+  test("q104: quality metrics join is integer-only — text never enters the shuffle") {
+    val p = plan(q("q104_cluster_canonical"))
+    // exactly one cluster-keyed window ranks the members
+    assert(p.contains("Window"), s"expected a window over cluster:\n$p")
+    // the quality scan reduces to (doc_id, n_tokens, prio) BEFORE the
+    // join: the raw text column must not appear in any Exchange input —
+    // physical-plan Exchanges print their output schemas, so a `text#`
+    // reference after the first Exchange means the full document strings
+    // are being shuffled (the thing the map-only metric pass exists to
+    // avoid; the LSH subtree caches its signatures, so text appears only
+    // in scan/project nodes below the exchanges)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, s"expected shuffles in the plan:\n$p")
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document text is being shuffled:\n${exchanges.mkString("\n")}")
+  }
+
   test("q89: the inverted-index explode is term-filtered before its shuffle") {
     val p = plan(q("q89_bm25_rank"))
     // the IN-list term filter must appear in the physical plan BEFORE
