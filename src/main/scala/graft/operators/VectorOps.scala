@@ -311,6 +311,79 @@ object VectorOps {
       .write.mode("overwrite").parquet(s"$path/centroids")
     base.unpersist()
     c2.unpersist()
+    // a (re)build defines the corpus outright — stale tombstones from a
+    // previous index at this path must not hide rows of the new one
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    if (hfs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true))
+      corpus.sparkSession.catalog.refreshByPath(path)
+  }
+
+  /** The deletion ledger, if any rows are currently tombstoned. */
+  private def tombstonesOf(s: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (hfs.exists(p) && hfs.listStatus(p).exists(!_.getPath.getName.startsWith("_")))
+      Some(s.read.parquet(p.toString).select(col("vec_id")))
+    else None
+  }
+
+  /** The index corpus minus tombstoned rows — what every probe serves.
+    * The anti-join's left side keeps its cell partition filters (they
+    * push through to the scan), and the tombstone side is bounded by
+    * the rewrite threshold, so the join never dominates a probe. */
+  private def liveCorpus(s: SparkSession, path: String): DataFrame = {
+    val c = s.read.parquet(s"$path/corpus")
+    tombstonesOf(s, path).fold(c)(t => c.join(t, Seq("vec_id"), "left_anti"))
+  }
+
+  /** Rebuild the index over its LIVE rows into a tmp dir and swap it in:
+    * tombstones are applied physically and cleared, the quantizer is
+    * retrained, and Spark's listing/plan caches for the path are
+    * invalidated (the swap happens at the filesystem level). */
+  private def retrainInPlace(s: SparkSession, path: String, cells: Int): Unit = {
+    val corpus = liveCorpus(s, path).select(col("vec_id"), col("embedding"))
+    val tmp = s"$path/.retrain_tmp"
+    writeIvfIndex(corpus, tmp, cells)
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("corpus", "centroids").foreach { part =>
+      val dest = new org.apache.hadoop.fs.Path(s"$path/$part")
+      hfs.delete(dest, true)
+      hfs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$part"), dest)
+    }
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    hfs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    s.catalog.refreshByPath(path)
+  }
+
+  /** Apply tombstones physically and re-optimize the quantizer — the
+    * explicit form of the rewrite the deletion threshold triggers. Also
+    * the prerequisite for RE-USING a deleted vec_id (see
+    * [[appendToIvfIndex]]'s id contract). */
+  def compactIvfIndex(s: SparkSession, path: String, cells: Int = 0): Unit =
+    retrainInPlace(s, path, cells)
+
+  /** Delete vectors from a written index by id: O(deleted) — the ids
+    * land in a tombstone ledger that every probe anti-joins (bounded by
+    * the threshold), and once the tombstoned fraction of the trained
+    * mass exceeds `rewriteThreshold` the index is rebuilt over its live
+    * rows (one corpus rewrite amortized over many deletes — the same
+    * economics as the dedup maintainer's delta-then-compact cycle).
+    * Unknown ids tombstone harmlessly (nothing to hide). Returns true
+    * iff the physical rewrite ran. */
+  def deleteFromIvfIndex(s: SparkSession, path: String, ids: DataFrame,
+      rewriteThreshold: Double = 0.2, retrainCells: Int = 0): Boolean = {
+    val incoming = ids.select(col("vec_id")).distinct()
+    val novel = tombstonesOf(s, path)
+      .fold(incoming)(t => incoming.join(t, Seq("vec_id"), "left_anti"))
+    novel.write.mode("append").parquet(s"$path/tombstones")
+    val trained = s.read.parquet(s"$path/centroids")
+      .agg(sum(col("cn"))).head().getLong(0)
+    val nDead = tombstonesOf(s, path).map(_.count()).getOrElse(0L)
+    val rewrite = nDead.toDouble / trained > rewriteThreshold
+    if (rewrite) retrainInPlace(s, path, retrainCells)
+    rewrite
   }
 
   /** Append new (vec_id, embedding) vectors to a WRITTEN index without
@@ -332,12 +405,16 @@ object VectorOps {
     *    with zero extra metadata; above `retrainThreshold` the quantizer
     *    no longer represents most of the corpus it serves.
     *  - DISTRIBUTION: a small append from a region the quantizer never
-    *    saw keeps mass low but quantizes badly. The batch's mean
-    *    [[distKey]] to its assigned centroids is compared against the
-    *    cn-weighted trained mean (`qerr`, persisted by
-    *    [[writeIvfIndex]]); a ratio above `errFactor` retrains. Indexes
-    *    written before `qerr` existed fall back to mass-only (migration
-    *    safe — the column reads as null).
+    *    saw keeps mass low but quantizes badly. Each appended vector's
+    *    [[distKey]] is normalized by its ASSIGNED cell's trained mean
+    *    error (`qerr`, persisted by [[writeIvfIndex]]; zero/null cells
+    *    fall back to the cn-weighted global mean), and the batch's mean
+    *    ratio above `errFactor` retrains. Per-cell normalization
+    *    matters: trained cells are heterogeneous, so a global-mean
+    *    ratio both false-fires on conforming appends to the loosest
+    *    cell and misses shifts hiding under a loose global mean.
+    *    Indexes written before `qerr` existed fall back to mass-only
+    *    (migration safe — the column reads as null).
     * A retrain rebuilds over the full corpus into a tmp dir and swaps in
     * atomically (never read-and-overwrite the live dirs in one job).
     * `retrainCells = 0` re-derives √N so the quantizer granularity grows
@@ -346,6 +423,23 @@ object VectorOps {
   def appendToIvfIndex(s: SparkSession, path: String, newVecs: DataFrame,
       retrainThreshold: Double = 0.5, retrainCells: Int = 0,
       errFactor: Double = 4.0): Boolean = {
+    // ID CONTRACT: vec_ids are append-once. Appending a TOMBSTONED id
+    // would leave two physical rows for it after the tombstone clears at
+    // the next rewrite (duplicate top-k entries, silently) — fail loudly
+    // instead; the check is cheap (the ledger is threshold-bounded).
+    // Re-using a deleted id is supported AFTER compactIvfIndex has
+    // applied the deletion physically. Appending an id that is LIVE in
+    // the corpus is the caller's contract to avoid (checking it would
+    // cost an O(corpus) scan per append).
+    tombstonesOf(s, path).foreach { t =>
+      val clashes = newVecs.select(col("vec_id"))
+        .join(t, Seq("vec_id"), "left_semi").limit(1).collect()
+      if (clashes.nonEmpty)
+        throw new IllegalArgumentException(
+          s"appendToIvfIndex: vec_id ${clashes.head.getLong(0)} is " +
+            "tombstoned in this index; run compactIvfIndex first to " +
+            "apply deletions physically, then re-add the id")
+    }
     val c2 = s.read.parquet(s"$path/centroids")
     val assigned = assignWithCentroids(
       newVecs.select(col("vec_id"), col("embedding"),
@@ -356,39 +450,37 @@ object VectorOps {
     val trained = c2.agg(sum(col("cn"))).head().getLong(0)
     val total = s.read.parquet(s"$path/corpus").count()
     val massDrift = (total - trained).toDouble / trained > retrainThreshold
+    // drift ratio is PER-ASSIGNED-CELL, not vs the global mean: trained
+    // cells are heterogeneous (a cell that absorbed two distant modes
+    // carries a qerr orders above a tight cell's), so one conforming
+    // append to the loosest cell would trip a global-mean ratio while a
+    // shifted batch hiding behind a loose global mean would not. Each
+    // appended vector compares against ITS cell's trained error; cells
+    // with null/zero qerr fall back to the cn-weighted global mean.
     val errDrift = c2.columns.contains("qerr") && {
-      val trainedErr = c2.filter(col("qerr").isNotNull)
+      val g = c2.filter(col("qerr").isNotNull)
         .agg(sum(col("qerr") * col("cn")) / sum(col("cn"))).head()
-      val batchErr = assigned.join(broadcast(c2), "cell")
-        .withColumn("dkey", distKey(col("iv"), col("csum"), col("cn")))
-        .agg(avg(col("dkey"))).head()
-      !trainedErr.isNullAt(0) && !batchErr.isNullAt(0) &&
-        // guard the degenerate zero-error train (every member ON its
-        // centroid): any nonzero batch error is then infinite drift
-        (if (trainedErr.getDouble(0) == 0.0) batchErr.getDouble(0) > 0.0
-         else batchErr.getDouble(0) / trainedErr.getDouble(0) > errFactor)
+      if (g.isNullAt(0)) false
+      else {
+        val gm = g.getDouble(0)
+        val scored = assigned.join(broadcast(c2), "cell")
+          .withColumn("dkey", distKey(col("iv"), col("csum"), col("cn")))
+        if (gm == 0.0) {
+          // degenerate zero-error train (every member ON its centroid):
+          // any nonzero batch error is drift
+          val b = scored.agg(avg(col("dkey"))).head()
+          !b.isNullAt(0) && b.getDouble(0) > 0.0
+        } else {
+          val r = scored
+            .withColumn("den",
+              coalesce(nullif(col("qerr"), lit(0.0)), lit(gm)))
+            .agg(avg(col("dkey") / col("den"))).head()
+          !r.isNullAt(0) && r.getDouble(0) > errFactor
+        }
+      }
     }
     val drifted = massDrift || errDrift
-    if (drifted) {
-      val corpus = s.read.parquet(s"$path/corpus")
-        .select(col("vec_id"), col("embedding"))
-      val tmp = s"$path/.retrain_tmp"
-      writeIvfIndex(corpus, tmp, retrainCells)
-      val hfs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      Seq("corpus", "centroids").foreach { part =>
-        val dest = new org.apache.hadoop.fs.Path(s"$path/$part")
-        hfs.delete(dest, true)
-        hfs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$part"), dest)
-      }
-      hfs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      // the swap happened at the FILESYSTEM level, invisible to Spark's
-      // file-listing and plan caches — without this, a probe after retrain
-      // can silently reuse pre-retrain cached state for these paths
-      // (measured: wrong top-k, not an error). refreshByPath drops both
-      // the listing cache and any cached plans reading the index.
-      s.catalog.refreshByPath(path)
-    }
+    if (drifted) retrainInPlace(s, path, retrainCells)
     drifted
   }
 
@@ -398,7 +490,7 @@ object VectorOps {
     * the executed plan by IvfIndexSpec) and exact-decimal re-rank. */
   def probeIvfIndex(s: SparkSession, path: String, nQueries: Int = 5,
                     k: Int = 5, nprobe: Int = 3): DataFrame = {
-    val corpus = s.read.parquet(s"$path/corpus")
+    val corpus = liveCorpus(s, path)
     probeStored(s, path, corpus, queriesOf(corpus, nQueries), k, nprobe,
       excludeSelf = true)
   }
@@ -411,7 +503,7 @@ object VectorOps {
     * corpus vec_ids. */
   def probeIvfIndex(s: SparkSession, path: String, queries: DataFrame,
                     k: Int, nprobe: Int): DataFrame =
-    probeStored(s, path, s.read.parquet(s"$path/corpus"),
+    probeStored(s, path, liveCorpus(s, path),
       externalQ(queries), k, nprobe, excludeSelf = false)
 
   private def probeStored(s: SparkSession, path: String, corpus: DataFrame,

@@ -242,6 +242,70 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"shifted-region recall after retrain: $recall")
   }
 
+  test("delete path: tombstones hide rows exactly; compaction + threshold rewrite apply them physically") {
+    val rnd = new scala.util.Random(19L)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    def mk(ids: Range): Seq[(Long, Seq[Float])] = ids.map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f).toSeq)
+    }
+    def tk(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val initial = mk(0 until 320)
+    val path = java.nio.file.Files.createTempDirectory("ivf_del").toString
+    VectorOps.writeIvfIndex(initial.toDF("vec_id", "embedding"), path,
+      cells = 8)
+    val queries = mk(5000 until 5012)
+      .map { case (id, v) => (id - 5000L, v) }.toDF("qid", "embedding")
+    // 30/320 = 9.4% tombstoned: logical-only delete, no rewrite
+    val rewrote = VectorOps.deleteFromIvfIndex(spark, path,
+      (0L until 30L).toSeq.toDF("vec_id"), rewriteThreshold = 0.2,
+      retrainCells = 8)
+    assert(!rewrote, "9.4% deletion must stay logical")
+    assert(new java.io.File(s"$path/tombstones").exists())
+    val live = initial.filterNot(_._1 < 30)
+    val brute = tk(VectorOps.dotTopKWith(live.toDF("vec_id", "embedding"),
+      queries, k = 5))
+    val ex = tk(VectorOps.probeIvfIndex(spark, path, queries, k = 5,
+      nprobe = 8))
+    assert(ex == brute, "probe must serve exactly the live corpus")
+    assert(ex.forall(_._2 >= 30L), "a tombstoned row surfaced in a probe")
+    // re-using a tombstoned id before compaction fails LOUDLY (silently
+    // accepting it would leave two physical rows after the next rewrite)
+    val re5 = mk(5 until 6)
+    val exn = intercept[IllegalArgumentException] {
+      VectorOps.appendToIvfIndex(spark, path,
+        re5.toDF("vec_id", "embedding"), retrainCells = 8)
+    }
+    assert(exn.getMessage.contains("compactIvfIndex"))
+    // explicit compaction: tombstones applied physically and cleared
+    VectorOps.compactIvfIndex(spark, path, cells = 8)
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(spark.read.parquet(s"$path/corpus").count() == 290L)
+    assert(tk(VectorOps.probeIvfIndex(spark, path, queries, k = 5,
+      nprobe = 8)) == brute, "compaction changed the served relation")
+    // the freed id is appendable now
+    assert(!VectorOps.appendToIvfIndex(spark, path,
+      re5.toDF("vec_id", "embedding"), retrainCells = 8))
+    val live2 = live ++ re5
+    assert(tk(VectorOps.probeIvfIndex(spark, path, queries, k = 5,
+        nprobe = 8)) ==
+      tk(VectorOps.dotTopKWith(live2.toDF("vec_id", "embedding"),
+        queries, k = 5)))
+    // 80/290 = 27.6% tombstoned: crosses the threshold → auto-rewrite
+    val rewrote2 = VectorOps.deleteFromIvfIndex(spark, path,
+      (100L until 180L).toSeq.toDF("vec_id"), rewriteThreshold = 0.2,
+      retrainCells = 8)
+    assert(rewrote2, "27.6% deletion must trigger the physical rewrite")
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(spark.read.parquet(s"$path/corpus").count() == 211L)
+    val live3 = live2.filterNot(r => r._1 >= 100L && r._1 < 180L)
+    assert(tk(VectorOps.probeIvfIndex(spark, path, queries, k = 5,
+        nprobe = 8)) ==
+      tk(VectorOps.dotTopKWith(live3.toDF("vec_id", "embedding"),
+        queries, k = 5)))
+  }
+
   test("recall on a clustered corpus: >=0.9 probing 2 of 8 cells") {
     // 8 planted clusters: deterministic centers, small perturbations —
     // the shape a trained quantizer exists for. 64-dim, 400 vectors.
