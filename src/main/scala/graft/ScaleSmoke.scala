@@ -311,7 +311,8 @@ object ScaleSmoke {
       // listFiles() is nullable (missing/unreadable dir) — a broken index
       // write should surface as cells=0 in the log line, not an NPE that
       // kills the rest of the smoke run
-      val cells = Option(new java.io.File(s"$idxPath/corpus").listFiles())
+      val cells = Option(new java.io.File(
+          s"${VectorOps.indexGenDir(spark, idxPath)}/corpus").listFiles())
         .getOrElse(Array.empty[java.io.File])
         .count(_.getName.startsWith("cell="))
       println(f"SCALE ivf_write          $tw%8.2f s  cells=$cells " +

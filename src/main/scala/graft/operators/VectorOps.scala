@@ -66,6 +66,9 @@ object VectorOps {
       (x.cast("string").cast(org.apache.spark.sql.types.DecimalType(18, 9)) *
         lit(1000000000L)).cast("long"))
 
+  /** Package-private [[intVec]] hook for the UDF/expression parity specs. */
+  private[graft] def intVecCol(v: Column): Column = intVec(v)
+
   /** Exact squared-L2 ordering key to a centroid carried as its un-divided
     * (sum[dims], count) pair: sum_i((n·x_i − s_i)²) / n² equals ‖x − s/n‖²
     * without ever forming the inexact mean. The numerator is exact
@@ -289,72 +292,158 @@ object VectorOps {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** Persist the trained index: the assigned corpus laid out PARTITIONED
-    * BY CELL (so a probe is a directory-pruned read, not a scan + filter)
-    * plus the centroid table. The 100 TB shape: training writes once;
-    * every search afterwards opens only its nprobe directories.
-    *
-    * The centroid table carries one extra column over the in-memory
-    * form: `qerr`, each cell's mean quantization key (the member-mean
-    * [[distKey]] to its own centroid) at train time. It costs one
-    * map-side pass at write time and gives [[appendToIvfIndex]] a
-    * DISTRIBUTION-shift drift signal: vectors from a region the
-    * quantizer never saw land far from every centroid, so their batch
-    * mean key dwarfs the trained mean even when their MASS is small. */
-  def writeIvfIndex(corpus: DataFrame, path: String, cells: Int = 0): Unit = {
+  // ─── Persisted-index layout: versioned generations, atomic publish ───
+  //
+  // A generation directory `gen=N/` holds corpus + centroids (+ the
+  // tombstone ledger) TOGETHER; `CURRENT` is a one-line pointer file
+  // naming the live generation. A (re)build writes the next `gen=N+1/`
+  // fully — its `_GRAFT_INDEX_OK` manifest last — then publishes by
+  // atomically renaming a fresh pointer over `CURRENT`. Readers resolve
+  // the pointer first, so they see either the old generation or the new
+  // one COMPLETE — never a corpus partitioned by one quantizer served
+  // against another's centroid table, which is what sequentially
+  // renaming two sibling `corpus/` + `centroids/` dirs could tear into
+  // (and which would return silently wrong neighbors, not an error). A
+  // crash mid-build leaves an unreferenced partial gen dir: max+1
+  // numbering never reuses its name, the pointer still serves the old
+  // generation, and the next successful publish garbage-collects it.
+
+  private val Pointer = "CURRENT"
+  private val OkSentinel = "_GRAFT_INDEX_OK"
+
+  private def hfsOf(s: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Directory of the CURRENT index generation (public: specs and the
+    * scale smoke inspect the physical cell layout through it). Fails
+    * loudly on a missing pointer (not an index) or a torn generation
+    * (pointer names a dir whose manifest never landed). */
+  def indexGenDir(s: SparkSession, path: String): String = {
+    val hfs = hfsOf(s, path)
+    val ptr = new org.apache.hadoop.fs.Path(s"$path/$Pointer")
+    if (!hfs.exists(ptr))
+      throw new IllegalStateException(
+        s"$path is not a graft IVF index (no $Pointer pointer file); " +
+          "build one with writeIvfIndex")
+    val in = hfs.open(ptr)
+    val gen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    val dir = s"$path/$gen"
+    if (!hfs.exists(new org.apache.hadoop.fs.Path(s"$dir/$OkSentinel")))
+      throw new IllegalStateException(
+        s"torn IVF index at $path: $Pointer names $gen but its " +
+          s"$OkSentinel manifest is missing — refusing to serve a " +
+          "partial generation")
+    dir
+  }
+
+  private def nextGenName(s: SparkSession, path: String): String = {
+    val hfs = hfsOf(s, path)
+    val base = new org.apache.hadoop.fs.Path(path)
+    val next =
+      if (!hfs.exists(base)) 0L
+      else hfs.listStatus(base).map(_.getPath.getName)
+        .collect { case g if g.startsWith("gen=") =>
+          g.stripPrefix("gen=").toLong }
+        .foldLeft(-1L)(math.max) + 1L
+    s"gen=$next"
+  }
+
+  /** Flip the pointer to `genName` (atomic rename-overwrite), then
+    * retire every other generation. In this single-JVM harness the
+    * immediate retire is safe; a multi-reader cluster deployment would
+    * defer old-generation deletion by a grace period instead (a probe
+    * that resolved the pointer just before the flip may still be
+    * opening the old generation's files). */
+  private def publishGen(s: SparkSession, path: String, genName: String): Unit = {
+    val hfs = hfsOf(s, path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.$Pointer.tmp")
+    val out = hfs.create(tmp, true)
+    try out.write(genName.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      s.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(s"$path/$Pointer"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    hfs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath).filter { p =>
+        p.getName.startsWith("gen=") && p.getName != genName }
+      .foreach(p => hfs.delete(p, true))
+    s.catalog.refreshByPath(path)
+  }
+
+  /** Write one full generation (corpus partitioned by cell + centroid
+    * table + manifest) under `genDir` — no pointer change. The centroid
+    * table carries `qerr`, each cell's mean quantization key (member-mean
+    * [[distKey]] to its own centroid) at train time: one map-side pass
+    * now, and [[appendToIvfIndex]] gets a DISTRIBUTION-shift drift
+    * signal later — vectors from a region the quantizer never saw land
+    * far from every centroid relative to their assigned cell's trained
+    * error, even when their mass is small. */
+  private def writeGen(corpus: DataFrame, genDir: String, cells: Int): Unit = {
     val (a2, c2, base) = trainAssign(corpus, cells)
-    a2.write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    a2.write.mode("overwrite").partitionBy("cell").parquet(s"$genDir/corpus")
     val qerr = a2.join(broadcast(c2), "cell")
       .withColumn("dkey", distKey(col("iv"), col("csum"), col("cn")))
       .groupBy(col("cell")).agg(avg(col("dkey")).as("qerr"))
     c2.join(qerr, Seq("cell"), "left")
-      .write.mode("overwrite").parquet(s"$path/centroids")
+      .write.mode("overwrite").parquet(s"$genDir/centroids")
     base.unpersist()
     c2.unpersist()
-    // a (re)build defines the corpus outright — stale tombstones from a
-    // previous index at this path must not hide rows of the new one
-    val hfs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
-    if (hfs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true))
-      corpus.sparkSession.catalog.refreshByPath(path)
+    val s = corpus.sparkSession
+    val ok = hfsOf(s, genDir)
+      .create(new org.apache.hadoop.fs.Path(s"$genDir/$OkSentinel"), true)
+    ok.close()
   }
 
-  /** The deletion ledger, if any rows are currently tombstoned. */
-  private def tombstonesOf(s: SparkSession, path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+  /** Persist the trained index: the assigned corpus laid out PARTITIONED
+    * BY CELL (so a probe is a directory-pruned read, not a scan +
+    * filter) plus the centroid table, as a fresh generation published
+    * atomically (see the layout note above). The 100 TB shape: training
+    * writes once; every search afterwards opens only its nprobe cell
+    * directories of the current generation. */
+  def writeIvfIndex(corpus: DataFrame, path: String, cells: Int = 0): Unit = {
+    val s = corpus.sparkSession
+    val genName = nextGenName(s, path)
+    writeGen(corpus, s"$path/$genName", cells)
+    // publish retires every older generation — including its tombstone
+    // ledger, so a rebuild can never be haunted by stale deletions
+    publishGen(s, path, genName)
+  }
+
+  /** The generation's deletion ledger, if any rows are tombstoned. */
+  private def tombstonesOf(s: SparkSession, genDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$genDir/tombstones")
     val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (hfs.exists(p) && hfs.listStatus(p).exists(!_.getPath.getName.startsWith("_")))
       Some(s.read.parquet(p.toString).select(col("vec_id")))
     else None
   }
 
-  /** The index corpus minus tombstoned rows — what every probe serves.
-    * The anti-join's left side keeps its cell partition filters (they
-    * push through to the scan), and the tombstone side is bounded by
-    * the rewrite threshold, so the join never dominates a probe. */
-  private def liveCorpus(s: SparkSession, path: String): DataFrame = {
-    val c = s.read.parquet(s"$path/corpus")
-    tombstonesOf(s, path).fold(c)(t => c.join(t, Seq("vec_id"), "left_anti"))
+  /** The generation's corpus minus tombstoned rows — what every probe
+    * serves. The anti-join's left side keeps its cell partition filters
+    * (they push through to the scan), and the tombstone side is bounded
+    * by the rewrite threshold, so the join never dominates a probe. */
+  private def liveCorpus(s: SparkSession, genDir: String): DataFrame = {
+    val c = s.read.parquet(s"$genDir/corpus")
+    tombstonesOf(s, genDir).fold(c)(t => c.join(t, Seq("vec_id"), "left_anti"))
   }
 
-  /** Rebuild the index over its LIVE rows into a tmp dir and swap it in:
-    * tombstones are applied physically and cleared, the quantizer is
-    * retrained, and Spark's listing/plan caches for the path are
-    * invalidated (the swap happens at the filesystem level). */
+  /** Rebuild the index over its LIVE rows as the next generation and
+    * flip the pointer: tombstones are applied physically (they die with
+    * the superseded generation), the quantizer is retrained, and the
+    * swap is one atomic pointer rename — a crash at any point leaves
+    * the old generation fully served. */
   private def retrainInPlace(s: SparkSession, path: String, cells: Int): Unit = {
-    val corpus = liveCorpus(s, path).select(col("vec_id"), col("embedding"))
-    val tmp = s"$path/.retrain_tmp"
-    writeIvfIndex(corpus, tmp, cells)
-    val hfs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    Seq("corpus", "centroids").foreach { part =>
-      val dest = new org.apache.hadoop.fs.Path(s"$path/$part")
-      hfs.delete(dest, true)
-      hfs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$part"), dest)
-    }
-    hfs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-    hfs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    s.catalog.refreshByPath(path)
+    val genDir = indexGenDir(s, path)
+    val corpus = liveCorpus(s, genDir).select(col("vec_id"), col("embedding"))
+    val genName = nextGenName(s, path)
+    // writeGen's jobs read the old generation's files lazily while the
+    // new one is written; the old dirs outlive them (deletion happens
+    // only inside publishGen, after the write completes)
+    writeGen(corpus, s"$path/$genName", cells)
+    publishGen(s, path, genName)
   }
 
   /** Apply tombstones physically and re-optimize the quantizer — the
@@ -374,16 +463,77 @@ object VectorOps {
     * iff the physical rewrite ran. */
   def deleteFromIvfIndex(s: SparkSession, path: String, ids: DataFrame,
       rewriteThreshold: Double = 0.2, retrainCells: Int = 0): Boolean = {
-    val incoming = ids.select(col("vec_id")).distinct()
-    val novel = tombstonesOf(s, path)
+    val genDir = indexGenDir(s, path)
+    // cast up front: an int-typed caller id column would otherwise write
+    // a mixed-type ledger (and break the long-typed reads downstream)
+    val incoming = ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+    val novel = tombstonesOf(s, genDir)
       .fold(incoming)(t => incoming.join(t, Seq("vec_id"), "left_anti"))
-    novel.write.mode("append").parquet(s"$path/tombstones")
-    val trained = s.read.parquet(s"$path/centroids")
-      .agg(sum(col("cn"))).head().getLong(0)
-    val nDead = tombstonesOf(s, path).map(_.count()).getOrElse(0L)
-    val rewrite = nDead.toDouble / trained > rewriteThreshold
+    // skip the write when nothing novel is tombstoned: an empty append
+    // would materialize a zero-row ledger whose mere existence taxes
+    // every later probe (anti-join) and append (clash scan) forever
+    if (!novel.isEmpty)
+      novel.write.mode("append").parquet(s"$genDir/tombstones")
+    val nDead = tombstonesOf(s, genDir).map(_.count()).getOrElse(0L)
+    if (nDead == 0L) return false
+    // threshold denominator is the PHYSICAL corpus row count (parquet
+    // footer metadata — no data scan), not the trained cn mass: after
+    // unretrained appends the trained mass undercounts the corpus the
+    // tombstones actually hide rows of, firing rewrites early
+    val total = s.read.parquet(s"$genDir/corpus").count()
+    val rewrite = nDead.toDouble / total > rewriteThreshold
     if (rewrite) retrainInPlace(s, path, retrainCells)
     rewrite
+  }
+
+  /** (mean ratio, fraction of batch vectors over `errFactor`) of the
+    * assigned batch against its generation's centroid table, or None
+    * when the table carries no usable `qerr` (pre-qerr index). Each
+    * vector's [[distKey]] is normalized by its ASSIGNED cell's trained
+    * mean error — trained cells are heterogeneous, so a global-mean
+    * ratio both false-fires on conforming appends to the loosest cell
+    * and misses shifts hiding under a loose global mean. Cells with
+    * null/zero qerr fall back to the cn-weighted global mean; an
+    * all-zero-error (degenerate) train treats ANY nonzero batch error
+    * as infinite drift. */
+  private def errRatios(c2: DataFrame, assigned: DataFrame,
+      errFactor: Double): Option[(Double, Double)] = {
+    if (!c2.columns.contains("qerr")) return None
+    val g = c2.filter(col("qerr").isNotNull)
+      .agg(sum(col("qerr") * col("cn")) / sum(col("cn"))).head()
+    if (g.isNullAt(0)) return None
+    val gm = g.getDouble(0)
+    val scored = assigned.join(broadcast(c2), "cell")
+      .withColumn("dkey", distKey(col("iv"), col("csum"), col("cn")))
+    if (gm == 0.0) {
+      val r = scored.agg(max(col("dkey"))).head()
+      if (!r.isNullAt(0) && r.getDouble(0) > 0.0)
+        Some((Double.PositiveInfinity, 1.0))
+      else Some((0.0, 0.0))
+    } else {
+      val r = scored
+        .withColumn("ratio", col("dkey") /
+          coalesce(nullif(col("qerr"), lit(0.0)), lit(gm)))
+        .agg(avg(col("ratio")),
+          avg((col("ratio") > errFactor).cast("double"))).head()
+      if (r.isNullAt(0)) None
+      else Some((r.getDouble(0), r.getDouble(1)))
+    }
+  }
+
+  /** Test hook: the (mean ratio, over-errFactor fraction) drift
+    * statistics [[appendToIvfIndex]] would compute for `batch` against
+    * the CURRENT index generation, without writing anything — lets a
+    * spec prove a dilution scenario (mean under the factor, fraction
+    * over) exercises the fraction trigger specifically. */
+  private[graft] def driftStats(s: SparkSession, path: String,
+      batch: DataFrame, errFactor: Double = 4.0): (Double, Double) = {
+    val genDir = indexGenDir(s, path)
+    val c2 = s.read.parquet(s"$genDir/centroids")
+    val assigned = assignWithCentroids(
+      batch.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+        intVec(col("embedding")).as("iv")), c2)
+    errRatios(c2, assigned, errFactor).getOrElse((0.0, 0.0))
   }
 
   /** Append new (vec_id, embedding) vectors to a WRITTEN index without
@@ -407,22 +557,30 @@ object VectorOps {
     *  - DISTRIBUTION: a small append from a region the quantizer never
     *    saw keeps mass low but quantizes badly. Each appended vector's
     *    [[distKey]] is normalized by its ASSIGNED cell's trained mean
-    *    error (`qerr`, persisted by [[writeIvfIndex]]; zero/null cells
-    *    fall back to the cn-weighted global mean), and the batch's mean
-    *    ratio above `errFactor` retrains. Per-cell normalization
-    *    matters: trained cells are heterogeneous, so a global-mean
-    *    ratio both false-fires on conforming appends to the loosest
-    *    cell and misses shifts hiding under a loose global mean.
+    *    error (`qerr`, persisted at write time — see [[errRatios]] for
+    *    the per-cell rationale), and EITHER trigger fires a retrain:
+    *    batch mean ratio above `errFactor` (a wholesale shift), or the
+    *    fraction of batch vectors individually above `errFactor` at
+    *    least `driftFrac` (a small shifted SUB-batch inside a large
+    *    conforming append — the mean alone dilutes below the factor
+    *    when 98% of the batch conforms, which is exactly how a new
+    *    data source sneaks into a corpus). Conforming vectors sit ~27σ
+    *    below the factor on the trained error's concentration, so the
+    *    fraction trigger doesn't false-fire on ordinary growth.
     *    Indexes written before `qerr` existed fall back to mass-only
     *    (migration safe — the column reads as null).
-    * A retrain rebuilds over the full corpus into a tmp dir and swaps in
-    * atomically (never read-and-overwrite the live dirs in one job).
+    * A retrain rebuilds over the full corpus as a NEW generation and
+    * publishes it with one atomic pointer flip (see the layout note
+    * above — never read-and-overwrite the live dirs in one job).
     * `retrainCells = 0` re-derives √N so the quantizer granularity grows
     * with the corpus; pass the original cell count to keep a pinned
     * layout. Returns true iff a retrain ran. */
   def appendToIvfIndex(s: SparkSession, path: String, newVecs: DataFrame,
       retrainThreshold: Double = 0.5, retrainCells: Int = 0,
-      errFactor: Double = 4.0): Boolean = {
+      errFactor: Double = 4.0, driftFrac: Double = 0.02): Boolean = {
+    val genDir = indexGenDir(s, path)
+    val batch = newVecs.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"))
     // ID CONTRACT: vec_ids are append-once. Appending a TOMBSTONED id
     // would leave two physical rows for it after the tombstone clears at
     // the next rewrite (duplicate top-k entries, silently) — fail loudly
@@ -431,54 +589,32 @@ object VectorOps {
     // applied the deletion physically. Appending an id that is LIVE in
     // the corpus is the caller's contract to avoid (checking it would
     // cost an O(corpus) scan per append).
-    tombstonesOf(s, path).foreach { t =>
-      val clashes = newVecs.select(col("vec_id"))
+    tombstonesOf(s, genDir).foreach { t =>
+      val clashes = batch.select(col("vec_id"))
         .join(t, Seq("vec_id"), "left_semi").limit(1).collect()
       if (clashes.nonEmpty)
         throw new IllegalArgumentException(
-          s"appendToIvfIndex: vec_id ${clashes.head.getLong(0)} is " +
+          s"appendToIvfIndex: vec_id ${clashes.head.get(0)} is " +
             "tombstoned in this index; run compactIvfIndex first to " +
             "apply deletions physically, then re-add the id")
     }
-    val c2 = s.read.parquet(s"$path/centroids")
+    val c2 = s.read.parquet(s"$genDir/centroids")
+    // persisted: the assignment (fused argmin UDF over all K centroids
+    // per row) feeds BOTH the corpus write and the drift scoring —
+    // recomputing it would double every append's assignment cost
     val assigned = assignWithCentroids(
-      newVecs.select(col("vec_id"), col("embedding"),
-        intVec(col("embedding")).as("iv")), c2)
+      batch.withColumn("iv", intVec(col("embedding"))), c2)
       .select(col("vec_id"), col("embedding"), col("iv"), col("cell"))
+      .persist()
     assigned.write.mode("append").partitionBy("cell")
-      .parquet(s"$path/corpus")
+      .parquet(s"$genDir/corpus")
     val trained = c2.agg(sum(col("cn"))).head().getLong(0)
-    val total = s.read.parquet(s"$path/corpus").count()
+    val total = s.read.parquet(s"$genDir/corpus").count()
     val massDrift = (total - trained).toDouble / trained > retrainThreshold
-    // drift ratio is PER-ASSIGNED-CELL, not vs the global mean: trained
-    // cells are heterogeneous (a cell that absorbed two distant modes
-    // carries a qerr orders above a tight cell's), so one conforming
-    // append to the loosest cell would trip a global-mean ratio while a
-    // shifted batch hiding behind a loose global mean would not. Each
-    // appended vector compares against ITS cell's trained error; cells
-    // with null/zero qerr fall back to the cn-weighted global mean.
-    val errDrift = c2.columns.contains("qerr") && {
-      val g = c2.filter(col("qerr").isNotNull)
-        .agg(sum(col("qerr") * col("cn")) / sum(col("cn"))).head()
-      if (g.isNullAt(0)) false
-      else {
-        val gm = g.getDouble(0)
-        val scored = assigned.join(broadcast(c2), "cell")
-          .withColumn("dkey", distKey(col("iv"), col("csum"), col("cn")))
-        if (gm == 0.0) {
-          // degenerate zero-error train (every member ON its centroid):
-          // any nonzero batch error is drift
-          val b = scored.agg(avg(col("dkey"))).head()
-          !b.isNullAt(0) && b.getDouble(0) > 0.0
-        } else {
-          val r = scored
-            .withColumn("den",
-              coalesce(nullif(col("qerr"), lit(0.0)), lit(gm)))
-            .agg(avg(col("dkey") / col("den"))).head()
-          !r.isNullAt(0) && r.getDouble(0) > errFactor
-        }
-      }
+    val errDrift = errRatios(c2, assigned, errFactor).exists {
+      case (mean, frac) => mean > errFactor || frac >= driftFrac
     }
+    assigned.unpersist()
     val drifted = massDrift || errDrift
     if (drifted) retrainInPlace(s, path, retrainCells)
     drifted
@@ -490,8 +626,9 @@ object VectorOps {
     * the executed plan by IvfIndexSpec) and exact-decimal re-rank. */
   def probeIvfIndex(s: SparkSession, path: String, nQueries: Int = 5,
                     k: Int = 5, nprobe: Int = 3): DataFrame = {
-    val corpus = liveCorpus(s, path)
-    probeStored(s, path, corpus, queriesOf(corpus, nQueries), k, nprobe,
+    val genDir = indexGenDir(s, path)
+    val corpus = liveCorpus(s, genDir)
+    probeStored(s, genDir, corpus, queriesOf(corpus, nQueries), k, nprobe,
       excludeSelf = true)
   }
 
@@ -502,13 +639,15 @@ object VectorOps {
     * no self-exclusion, because the caller's qid space is unrelated to
     * corpus vec_ids. */
   def probeIvfIndex(s: SparkSession, path: String, queries: DataFrame,
-                    k: Int, nprobe: Int): DataFrame =
-    probeStored(s, path, liveCorpus(s, path),
+                    k: Int, nprobe: Int): DataFrame = {
+    val genDir = indexGenDir(s, path)
+    probeStored(s, genDir, liveCorpus(s, genDir),
       externalQ(queries), k, nprobe, excludeSelf = false)
+  }
 
-  private def probeStored(s: SparkSession, path: String, corpus: DataFrame,
+  private def probeStored(s: SparkSession, genDir: String, corpus: DataFrame,
       q: DataFrame, k: Int, nprobe: Int, excludeSelf: Boolean): DataFrame = {
-    val c2 = s.read.parquet(s"$path/centroids")
+    val c2 = s.read.parquet(s"$genDir/centroids")
     val wq = Window.partitionBy(col("qid")).orderBy(col("dkey"), col("cell"))
     val probes = q.join(broadcast(c2))
       .withColumn("dkey", distKey(col("qiv"), col("csum"), col("cn")))
@@ -577,6 +716,88 @@ object VectorOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Exact-decimal dot product over the INTEGER-scaled vectors: the iv
+    * arrays are the (18,9) decimals ×1e9, so Σ ivA·ivB is the decimal
+    * dot ×1e18 exactly. One fused BigInt fold per pair reproduces
+    * [[V.dotExact]] bit-for-bit — same HALF_UP round to scale 12, same
+    * correctly-rounded BigDecimal→double conversion (parity pinned by
+    * VectorFnsSpec) — at a fraction of the interpreted decimal HOF's
+    * cost, which is the difference between a usable and an unusable
+    * corpus×corpus re-rank (millions of dots, not thousands). */
+  private val dotExactIvUdf =
+    udf((a: Seq[Long], b: Seq[Long]) => {
+      var acc = BigInt(0)
+      var i = 0
+      // per-element product fits a long only up to |x| ≈ 3e9; BigInt×long
+      // keeps the fold exact for any magnitude (scaled smoke runs ×8)
+      while (i < a.length) { acc += BigInt(a(i)) * b(i); i += 1 }
+      new java.math.BigDecimal(acc.bigInteger, 18)
+        .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    })
+
+  /** Column form of the fused exact dot (package-private: specs pin its
+    * bit-parity against the [[V.dotExact]] expression). */
+  private[graft] def dotExactIv(a: Column, b: Column): Column =
+    dotExactIvUdf(a, b)
+
+  /** Top-`nprobe` nearest cells per row — the argmin UDF generalized to
+    * a ranked prefix: same exact integer arithmetic, same (key, cell)
+    * tie order as [[distKey]] + row_number. Fused because in the k-NN
+    * join EVERY corpus row ranks the full centroid table; the
+    * expression form would re-enter the interpreted decimal fold K
+    * times per row (the measured 3.7 s-vs-1 s lesson from training). */
+  private def probeCellsUdf(nprobe: Int) =
+    udf((iv: Seq[Long], cents: Seq[org.apache.spark.sql.Row]) => {
+      cents.map { c =>
+        val cell = c.getLong(0)
+        val csum = c.getSeq[Long](1)
+        val cn = c.getLong(2)
+        var num = BigInt(0)
+        var i = 0
+        while (i < iv.length) {
+          val diff = BigInt(iv(i) * cn - csum(i))
+          num += diff * diff
+          i += 1
+        }
+        (num.toDouble / (cn.toDouble * cn.toDouble), cell)
+      }.sortBy(identity).take(nprobe).map(_._2)
+    })
+
+  /** Corpus×corpus k-NN join THROUGH the IVF index — the operator
+    * semantic-dedup and clustering pipelines actually run at scale:
+    * every corpus vector finds its top-k neighbors among the members of
+    * its `nprobe` nearest cells only, NEVER all-pairs. Candidate count
+    * is Σ_c |members(c)| · |probers(c)| — cell-bounded, quadratic only
+    * within a cell, and with cells ≈ √N (the default) that is ≈
+    * nprobe·N^1.5 total work instead of N².
+    *
+    * Scale shape: cell ranking is one fused map-only UDF pass over the
+    * broadcast K-row centroid array (per side); the candidate join
+    * shuffles both sides by cell id, each row carrying its integer
+    * vector ONCE per probe (never per pair); the re-rank is the fused
+    * integer-exact dot; top-k is a per-qid window over candidates. AQE
+    * skew-split handles hot cells. Results are engine-exact (integer
+    * quantizer + exact-decimal dots), so the whole join — probe policy
+    * included — is reproduced by the DuckDB oracle. */
+  def ivfKnnJoin(corpus: DataFrame, k: Int = 3, nprobe: Int = 2,
+      cells: Int = 0): DataFrame = {
+    val (a2, c2, _) = trainAssign(corpus, cells)
+    val centsRow = c2
+      .agg(collect_list(struct(col("cell"), col("csum"), col("cn")))
+        .as("cents"))
+    val probes = a2.crossJoin(broadcast(centsRow))
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"),
+        explode(probeCellsUdf(nprobe)(col("iv"), col("cents"))).as("pcell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
+    a2.join(probes, col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+      .withColumn("dot", dotExactIvUdf(col("qiv"), col("iv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("dot"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dot_topk" -> ((s, d) => dotTopK(s, d)),
     "q41_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
@@ -590,7 +811,11 @@ object VectorOps {
           .select(col("vec_id").as("qid"), col("embedding")),
         k = 5, nprobe = 3, cells = 8)
     }),
-    "q43_embedding_neardup" -> ((s, d) => cosineNearDup(s, d)))
+    "q43_embedding_neardup" -> ((s, d) => cosineNearDup(s, d)),
+    // corpus×corpus top-k through the index: every vector probes its 2
+    // nearest of 8 cells; candidates are cell-bounded, never all-pairs
+    "q105_ann_knn_join" -> ((s, d) =>
+      ivfKnnJoin(Tables.embeddings(s, d), k = 3, nprobe = 2, cells = 8)))
 
   // q40/q42 compare exact-decimal dots (hash-comparable); q41 compares
   // rank-only — the measured margins (≥ 2e-4 between adjacent ranks) dwarf
@@ -765,6 +990,77 @@ object VectorOps {
            FROM dots)
          SELECT qid, vec_id, dot, rank FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // q42's trained-quantizer mirror with EVERY corpus vector as a
+    // query: probes keep rn <= 2 per vec_id (the nprobe=2 policy), the
+    // candidate join excludes self, and the re-rank keeps rank <= 3.
+    // Engine-exact end to end, so the full k-NN join hash-compares.
+    "q105_ann_knn_join" ->
+      """WITH iv AS (
+           SELECT vec_id, i,
+             CAST(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,9))
+               * 1000000000 AS BIGINT) AS x
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+         seed AS (
+           SELECT vec_id,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % 8 AS cell
+           FROM embeddings),
+         c1 AS (
+           SELECT s.cell, i, sum(x) AS cs, count(*) AS cn
+           FROM iv JOIN seed s USING (vec_id) GROUP BY s.cell, i),
+         d1 AS (
+           SELECT v.vec_id, c.cell,
+             CAST(CAST(sum(CAST(v.x * c.cn - c.cs AS HUGEINT) *
+                           CAST(v.x * c.cn - c.cs AS HUGEINT)) AS VARCHAR)
+               AS DOUBLE) / (c.cn * c.cn) AS dkey
+           FROM iv v JOIN c1 c USING (i)
+           GROUP BY v.vec_id, c.cell, c.cn),
+         a1 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dkey, cell) AS rn FROM d1) t
+           WHERE rn = 1),
+         c2 AS (
+           SELECT a.cell, i, sum(x) AS cs, count(*) AS cn
+           FROM iv JOIN a1 a USING (vec_id) GROUP BY a.cell, i),
+         d2 AS (
+           SELECT v.vec_id, c.cell,
+             CAST(CAST(sum(CAST(v.x * c.cn - c.cs AS HUGEINT) *
+                           CAST(v.x * c.cn - c.cs AS HUGEINT)) AS VARCHAR)
+               AS DOUBLE) / (c.cn * c.cn) AS dkey
+           FROM iv v JOIN c2 c USING (i)
+           GROUP BY v.vec_id, c.cell, c.cn),
+         a2 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dkey, cell) AS rn FROM d2) t
+           WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS qid, cell FROM (
+             SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dkey, cell) AS rn FROM d2) t
+           WHERE rn <= 2),
+         flat AS (
+           SELECT vec_id, i,
+             CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,9)) AS cx
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+         dots AS (
+           SELECT p.qid, a.vec_id,
+             CAST(CAST(round(sum(fq.cx * fc.cx), 12) AS DECIMAL(18,12))
+               AS DOUBLE) AS dot
+           FROM probes p
+           JOIN a2 a ON a.cell = p.cell AND a.vec_id <> p.qid
+           JOIN flat fc ON fc.vec_id = a.vec_id
+           JOIN flat fq ON fq.vec_id = p.qid AND fq.i = fc.i
+           GROUP BY p.qid, a.vec_id),
+         ranked AS (
+           SELECT qid, vec_id, dot,
+             row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+               AS rank
+           FROM dots)
+         SELECT qid, vec_id, dot, rank FROM ranked
+         WHERE rank <= 3 ORDER BY qid, rank""",
 
     "q41_cosine_topk" ->
       """WITH q AS (

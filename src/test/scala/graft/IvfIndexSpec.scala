@@ -20,8 +20,9 @@ class IvfIndexSpec extends SparkSpecBase {
     val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
     val corpus = graft.sources.Tables.embeddings(spark, sf)
     VectorOps.writeIvfIndex(corpus, path, cells = 8)
-    // 8 cell directories on disk
-    val dirs = new java.io.File(s"$path/corpus").listFiles()
+    val gen = VectorOps.indexGenDir(spark, path)
+    // 8 cell directories on disk, inside the published generation
+    val dirs = new java.io.File(s"$gen/corpus").listFiles()
       .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
     assert(dirs.length == 8, s"expected 8 cell partitions, got ${dirs.toSeq}")
     val probed = VectorOps.probeIvfIndex(spark, path, nprobe = 3)
@@ -31,7 +32,7 @@ class IvfIndexSpec extends SparkSpecBase {
       VectorOps.ivfTopK(spark, sf, nprobe = 3, cells = 8).collect().toSeq)
     // plan pin: the corpus scan carries a cell partition filter — the
     // probe opens nprobe-worth of directories, it does not scan-and-filter
-    val scan = spark.read.parquet(s"$path/corpus")
+    val scan = spark.read.parquet(s"$gen/corpus")
       .filter(col("cell").isin(0L, 1L, 2L))
     val plan = scan.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cell"),
@@ -55,7 +56,8 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(r.groupBy($"qid").count().collect().forall(_.getLong(1) == 5))
     val path = java.nio.file.Files.createTempDirectory("ivf_auto").toString
     VectorOps.writeIvfIndex(corpus, path) // auto cells
-    val dirs = new java.io.File(s"$path/corpus").listFiles()
+    val dirs = new java.io.File(
+        s"${VectorOps.indexGenDir(spark, path)}/corpus").listFiles()
       .count(_.getName.startsWith("cell="))
     // √500 ≈ 22.4 → 22 trained cells (empty cells may collapse, so allow
     // a small deficit but reject the old constant-8 sizing)
@@ -189,7 +191,8 @@ class IvfIndexSpec extends SparkSpecBase {
       k = 5, nprobe = 8))
     assert(ex2 == brute2, "retrained index must still match brute force")
     // and the retrained centroid table reflects the full corpus mass
-    val trained = spark.read.parquet(s"$path/centroids")
+    val trained = spark.read
+      .parquet(s"${VectorOps.indexGenDir(spark, path)}/centroids")
       .agg(sum($"cn")).head().getLong(0)
     assert(trained == 660L, s"retrained cn mass must be 660, got $trained")
   }
@@ -223,7 +226,8 @@ class IvfIndexSpec extends SparkSpecBase {
     // the retrained quantizer now has a cell for the new region: the
     // shifted vectors quantize well again, and search stays exact at
     // nprobe=cells over the whole grown corpus
-    val corpusNow = spark.read.parquet(s"$path/corpus")
+    val corpusNow = spark.read
+      .parquet(s"${VectorOps.indexGenDir(spark, path)}/corpus")
       .select($"vec_id", $"embedding")
     val queries = mk(5000 until 5004, shift = 10f)
       .map { case (id, v) => (id - 5000L, v) }.toDF("qid", "embedding")
@@ -262,7 +266,8 @@ class IvfIndexSpec extends SparkSpecBase {
       (0L until 30L).toSeq.toDF("vec_id"), rewriteThreshold = 0.2,
       retrainCells = 8)
     assert(!rewrote, "9.4% deletion must stay logical")
-    assert(new java.io.File(s"$path/tombstones").exists())
+    assert(new java.io.File(
+      s"${VectorOps.indexGenDir(spark, path)}/tombstones").exists())
     val live = initial.filterNot(_._1 < 30)
     val brute = tk(VectorOps.dotTopKWith(live.toDF("vec_id", "embedding"),
       queries, k = 5))
@@ -278,10 +283,12 @@ class IvfIndexSpec extends SparkSpecBase {
         re5.toDF("vec_id", "embedding"), retrainCells = 8)
     }
     assert(exn.getMessage.contains("compactIvfIndex"))
-    // explicit compaction: tombstones applied physically and cleared
+    // explicit compaction: tombstones applied physically and cleared —
+    // the ledger dies with the superseded generation
     VectorOps.compactIvfIndex(spark, path, cells = 8)
-    assert(!new java.io.File(s"$path/tombstones").exists())
-    assert(spark.read.parquet(s"$path/corpus").count() == 290L)
+    val gen2 = VectorOps.indexGenDir(spark, path)
+    assert(!new java.io.File(s"$gen2/tombstones").exists())
+    assert(spark.read.parquet(s"$gen2/corpus").count() == 290L)
     assert(tk(VectorOps.probeIvfIndex(spark, path, queries, k = 5,
       nprobe = 8)) == brute, "compaction changed the served relation")
     // the freed id is appendable now
@@ -297,13 +304,117 @@ class IvfIndexSpec extends SparkSpecBase {
       (100L until 180L).toSeq.toDF("vec_id"), rewriteThreshold = 0.2,
       retrainCells = 8)
     assert(rewrote2, "27.6% deletion must trigger the physical rewrite")
-    assert(!new java.io.File(s"$path/tombstones").exists())
-    assert(spark.read.parquet(s"$path/corpus").count() == 211L)
+    val gen3 = VectorOps.indexGenDir(spark, path)
+    assert(!new java.io.File(s"$gen3/tombstones").exists())
+    assert(spark.read.parquet(s"$gen3/corpus").count() == 211L)
     val live3 = live2.filterNot(r => r._1 >= 100L && r._1 < 180L)
     assert(tk(VectorOps.probeIvfIndex(spark, path, queries, k = 5,
         nprobe = 8)) ==
       tk(VectorOps.dotTopKWith(live3.toDF("vec_id", "embedding"),
         queries, k = 5)))
+  }
+
+  test("generation layout: partial builds never serve, torn swaps fail loudly") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_gen").toString
+    val corpus = graft.sources.Tables.embeddings(spark, sf)
+    VectorOps.writeIvfIndex(corpus, path, cells = 8)
+    val gen0 = VectorOps.indexGenDir(spark, path)
+    val before = VectorOps.probeIvfIndex(spark, path, nprobe = 2).collect().toSeq
+    // simulated crash mid-rebuild: an UNREFERENCED partial generation
+    // appears on disk — the pointer still names gen=0, probes unchanged
+    assert(new java.io.File(s"$path/gen=99").mkdirs())
+    assert(VectorOps.indexGenDir(spark, path) == gen0)
+    assert(VectorOps.probeIvfIndex(spark, path, nprobe = 2).collect().toSeq
+      == before, "a partial unpublished generation changed probe results")
+    // the next successful build skips the partial gen's number (max+1 —
+    // never reuses a possibly-dirty dir) and garbage-collects it
+    VectorOps.writeIvfIndex(corpus, path, cells = 8)
+    val gen1 = VectorOps.indexGenDir(spark, path)
+    assert(gen1.endsWith("gen=100"), s"expected gen=100, got $gen1")
+    assert(!new java.io.File(s"$path/gen=99").exists(),
+      "publish must retire unreferenced partial generations")
+    assert(!new java.io.File(gen0).exists(),
+      "publish must retire the superseded generation")
+    // torn generation (pointer names a dir whose manifest never landed):
+    // serving it would silently mix quantizers — must throw instead
+    assert(new java.io.File(s"$gen1/_GRAFT_INDEX_OK").delete())
+    val ex = intercept[IllegalStateException] {
+      VectorOps.probeIvfIndex(spark, path, nprobe = 2).collect()
+    }
+    assert(ex.getMessage.contains("torn"), s"wrong error: ${ex.getMessage}")
+  }
+
+  test("qerr drift: a 2% shifted sub-batch inside a conforming append still retrains") {
+    // the dilution hole the whole-batch-mean signal had: 196 conforming
+    // vectors + 4 moderately-shifted ones (per-vector error ratio ≈ 50,
+    // not astronomical) pull the batch MEAN ratio well under errFactor,
+    // but the over-factor FRACTION (4/200 = 2%) fires the retrain — a
+    // new data source sneaking into a corpus looks exactly like this
+    val rnd = new scala.util.Random(23L)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    def mk(ids: Range, shift: Float = 0f): Seq[(Long, Seq[Float])] =
+      ids.map { i =>
+        val c = centers(i % 8)
+        (i.toLong,
+          c.map(x => x + shift + (rnd.nextFloat() - 0.5f) * 0.02f).toSeq)
+      }
+    val path = java.nio.file.Files.createTempDirectory("ivf_dilut").toString
+    VectorOps.writeIvfIndex(mk(0 until 320).toDF("vec_id", "embedding"),
+      path, cells = 8)
+    // conforming-only append: neither signal fires (ratio tails sit ~27σ
+    // under the factor on this noise scale)
+    val conforming = mk(1000 until 1196).toDF("vec_id", "embedding")
+    val (mc, fc) = VectorOps.driftStats(spark, path, conforming)
+    assert(mc < 4.0 && fc == 0.0, s"conforming batch scored mean=$mc frac=$fc")
+    assert(!VectorOps.appendToIvfIndex(spark, path, conforming,
+      retrainThreshold = 10.0, retrainCells = 8),
+      "conforming append must not retrain")
+    // mixed append: shift +0.04/coordinate ⇒ per-vector ratio ≈ 64·0.04²
+    // / (64·0.02²/12) ≈ 48 — over the factor individually, but diluted
+    // to ≈ 1.9 in the batch mean. The stats prove this batch exercises
+    // the FRACTION trigger specifically (mean alone would miss it).
+    val mixed = (mk(2000 until 2196) ++ mk(3000 until 3004, shift = 0.04f))
+      .toDF("vec_id", "embedding")
+    val (mm, fm) = VectorOps.driftStats(spark, path, mixed)
+    assert(mm < 4.0, s"calibration broken: batch mean ratio $mm not diluted")
+    assert(fm >= 0.02, s"calibration broken: over-factor fraction $fm < 2%")
+    assert(VectorOps.appendToIvfIndex(spark, path, mixed,
+      retrainThreshold = 10.0, retrainCells = 9),
+      "a diluted 2% shifted sub-batch must still trigger the qerr retrain")
+  }
+
+  test("ivfKnnJoin: exhaustive at nprobe=cells, cell-bounded and accurate below") {
+    val rnd = new scala.util.Random(29L)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f).toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    // probing every cell IS the exact k-NN self-join: bit-identical to
+    // brute force (fused integer dot ≡ decimal expression dot)
+    val brute = VectorOps.dotTopKFrom(corpus, nQueries = 200, k = 3)
+      .collect().toSeq
+    val full = VectorOps.ivfKnnJoin(corpus, k = 3, nprobe = 8, cells = 8)
+      .collect().toSeq
+    assert(full == brute, "nprobe=cells k-NN join must equal brute force")
+    // partial probe: every query still gets k neighbors, and on
+    // clustered data 2 of 8 cells keep ≥0.9 of the true neighbors
+    val part = VectorOps.ivfKnnJoin(corpus, k = 3, nprobe = 2, cells = 8)
+    val counts = part.groupBy($"qid").count().collect()
+    assert(counts.length == 200 && counts.forall(_.getLong(1) == 3L))
+    val bSet = topkSet(VectorOps.dotTopKFrom(corpus, nQueries = 200, k = 3))
+    val recall = (bSet & topkSet(part)).size.toDouble / bSet.size
+    assert(recall >= 0.9, s"clustered k-NN join recall $recall")
+    // plan shape: the candidate join is an EQUIJOIN on the cell id (hash
+    // or sort-merge) — a cartesian here would be the all-pairs scale
+    // killer. (The one-row broadcast centroid-array attach is a bounded
+    // nested-loop by construction and is fine.)
+    val plan = part.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"k-NN join planned as a cartesian product:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"k-NN candidate join is not an equijoin on cell:\n$plan")
   }
 
   test("recall on a clustered corpus: >=0.9 probing 2 of 8 cells") {

@@ -133,4 +133,22 @@ class VectorFnsSpec extends SparkSpecBase {
       .select(V.dotExact($"a", $"b").as("d")).collect()(0).getDouble(0)
     assert(math.abs(got - expected) < 1e-9)
   }
+
+  test("fused integer-exact dot ≡ decimal-expression dot, bit for bit") {
+    import graft.operators.VectorOps
+    // every pair over a 40-vector slice of the real table: the fused
+    // BigInt fold (the k-NN join's re-rank) must reproduce the decimal
+    // HOF expression exactly — same HALF_UP round to scale 12, same
+    // correctly-rounded double conversion
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .filter($"vec_id" < 40).select($"vec_id", $"embedding",
+        VectorOps.intVecCol($"embedding").as("iv"))
+    val a = e.select($"vec_id".as("ida"), $"embedding".as("va"), $"iv".as("iva"))
+    val b = e.select($"vec_id".as("idb"), $"embedding".as("vb"), $"iv".as("ivb"))
+    val mismatches = a.crossJoin(b)
+      .filter(!(VectorOps.dotExactIv($"iva", $"ivb") <=> V.dotExact($"va", $"vb")))
+      .count()
+    assert(mismatches == 0L,
+      s"$mismatches of 1600 pairs disagree between fused and expression dot")
+  }
 }
