@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** Trained language-model text operators (SURVEY.md §2.11 text analysis):
+  * a char-n-gram language identifier that LEARNS per-language profiles
+  * from labeled text (replacing q101's fixed marker lists as the
+  * production-shaped path — markers only work when you already know the
+  * languages' function words), and a true BPE tokenizer (merge loop, not
+  * just the q50 pre-tokenizer) whose token counts are merge-table-exact.
+  *
+  * Both are engine-exact by construction (integer counts, deterministic
+  * tie-breaks), so the full train→predict / merge→count pipelines are
+  * reproduced by DuckDB oracles.
+  */
+object LangModelOps {
+
+  // ─── char-n-gram language ID ───
+
+  /** Char n-grams of `c` as an array column (empty when len < n).
+    * The explicit `when` guard matters: Spark's `sequence(1, L-2)`
+    * DESCENDS for L < 3 and would emit junk indices. */
+  private def charNgrams(c: Column, n: Int): Column =
+    when(length(c) >= n,
+      transform(sequence(lit(1), length(c) - (n - 1)),
+        i => c.substr(i, lit(n))))
+      .otherwise(array())
+
+  /** Train per-language char-trigram profiles from `train` (lang, text)
+    * — top `topM` n-grams per language by (count DESC, gram ASC) — and
+    * classify `docs` (doc_id, text) by counted profile overlap: score =
+    * occurrences of profile grams in the doc, argmax by (score DESC,
+    * lang DESC), `und` on zero overlap.
+    *
+    * Scale shape: the profile is topM×|langs| rows — broadcast; doc
+    * n-gram extraction is a map-side generator; the score aggregation
+    * partial-aggregates map-side into ≤|langs| rows per doc before the
+    * shuffle. Training cost is one groupBy over the labeled corpus —
+    * run once, reused across prediction batches (the profile DataFrame
+    * is an argument, not recomputed per call). */
+  def langIdTrained(docs: DataFrame, profiles: DataFrame): DataFrame = {
+    val docTri = docs.select(col("doc_id"),
+      explode(charNgrams(col("text"), 3)).as("g"))
+    val scores = docTri.join(broadcast(profiles), "g")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang").desc)
+    val best = scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("score"))
+    docs.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lang"), lit("und")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The training step of [[langIdTrained]]: (lang, g) profile rows. */
+  def trainLangProfiles(train: DataFrame, topM: Int = 64): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("g"))
+    train.select(col("lang"), explode(charNgrams(col("text"), 3)).as("g"))
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topM)
+      .select(col("lang"), col("g"))
+  }
+
+  /** Deterministic ASCII training corpus (6 sentences per language) —
+    * the stand-in for a labeled training table; in production this is a
+    * curated labeled dataset, here it must be VALUES-expressible so the
+    * DuckDB oracle trains the identical model. */
+  val langTrainRows: Seq[(String, String)] = Seq(
+    ("en", "the quick brown fox jumps over the lazy dog"),
+    ("en", "there is a house in the old town"),
+    ("en", "what time is the meeting this evening"),
+    ("en", "the weather was nice and the children played outside"),
+    ("en", "this is the best thing that could happen"),
+    ("en", "a strong wind blew through the trees"),
+    ("de", "der schnelle braune fuchs springt ueber den faulen hund"),
+    ("de", "es gibt ein haus in der alten stadt"),
+    ("de", "wann ist das treffen heute abend"),
+    ("de", "das wetter war schoen und die kinder spielten draussen"),
+    ("de", "das ist das beste was passieren konnte"),
+    ("de", "ein starker wind wehte durch die baeume"),
+    ("fr", "le renard brun rapide saute par dessus le chien paresseux"),
+    ("fr", "il y a une maison dans la vieille ville"),
+    ("fr", "quelle heure est la reunion ce soir"),
+    ("fr", "le temps etait beau et les enfants jouaient dehors"),
+    ("fr", "c est la meilleure chose qui puisse arriver"),
+    ("fr", "un vent fort soufflait dans les arbres"),
+    ("es", "el rapido zorro marron salta sobre el perro perezoso"),
+    ("es", "hay una casa en el casco antiguo de la ciudad"),
+    ("es", "a que hora es la reunion esta tarde"),
+    ("es", "el tiempo era bueno y los ninos jugaban fuera"),
+    ("es", "es lo mejor que podia pasar"),
+    ("es", "un viento fuerte soplaba entre los arboles"))
+
+  /** Held-out test sentences (never in training): the model must route
+    * each to its language by learned trigram overlap alone, plus a
+    * no-overlap row that must fall back to `und`. */
+  val langTestRows: Seq[(Long, String)] = Seq(
+    (3000001L, "the children walked to the old school in the morning"),
+    (3000002L, "die kinder gingen am morgen in die alte schule"),
+    (3000003L, "les enfants marchaient vers la vieille ecole le matin"),
+    (3000004L, "los ninos caminaban hacia la vieja escuela por la manana"),
+    (3000005L, "zz qq xx"))
+
+  // ─── true BPE (merge loop) ───
+
+  /** The merge table, rank-ordered. WELL-FORMED by construction: each
+    * side is a base character or the result of an earlier merge — the
+    * property real learned BPE tables have, and what makes greedy
+    * min-rank merging equal rank-sequential replacement (the oracle's
+    * form). Static here (VALUES-expressible for the oracle); a learned
+    * table plugs into the same encoder — the closure ships it to
+    * executors exactly like a broadcast lookup. */
+  val bpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("a", "n"), ("i", "n"), ("e", "r"),
+    ("o", "r"), ("s", "t"), ("a", "t"), ("l", "e"), ("b", "le"),
+    ("a", "ble"), ("t", "able"))
+
+  private val bpeRanks: Map[(String, String), Int] =
+    bpeMerges.zipWithIndex.toMap
+
+  /** True BPE encode (the HF algorithm): repeatedly find the LOWEST-rank
+    * adjacent symbol pair present and merge every occurrence of it,
+    * left to right, until no mergeable pair remains. */
+  def bpeTokenize(word: String): List[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = bpeRanks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = bpeMerges(best)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            out += (a + b); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toArray
+        done = syms.length < 2
+      }
+    }
+    syms.toList
+  }
+
+  /** Per-doc (word count, BPE token count) — one fused pass, no explode
+    * (the counts are the downstream packing/budgeting signal; per-token
+    * rows would 10× the data for nothing). */
+  private val bpeStatsUdf = udf((text: String) => {
+    val ws = text.split(' ').filter(_.nonEmpty)
+    (ws.length.toLong, ws.map(w => bpeTokenize(w).length.toLong).sum)
+  })
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // trained char-trigram language ID over corpus + held-out sentences:
+    // profiles learned from the labeled training table, never from the
+    // prediction set
+    "q107_lang_ngram" -> ((s, d) => {
+      import s.implicits._
+      val profiles =
+        trainLangProfiles(langTrainRows.toDF("lang", "text"), topM = 64)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(langTestRows.toDF("doc_id", "text"))
+      langIdTrained(Tables.spread(docs), profiles)
+    }),
+
+    // true BPE token accounting per doc from the rank-ordered merge table
+    "q108_bpe_merge" -> ((s, d) => {
+      Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), bpeStatsUdf(col("text")).as("b"))
+        .select(col("doc_id"), col("b._1").as("n_words"),
+          col("b._2").as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }))
+
+  private def trainValues: String = langTrainRows
+    .map { case (l, t) => s"('$l', '$t')" }.mkString(",\n             ")
+
+  private def testValues: String = langTestRows
+    .map { case (id, t) => s"($id, '$t')" }.mkString(",\n             ")
+
+  /** Rank-sequential replacement on the spaced-symbol form — equivalent
+    * to greedy min-rank BPE because the table is well-formed (see
+    * [[bpeMerges]]); each merge's replace is applied 4× (left-to-right
+    * `replace` consumes the shared separator, so adjacent repeats of a
+    * pair need ⌈log₂⌉+1 passes — 4 covers words far beyond the corpus'
+    * longest). */
+  private def bpeCountSql: String = {
+    val spaced =
+      "' ' || array_to_string(list_transform(range(1, length(w)+1), i -> w[i]), ' ') || ' '"
+    val merged = bpeMerges.foldLeft(spaced) { case (acc, (a, b)) =>
+      (1 to 4).foldLeft(acc)((e, _) => s"replace($e, ' $a $b ', ' $a$b ')")
+    }
+    s"len(list_filter(string_split($merged, ' '), x -> x <> ''))"
+  }
+
+  def oracle: Map[String, String] = Map(
+    // the full train→predict mirror: identical profiles (top-64 per lang
+    // by (cnt DESC, gram ASC)), identical counted-overlap scores,
+    // identical (score DESC, lang DESC) argmax and und fallback
+    "q107_lang_ngram" ->
+      s"""WITH train(lang, text) AS (VALUES
+             $trainValues),
+         tri_t AS (
+           SELECT lang,
+             unnest(list_transform(range(1, length(text) - 1),
+               i -> substring(text, i, 3))) AS g
+           FROM train),
+         counts AS (
+           SELECT lang, g, count(*) AS cnt FROM tri_t GROUP BY lang, g),
+         prof AS (
+           SELECT lang, g FROM (
+             SELECT lang, g, row_number() OVER (PARTITION BY lang
+               ORDER BY cnt DESC, g) AS rn FROM counts) t
+           WHERE rn <= 64),
+         corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             $testValues) v(doc_id, text)),
+         tri_d AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, length(text) - 1),
+               i -> substring(text, i, 3))) AS g
+           FROM corpus),
+         scores AS (
+           SELECT d.doc_id, p.lang, count(*) AS score
+           FROM tri_d d JOIN prof p USING (g)
+           GROUP BY d.doc_id, p.lang),
+         best AS (
+           SELECT doc_id, lang, score FROM (
+             SELECT doc_id, lang, score, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+             FROM scores) t
+           WHERE rn = 1)
+         SELECT c.doc_id, coalesce(b.lang, 'und') AS pred_lang,
+           CAST(coalesce(b.score, 0) AS BIGINT) AS score
+         FROM corpus c LEFT JOIN best b USING (doc_id)
+         ORDER BY c.doc_id""",
+
+    "q108_bpe_merge" ->
+      s"""WITH words AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS w
+           FROM documents),
+         tok AS (
+           SELECT doc_id, $bpeCountSql AS n_tok FROM words),
+         agg AS (
+           SELECT doc_id, count(*) AS n_words,
+             CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
+           FROM tok GROUP BY doc_id)
+         SELECT d.doc_id, CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""")
+}

@@ -80,6 +80,19 @@ object Multimodal {
       baos.toByteArray
     }
 
+    /** Baseline JFIF JPEG through the JDK writer — the format most of a
+      * real multimodal corpus actually arrives in. Lossy: pixel values
+      * round-trip approximately (the histogram feature is therefore
+      * pinned by ScalaTest, not the oracle), but DIMENSIONS round-trip
+      * exactly, which is what the q106 oracle verifies. The `image`
+      * decode path needs no JPEG branch: `ImageIO.read` sniffs the SOI
+      * magic and dispatches to the JPEG reader on its own. */
+    def makeJpeg(w: Int, h: Int, seed: Long): Array[Byte] = {
+      val baos = new ByteArrayOutputStream()
+      ImageIO.write(grayImage(w, h, seed), "jpg", baos)
+      baos.toByteArray
+    }
+
     /** Canonical 44-byte-header PCM WAV: 8-bit unsigned mono @ 8 kHz. */
     def makeWav(nSamples: Int, seed: Long): Array[Byte] = {
       val sampleRate = 8000
@@ -261,6 +274,27 @@ object Multimodal {
       }
   }
 
+  /** All-JPEG media table (every payload a real baseline JPEG, dims pure
+    * doc_id formulas): the q106 corpus. media_type stays "image" — the
+    * decoder dispatches on the BYTES (SOI magic), not the label, exactly
+    * as a production pipeline must when a lake mixes PNG and JPEG under
+    * one logical type. */
+  def jpegMediaTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    graft.sources.Tables.spread(graft.sources.Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (16 + id % 40).toInt
+          val h = (16 + (id / 3) % 40).toInt
+          val bytes = MediaCodec.makeJpeg(w, h, id)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          MediaRecord(id, "image", bytes, bytes.length.toLong, hex)
+        }
+      }
+  }
+
   /** Batched feature extraction: one decoder per partition, rows streamed
     * through it — the `mapInPandas` shape, natively in Scala. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
@@ -367,6 +401,16 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // JPEG decode path: real baseline-JPEG payloads (the dominant format
+    // of actual image corpora), parsed back through the same sniffing
+    // image decoder as PNG. Dims come only from the decoded bytes; the
+    // oracle independently derives them from doc_id.
+    "q106_jpeg_features" -> ((s, d) => {
+      extractFeatures(jpegMediaTable(s, d)).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame sampling for videos: every 5th frame index from the decoded
     // frame count — the manifest a frame-extraction stage consumes. The
     // explode is map-side (rows × ≤6 at 30 fps-stub); no shuffle before
@@ -440,6 +484,13 @@ object Multimodal {
              THEN (height * 224) // greatest(width, height)
              ELSE height END AS INT) AS out_h
          FROM d ORDER BY doc_id""",
+
+    "q106_jpeg_features" ->
+      """SELECT doc_id,
+           CAST(16 + doc_id % 40 AS INT) AS width,
+           CAST(16 + (doc_id // 3) % 40 AS INT) AS height,
+           CAST(1 AS INT) AS n_frames
+         FROM documents ORDER BY doc_id""",
 
     "q57_frame_sample" ->
       """WITH v AS (

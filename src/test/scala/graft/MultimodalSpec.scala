@@ -95,6 +95,43 @@ class MultimodalSpec extends SparkSpecBase {
     rejects.foreach(r => assert(r.getString(3).nonEmpty, "reject carries a reason"))
   }
 
+  test("MediaCodec JPEG: real SOI-magic bytes, exact dims, corrupt quarantine") {
+    import Multimodal.{MediaCodec, MediaRecord}
+    val jpg = MediaCodec.makeJpeg(20, 12, 7L)
+    // genuinely a JPEG: SOI marker + JFIF/Exif APP segment
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8,
+      "payload does not start with the JPEG SOI marker")
+    val (w, h, nf, hist) = MediaCodec.decode(jpg, "image")
+    assert(w == 20 && h == 12 && nf == 1, s"JPEG dims ($w,$h,$nf)")
+    // lossy codec: the histogram is a valid distribution over DECODED
+    // pixels (sums to 1), not necessarily the source histogram
+    assert(math.abs(hist.sum - 1f) < 1e-4)
+    // corrupt JPEGs quarantine instead of failing the job: a truncated
+    // file and SOI-prefixed garbage both reject, the intact row survives
+    val rows = Seq(
+      MediaRecord(1L, "image", jpg, jpg.length.toLong, "a"),
+      MediaRecord(2L, "image", jpg.take(60), 60L, "b"),
+      MediaRecord(3L, "image",
+        Array[Byte](0xff.toByte, 0xd8.toByte) ++ Array.fill[Byte](40)(9), 42L, "c"))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[MediaRecord])
+    val ok = Multimodal.extractFeaturesSafe(ds).collect()
+    assert(ok.map(_.doc_id).toSeq == Seq(1L), "only the intact JPEG decodes")
+    assert(Multimodal.extractRejects(ds).collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("q106 decoded JPEG dims equal the generator formulas (full pipeline)") {
+    val r = Multimodal.queries("q106_jpeg_features")(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val id = row.getLong(0)
+      assert(row.getInt(1) == 16 + id % 40)
+      assert(row.getInt(2) == 16 + (id / 3) % 40)
+      assert(row.getInt(3) == 1)
+    }
+  }
+
   test("q47 decoded dims equal the generator formulas (full pipeline)") {
     val r = Multimodal.queries("q47_media_features")(spark, sf).collect()
     assert(r.nonEmpty)
