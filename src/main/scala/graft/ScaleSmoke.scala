@@ -346,6 +346,37 @@ object ScaleSmoke {
             "corpus in the plan — prune metric unavailable)")
       }
       spark.catalog.clearCache()
+
+      // k-NN JOIN through the stored index: every corpus vector × its
+      // nprobe nearest cells, never all-pairs. Reported: the candidate
+      // bound Σ_cells members·probers as a fraction of N² — the number
+      // that proves "cell-bounded" is a measurement, not a doc comment.
+      // (nprobe shrinks at big multipliers purely to keep the smoke's
+      // wall-clock sane; the SHAPE — candidates ≈ nprobe/cells of N² —
+      // is multiplier-invariant.)
+      {
+        val np = if (mult >= 32) 1 else 3
+        val gen = VectorOps.indexGenDir(spark, idxPath)
+        val stored = spark.read.parquet(s"$gen/corpus")
+        val c2 = spark.read.parquet(s"$gen/centroids")
+        val centsRow = c2.agg(collect_list(struct(col("cell"), col("csum"),
+          col("cn"))).as("cents"))
+        val probers = stored.crossJoin(broadcast(centsRow))
+          .select(explode(VectorOps.probeCells(np)(col("iv"), col("cents")))
+            .as("cell"))
+          .groupBy(col("cell")).agg(count(lit(1)).as("p"))
+        val members = stored.groupBy(col("cell")).agg(count(lit(1)).as("m"))
+        val cand = members.join(probers, Seq("cell"))
+          .agg(sum(col("m") * col("p"))).head().getLong(0)
+        val t2 = System.nanoTime()
+        val knnRows = VectorOps.ivfKnnJoinStored(spark, idxPath, k = 3,
+          nprobe = np).count()
+        val tk = (System.nanoTime() - t2) / 1e9
+        val frac = 100.0 * cand / (nVecs.toDouble * nVecs)
+        println(f"SCALE ivf_knn_join       $tk%8.2f s  rows=$knnRows  " +
+          f"candidates=$cand ($frac%.2f%% of all-pairs, nprobe=$np)")
+      }
+      spark.catalog.clearCache()
     }
 
     // q43-shaped embedding near-dup at mult× (exact vector copies share a

@@ -782,6 +782,23 @@ object VectorOps {
   def ivfKnnJoin(corpus: DataFrame, k: Int = 3, nprobe: Int = 2,
       cells: Int = 0): DataFrame = {
     val (a2, c2, _) = trainAssign(corpus, cells)
+    knnJoinAssigned(a2, c2, k, nprobe)
+  }
+
+  /** [[ivfKnnJoin]] against a WRITTEN index: the assignment and the
+    * quantizer are read back from the current generation (corpus rows
+    * already carry iv + cell — zero retraining, zero re-assignment), so
+    * the join is pay-per-query over a train-once artifact, the economics
+    * a recurring dedup/clustering pipeline needs. */
+  def ivfKnnJoinStored(s: SparkSession, path: String, k: Int = 3,
+      nprobe: Int = 2): DataFrame = {
+    val genDir = indexGenDir(s, path)
+    knnJoinAssigned(liveCorpus(s, genDir),
+      s.read.parquet(s"$genDir/centroids"), k, nprobe)
+  }
+
+  private def knnJoinAssigned(a2: DataFrame, c2: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
     val centsRow = c2
       .agg(collect_list(struct(col("cell"), col("csum"), col("cn")))
         .as("cents"))
@@ -797,6 +814,12 @@ object VectorOps {
         col("rank").cast("long").as("rank"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** Package-private probe-cell ranking hook: the scale smoke uses it to
+    * measure Σ members·probers (the k-NN join's candidate bound) against
+    * all-pairs on the inflated corpus. */
+  private[graft] def probeCells(nprobe: Int)(iv: Column, cents: Column): Column =
+    probeCellsUdf(nprobe)(iv, cents)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dot_topk" -> ((s, d) => dotTopK(s, d)),
