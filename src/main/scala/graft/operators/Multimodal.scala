@@ -119,6 +119,191 @@ object Multimodal {
       out
     }
 
+    /** Minimal-but-valid ISO-BMFF (MP4) container: `ftyp` + `mdat`
+      * (raw 8-bit gray frames, same pixel formula as [[grayImage]]) +
+      * a structurally complete `moov` — mvhd/tkhd with 16.16 dims,
+      * full mdia/minf/stbl chain (stsd with a custom `rgry` visual
+      * sample entry, stts/stsc/stsz/stco sample tables) at timescale
+      * 1000 with 40 ms frames (25 fps). The payload codec is
+      * uncompressed gray (a real corpus would carry H.264 inside the
+      * same boxes); everything the PARSER touches — box sizes, sample
+      * tables, chunk offsets, fixed-point dims — is spec-shaped, so
+      * [[parseMp4]] is an honest container walk, not a formula echo. */
+    def makeMp4(w: Int, h: Int, frames: Int, seed: Long): Array[Byte] = {
+      import java.io.DataOutputStream
+      def bytes(f: DataOutputStream => Unit): Array[Byte] = {
+        val b = new ByteArrayOutputStream()
+        val d = new DataOutputStream(b)
+        f(d); d.flush(); b.toByteArray
+      }
+      def box(tp: String, parts: Array[Byte]*): Array[Byte] = bytes { d =>
+        d.writeInt(8 + parts.map(_.length).sum)
+        d.writeBytes(tp)
+        parts.foreach(d.write)
+      }
+      def matrix(d: DataOutputStream): Unit = {
+        d.writeInt(0x00010000); d.writeInt(0); d.writeInt(0)
+        d.writeInt(0); d.writeInt(0x00010000); d.writeInt(0)
+        d.writeInt(0); d.writeInt(0); d.writeInt(0x40000000)
+      }
+      val durTs = frames * 40 // timescale 1000 ⇒ 40 ms per frame
+      val ftyp = box("ftyp", bytes { d =>
+        d.writeBytes("isom"); d.writeInt(0x200)
+        d.writeBytes("isom"); d.writeBytes("mp42")
+      })
+      val mdat = box("mdat", bytes { d =>
+        var k = 0
+        while (k < frames) {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              d.write(((x * 7 + y * 13 + (seed + k) * 31) & 0xff).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          k += 1
+        }
+      })
+      val dataOff = ftyp.length + 8 // first sample = start of mdat payload
+      val mvhd = box("mvhd", bytes { d =>
+        d.writeInt(0) // version 0 + flags
+        d.writeInt(0); d.writeInt(0) // ctime, mtime
+        d.writeInt(1000); d.writeInt(durTs)
+        d.writeInt(0x00010000); d.writeShort(0x0100) // rate, volume
+        d.writeShort(0); d.writeLong(0) // reserved
+        matrix(d)
+        var i = 0; while (i < 6) { d.writeInt(0); i += 1 } // pre_defined
+        d.writeInt(2) // next_track_ID
+      })
+      val tkhd = box("tkhd", bytes { d =>
+        d.writeInt(7) // version 0, flags: enabled|in_movie|in_preview
+        d.writeInt(0); d.writeInt(0) // ctime, mtime
+        d.writeInt(1); d.writeInt(0) // track_ID, reserved
+        d.writeInt(durTs); d.writeLong(0) // duration, reserved
+        d.writeShort(0); d.writeShort(0) // layer, alternate_group
+        d.writeShort(0); d.writeShort(0) // volume (video: 0), reserved
+        matrix(d)
+        d.writeInt(w << 16); d.writeInt(h << 16) // 16.16 fixed-point dims
+      })
+      val mdhd = box("mdhd", bytes { d =>
+        d.writeInt(0); d.writeInt(0); d.writeInt(0)
+        d.writeInt(1000); d.writeInt(durTs)
+        d.writeShort(0x55c4); d.writeShort(0) // language "und", pre_defined
+      })
+      val hdlr = box("hdlr", bytes { d =>
+        d.writeInt(0); d.writeInt(0)
+        d.writeBytes("vide")
+        d.writeInt(0); d.writeInt(0); d.writeInt(0)
+        d.writeBytes("graft"); d.write(0)
+      })
+      val vmhd = box("vmhd", bytes { d =>
+        d.writeInt(1) // version 0, flags 1 (spec-required)
+        d.writeShort(0) // graphicsmode copy
+        d.writeShort(0); d.writeShort(0); d.writeShort(0) // opcolor
+      })
+      val dinf = box("dinf", box("dref",
+        bytes { d => d.writeInt(0); d.writeInt(1) },
+        box("url ", bytes(_.writeInt(1))))) // self-contained
+      val sampleEntry = box("rgry", bytes { d =>
+        var i = 0; while (i < 6) { d.write(0); i += 1 } // reserved
+        d.writeShort(1) // data_reference_index
+        d.writeShort(0); d.writeShort(0) // pre_defined, reserved
+        d.writeInt(0); d.writeInt(0); d.writeInt(0) // pre_defined[3]
+        d.writeShort(w); d.writeShort(h)
+        d.writeInt(0x00480000); d.writeInt(0x00480000) // 72 dpi
+        d.writeInt(0) // reserved
+        d.writeShort(1) // frame_count per sample
+        d.write(5); d.writeBytes("rgray") // compressorname (pascal)
+        i = 0; while (i < 26) { d.write(0); i += 1 } // pad name to 32
+        d.writeShort(8) // depth: 8-bit gray
+        d.writeShort(-1) // pre_defined
+      })
+      val stsd = box("stsd",
+        bytes { d => d.writeInt(0); d.writeInt(1) }, sampleEntry)
+      val stts = box("stts", bytes { d =>
+        d.writeInt(0); d.writeInt(1); d.writeInt(frames); d.writeInt(40)
+      })
+      val stsc = box("stsc", bytes { d =>
+        d.writeInt(0); d.writeInt(1)
+        d.writeInt(1); d.writeInt(frames); d.writeInt(1)
+      })
+      val stsz = box("stsz", bytes { d =>
+        d.writeInt(0); d.writeInt(w * h); d.writeInt(frames)
+      })
+      val stco = box("stco", bytes { d =>
+        d.writeInt(0); d.writeInt(1); d.writeInt(dataOff)
+      })
+      val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+      val minf = box("minf", vmhd, dinf, stbl)
+      val mdia = box("mdia", mdhd, hdlr, minf)
+      val trak = box("trak", tkhd, mdia)
+      val moov = box("moov", mvhd, trak)
+      ftyp ++ mdat ++ moov
+    }
+
+    /** Parsed MP4 container facts — everything read from the real box
+      * structure, nothing from generator formulas. */
+    case class Mp4Info(width: Int, height: Int, nFrames: Int,
+        durationMs: Long, timescale: Int, dataOff: Int, sampleSize: Int)
+
+    /** Walk the ISO-BMFF box tree: moov → mvhd (timescale/duration),
+      * trak → tkhd (16.16 dims), mdia/minf/stbl → stsz (sample count +
+      * uniform size) and stco (first chunk offset). Corrupt structure —
+      * undersized boxes (the classic size=0 infinite-walk), overrun
+      * boxes, truncated mdat, inconsistent sample tables — throws, so
+      * [[Multimodal.extractFeaturesSafe]] quarantines instead of
+      * wedging or miscounting. Version-0 boxes only (what we write;
+      * v1 would move every offset). */
+    def parseMp4(p: Array[Byte]): Mp4Info = {
+      require(p.length >= 16 && new String(p, 4, 4, "US-ASCII") == "ftyp",
+        "not an ISO-BMFF payload")
+      def be32(off: Int): Int =
+        ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+          ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+      def be16(off: Int): Int = ((p(off) & 0xff) << 8) | (p(off + 1) & 0xff)
+      // find child box `tp` in [from, to): returns (payloadStart, boxEnd)
+      def find(from: Int, to: Int, tp: String): (Int, Int) = {
+        var off = from
+        while (off + 8 <= to) {
+          val size = be32(off)
+          require(size >= 8 && off.toLong + size <= to,
+            s"corrupt MP4 box size $size at offset $off")
+          if (new String(p, off + 4, 4, "US-ASCII") == tp)
+            return (off + 8, off + size)
+          off += size
+        }
+        throw new IllegalArgumentException(s"MP4 box $tp missing")
+      }
+      val (moovS, moovE) = find(0, p.length, "moov")
+      val (mvhdS, _) = find(moovS, moovE, "mvhd")
+      require(p(mvhdS) == 0, "unsupported mvhd version")
+      val timescale = be32(mvhdS + 12)
+      val duration = be32(mvhdS + 16)
+      val (trakS, trakE) = find(moovS, moovE, "trak")
+      val (tkhdS, _) = find(trakS, trakE, "tkhd")
+      require(p(tkhdS) == 0, "unsupported tkhd version")
+      val w = be16(tkhdS + 76) // integer part of the 16.16 width
+      val h = be16(tkhdS + 80)
+      val (mdiaS, mdiaE) = find(trakS, trakE, "mdia")
+      val (minfS, minfE) = find(mdiaS, mdiaE, "minf")
+      val (stblS, stblE) = find(minfS, minfE, "stbl")
+      val (stszS, _) = find(stblS, stblE, "stsz")
+      val sampleSize = be32(stszS + 4)
+      val nFrames = be32(stszS + 8)
+      val (stcoS, _) = find(stblS, stblE, "stco")
+      require(be32(stcoS + 4) >= 1, "stco chunk-offset table empty")
+      val dataOff = be32(stcoS + 8)
+      require(timescale > 0 && nFrames > 0 && sampleSize == w * h,
+        s"inconsistent MP4 sample table (dims $w x $h, sample $sampleSize)")
+      require(dataOff >= 0 &&
+        dataOff.toLong + sampleSize.toLong * nFrames <= p.length,
+        "MP4 mdat truncated: sample table points past the payload")
+      Mp4Info(w, h, nFrames, duration.toLong * 1000L / timescale,
+        timescale, dataOff, sampleSize)
+    }
+
     /** Multi-frame GIF through the JDK's ImageIO sequence writer. */
     def makeGif(w: Int, h: Int, frames: Int, seed: Long): Array[Byte] = {
       val writer = ImageIO.getImageWritersByFormatName("gif").next()
@@ -187,6 +372,21 @@ object Multimodal {
           val total = math.max(1f, dataLen.toFloat)
           (dataLen, 1, 1, hist.map(_ / total))
 
+        case _ if payload.length >= 16 &&
+            new String(payload, 4, 4, "US-ASCII") == "ftyp" =>
+          // video, ISO-BMFF container: dims + frame count from the real
+          // sample tables; feature = histogram over frame 0's raw gray
+          // samples (same binning as every other media type)
+          val info = parseMp4(payload)
+          val hist = new Array[Float](8)
+          var i = 0
+          while (i < info.sampleSize) {
+            hist((payload(info.dataOff + i) & 0xff) % 8) += 1f
+            i += 1
+          }
+          val total = math.max(1f, info.sampleSize.toFloat)
+          (info.width, info.height, info.nFrames, hist.map(_ / total))
+
         case _ => // video: GIF sequence
           val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
           val readers = ImageIO.getImageReaders(iis)
@@ -227,9 +427,16 @@ object Multimodal {
       case "audio" =>
         makeWav((800 + (docId % 1600)).toInt, docId)
       case _ =>
+        // video rows alternate container: even ids ISO-BMFF (MP4), odd
+        // ids GIF — one logical type, two real on-disk formats, exactly
+        // as a production lake mixes them; the decoder dispatches on the
+        // BYTES (ftyp sniff), so the dims formulas (and the q47/q57
+        // oracles) are container-independent
         val w = 16 + (docId % 32)
         val h = 16 + ((docId / 3) % 32)
-        makeGif(w.toInt, h.toInt, (1 + (docId % 10)).toInt, docId)
+        val frames = (1 + (docId % 10)).toInt
+        if (docId % 2 == 0) makeMp4(w.toInt, h.toInt, frames, docId)
+        else makeGif(w.toInt, h.toInt, frames, docId)
     }
   }
 
@@ -291,6 +498,25 @@ object Multimodal {
           val md = java.security.MessageDigest.getInstance("MD5")
           val hex = md.digest(bytes).map("%02x".format(_)).mkString
           MediaRecord(id, "image", bytes, bytes.length.toLong, hex)
+        }
+      }
+  }
+
+  /** All-MP4 media table (every payload a real ISO-BMFF container, dims
+    * and frame counts pure doc_id formulas): the q109 corpus. */
+  def mp4MediaTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    graft.sources.Tables.spread(graft.sources.Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (16 + id % 32).toInt
+          val h = (16 + (id / 3) % 32).toInt
+          val frames = (1 + id % 10).toInt
+          val bytes = MediaCodec.makeMp4(w, h, frames, id)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          MediaRecord(id, "video", bytes, bytes.length.toLong, hex)
         }
       }
   }
@@ -411,6 +637,27 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // MP4 container manifest: every field walked out of the real box
+    // tree (mvhd timescale/duration, tkhd 16.16 dims, stsz/stco sample
+    // tables) by parseMp4 in a mapPartitions batch — the oracle derives
+    // the same facts independently from the doc_id formulas, so a pass
+    // pins the full encode → binary column → container-walk round trip.
+    "q109_mp4_manifest" -> ((s, d) => {
+      import s.implicits._
+      mp4MediaTable(s, d)
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val info = MediaCodec.parseMp4(r.payload)
+            (r.doc_id, info.width, info.height, info.nFrames,
+              info.durationMs, info.timescale,
+              info.sampleSize.toLong * info.nFrames)
+          }
+        }
+        .toDF("doc_id", "width", "height", "n_frames", "duration_ms",
+          "timescale", "sample_bytes")
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame sampling for videos: every 5th frame index from the decoded
     // frame count — the manifest a frame-extraction stage consumes. The
     // explode is map-side (rows × ≤6 at 30 fps-stub); no shuffle before
@@ -491,6 +738,19 @@ object Multimodal {
            CAST(16 + (doc_id // 3) % 40 AS INT) AS height,
            CAST(1 AS INT) AS n_frames
          FROM documents ORDER BY doc_id""",
+
+    "q109_mp4_manifest" ->
+      """WITH v AS (
+           SELECT doc_id,
+             CAST(16 + doc_id % 32 AS INT) AS width,
+             CAST(16 + (doc_id // 3) % 32 AS INT) AS height,
+             CAST(1 + doc_id % 10 AS INT) AS n_frames
+           FROM documents)
+         SELECT doc_id, width, height, n_frames,
+           CAST(n_frames * 40 AS BIGINT) AS duration_ms,
+           CAST(1000 AS INT) AS timescale,
+           CAST(width * height * n_frames AS BIGINT) AS sample_bytes
+         FROM v ORDER BY doc_id""",
 
     "q57_frame_sample" ->
       """WITH v AS (

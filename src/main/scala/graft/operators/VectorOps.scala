@@ -350,14 +350,28 @@ object VectorOps {
     s"gen=$next"
   }
 
-  /** Flip the pointer to `genName` (atomic rename-overwrite), then
-    * retire every other generation. In this single-JVM harness the
-    * immediate retire is safe; a multi-reader cluster deployment would
-    * defer old-generation deletion by a grace period instead (a probe
-    * that resolved the pointer just before the flip may still be
-    * opening the old generation's files). */
+  /** Flip the pointer to `genName` (atomic rename-overwrite), then GC
+    * old generations — EXCEPT the one the flip just superseded, which
+    * gets a deletion grace of one full publish cycle: a reader that
+    * resolved the pointer an instant before the flip may still be
+    * opening the outgoing generation's files, and at cluster scale
+    * "an instant" is a whole multi-minute probe job. Unreferenced
+    * partial builds (crashed mid-write, never current) carry no such
+    * risk and are collected immediately. Operators who want the disk
+    * back sooner call [[expireIvfGenerations]] once in-flight readers
+    * have drained. */
   private def publishGen(s: SparkSession, path: String, genName: String): Unit = {
     val hfs = hfsOf(s, path)
+    // resolve the OUTGOING current generation before the flip
+    val prev: Option[String] = {
+      val ptr = new org.apache.hadoop.fs.Path(s"$path/$Pointer")
+      if (!hfs.exists(ptr)) None
+      else {
+        val in = hfs.open(ptr)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    }
     val tmp = new org.apache.hadoop.fs.Path(s"$path/.$Pointer.tmp")
     val out = hfs.create(tmp, true)
     try out.write(genName.getBytes("UTF-8")) finally out.close()
@@ -368,9 +382,26 @@ object VectorOps {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     hfs.listStatus(new org.apache.hadoop.fs.Path(path))
       .map(_.getPath).filter { p =>
-        p.getName.startsWith("gen=") && p.getName != genName }
+        p.getName.startsWith("gen=") && p.getName != genName &&
+          !prev.contains(p.getName) }
       .foreach(p => hfs.delete(p, true))
     s.catalog.refreshByPath(path)
+  }
+
+  /** Drop every generation except the CURRENT one — the explicit end of
+    * the grace period [[publishGen]] grants the generation it
+    * supersedes. Call it when in-flight readers of the old generation
+    * have provably drained (job completion, a TTL, a reader registry —
+    * deployment policy, not engine policy). Returns the number of
+    * generations deleted. */
+  def expireIvfGenerations(s: SparkSession, path: String): Int = {
+    val current = new org.apache.hadoop.fs.Path(indexGenDir(s, path)).getName
+    val hfs = hfsOf(s, path)
+    val doomed = hfs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath).filter { p =>
+        p.getName.startsWith("gen=") && p.getName != current }
+    doomed.foreach(p => hfs.delete(p, true))
+    doomed.length
   }
 
   /** Write one full generation (corpus partitioned by cell + centroid
@@ -407,8 +438,10 @@ object VectorOps {
     val s = corpus.sparkSession
     val genName = nextGenName(s, path)
     writeGen(corpus, s"$path/$genName", cells)
-    // publish retires every older generation — including its tombstone
-    // ledger, so a rebuild can never be haunted by stale deletions
+    // each generation owns its tombstone ledger, so a rebuild can never
+    // be haunted by stale deletions: the superseded ledger lives (and
+    // dies) inside the superseded gen dir, which the publish GCs after
+    // its one-cycle reader grace
     publishGen(s, path, genName)
   }
 
@@ -821,6 +854,54 @@ object VectorOps {
   private[graft] def probeCells(nprobe: Int)(iv: Column, cents: Column): Column =
     probeCellsUdf(nprobe)(iv, cents)
 
+  /** Semantic dedup — the pipeline [[ivfKnnJoin]] exists for: k-NN
+    * edges through the IVF index → cosine gate → greedy keep-first drop
+    * (a row is dropped iff some k-NN neighbor with a SMALLER id clears
+    * the cosine threshold; `dup_of` reports the smallest such witness).
+    * Returns the dropped rows — the curation delta, O(duplicates) rows,
+    * which at 100 TB is what you anti-join against the corpus rather
+    * than rewriting the corpus through a "kept" materialization.
+    *
+    * Scale shape: everything upstream is the cell-bounded k-NN join
+    * (never all-pairs); the cosine gate needs per-vector norms, which
+    * are one map-side exact self-dot pass over the already-assigned
+    * corpus, equi-joined to the N·k edge set (norms are N rows — NOT
+    * broadcast; at corpus scale that join shuffles N·k vs N, the same
+    * order as the join that produced the edges). The greedy rule is a
+    * single groupBy over the gated edges — no iteration, unlike
+    * transitive-closure clustering (q58's job): keep-first is the
+    * SemDeDup-style policy where any sufficiently-close earlier row
+    * suffices as the kill witness.
+    *
+    * Engine-exact end to end — integer quantizer, exact-decimal dots
+    * (neighbor AND self), one correctly-rounded double division per
+    * cosine — so the DuckDB oracle reproduces the whole pipeline,
+    * probe policy and threshold decisions included. Planted exact
+    * copies (the q43 convention, unscaled) guarantee a non-trivial
+    * drop set: a copy shares its source's cell and clears any
+    * threshold, so every planted row dies with its source as witness. */
+  def semanticDedup(s: SparkSession, d: String, k: Int = 3,
+      nprobe: Int = 2, cells: Int = 8,
+      threshold: Double = 0.99): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val planted = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val corpus = e.select(col("vec_id"), col("embedding")).union(planted)
+    val (a2, c2, _) = trainAssign(corpus, cells)
+    val knn = knnJoinAssigned(a2, c2, k, nprobe)
+    val norms = a2.select(col("vec_id"),
+      dotExactIv(col("iv"), col("iv")).as("sq"))
+    knn
+      .join(norms.select(col("vec_id").as("qid"), col("sq").as("qsq")), "qid")
+      .join(norms.select(col("vec_id"), col("sq").as("csq")), "vec_id")
+      .withColumn("cos", col("dot") / (sqrt(col("qsq")) * sqrt(col("csq"))))
+      .filter(col("cos") >= threshold && col("vec_id") < col("qid"))
+      .groupBy(col("qid"))
+      .agg(min(col("vec_id")).as("dup_of"))
+      .select(col("qid").as("vec_id"), col("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dot_topk" -> ((s, d) => dotTopK(s, d)),
     "q41_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
@@ -835,6 +916,10 @@ object VectorOps {
         k = 5, nprobe = 3, cells = 8)
     }),
     "q43_embedding_neardup" -> ((s, d) => cosineNearDup(s, d)),
+    // semantic dedup: k-NN join → cosine gate → greedy keep-first drop;
+    // the oracle replays the full pipeline (quantizer, probes, exact
+    // dots, threshold) over the same copy-planted corpus
+    "q110_semantic_dedup" -> ((s, d) => semanticDedup(s, d)),
     // corpus×corpus top-k through the index: every vector probes its 2
     // nearest of 8 cells; candidates are cell-bounded, never all-pairs
     "q105_ann_knn_join" -> ((s, d) =>
@@ -1129,6 +1214,96 @@ object VectorOps {
            FROM dots)
          SELECT qid, vec_id, dot, rank FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // q105's trained-quantizer replay over the copy-planted corpus, plus
+    // the q110 tail: exact self-dot norms, one double division per
+    // cosine (same association order as the Spark plan), the >= gate,
+    // and the keep-first min-witness reduction.
+    "q110_semantic_dedup" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+           WHERE vec_id % 10 = 0),
+         iv AS (
+           SELECT vec_id, i,
+             CAST(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,9))
+               * 1000000000 AS BIGINT) AS x
+           FROM corpus, (SELECT unnest(range(1, 65)) AS i)),
+         seed AS (
+           SELECT vec_id,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % 8 AS cell
+           FROM corpus),
+         c1 AS (
+           SELECT s.cell, i, sum(x) AS cs, count(*) AS cn
+           FROM iv JOIN seed s USING (vec_id) GROUP BY s.cell, i),
+         d1 AS (
+           SELECT v.vec_id, c.cell,
+             CAST(CAST(sum(CAST(v.x * c.cn - c.cs AS HUGEINT) *
+                           CAST(v.x * c.cn - c.cs AS HUGEINT)) AS VARCHAR)
+               AS DOUBLE) / (c.cn * c.cn) AS dkey
+           FROM iv v JOIN c1 c USING (i)
+           GROUP BY v.vec_id, c.cell, c.cn),
+         a1 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dkey, cell) AS rn FROM d1) t
+           WHERE rn = 1),
+         c2 AS (
+           SELECT a.cell, i, sum(x) AS cs, count(*) AS cn
+           FROM iv JOIN a1 a USING (vec_id) GROUP BY a.cell, i),
+         d2 AS (
+           SELECT v.vec_id, c.cell,
+             CAST(CAST(sum(CAST(v.x * c.cn - c.cs AS HUGEINT) *
+                           CAST(v.x * c.cn - c.cs AS HUGEINT)) AS VARCHAR)
+               AS DOUBLE) / (c.cn * c.cn) AS dkey
+           FROM iv v JOIN c2 c USING (i)
+           GROUP BY v.vec_id, c.cell, c.cn),
+         a2 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dkey, cell) AS rn FROM d2) t
+           WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS qid, cell FROM (
+             SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dkey, cell) AS rn FROM d2) t
+           WHERE rn <= 2),
+         flat AS (
+           SELECT vec_id, i,
+             CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,9)) AS cx
+           FROM corpus, (SELECT unnest(range(1, 65)) AS i)),
+         dots AS (
+           SELECT p.qid, a.vec_id,
+             CAST(CAST(round(sum(fq.cx * fc.cx), 12) AS DECIMAL(18,12))
+               AS DOUBLE) AS dot
+           FROM probes p
+           JOIN a2 a ON a.cell = p.cell AND a.vec_id <> p.qid
+           JOIN flat fc ON fc.vec_id = a.vec_id
+           JOIN flat fq ON fq.vec_id = p.qid AND fq.i = fc.i
+           GROUP BY p.qid, a.vec_id),
+         knn AS (
+           SELECT qid, vec_id AS nid, dot FROM (
+             SELECT qid, vec_id, dot,
+               row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+                 AS rank
+             FROM dots) t
+           WHERE rank <= 3),
+         norms AS (
+           SELECT vec_id,
+             CAST(CAST(round(sum(cx * cx), 12) AS DECIMAL(18,12))
+               AS DOUBLE) AS sq
+           FROM flat GROUP BY vec_id),
+         edges AS (
+           SELECT k.qid, k.nid,
+             k.dot / (sqrt(nq.sq) * sqrt(nc.sq)) AS cosv
+           FROM knn k
+           JOIN norms nq ON nq.vec_id = k.qid
+           JOIN norms nc ON nc.vec_id = k.nid)
+         SELECT qid AS vec_id, CAST(min(nid) AS BIGINT) AS dup_of
+         FROM edges WHERE cosv >= 0.99 AND nid < qid
+         GROUP BY qid ORDER BY vec_id""",
 
     // LSH recall is provably exact for the ×2-scaled planted dups (see
     // cosineNearDup scaladoc), so the oracle is simply the planted pair set.

@@ -135,7 +135,20 @@ object StreamOps {
           val tmp = s"$outDir/.tmp_batch_$batchId"
           batch.write.mode("overwrite").parquet(tmp)
           fs.rename(new org.apache.hadoop.fs.Path(tmp), destPath)
-        } else batch.queryExecution // no-op: keep the lazy contract intact
+        } else {
+          // Publish is skipped, but the batch must still be PROCESSED:
+          // when a stateful operator (e.g. the monotone guard's fMGWS)
+          // feeds this sink, its per-partition state commits happen as a
+          // side effect of running the partitions, and Spark validates
+          // after every micro-batch that each state partition committed
+          // (STATE_STORE_COMMIT_VALIDATION_FAILED otherwise — the replay
+          // of a torn renamed-but-uncommitted batch died exactly there).
+          // foreach(noop) runs every partition without writing a byte;
+          // replaying the stateful lineage is idempotent because the
+          // replay starts from the same checkpointed state version the
+          // original attempt did.
+          batch.foreach(_ => ())
+        }
         ()
       }
       .start()

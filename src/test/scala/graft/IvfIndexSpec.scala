@@ -328,16 +328,34 @@ class IvfIndexSpec extends SparkSpecBase {
       == before, "a partial unpublished generation changed probe results")
     // the next successful build skips the partial gen's number (max+1 —
     // never reuses a possibly-dirty dir) and garbage-collects it
+    // IMMEDIATELY (a partial was never current: no reader can hold it) —
+    // while the SUPERSEDED generation survives one publish cycle, the
+    // grace a multi-reader deployment needs for probes that resolved
+    // the pointer just before the flip
     VectorOps.writeIvfIndex(corpus, path, cells = 8)
     val gen1 = VectorOps.indexGenDir(spark, path)
     assert(gen1.endsWith("gen=100"), s"expected gen=100, got $gen1")
     assert(!new java.io.File(s"$path/gen=99").exists(),
       "publish must retire unreferenced partial generations")
+    assert(new java.io.File(gen0).exists(),
+      "the superseded generation must get a one-cycle deletion grace")
+    // an in-flight reader that resolved gen0 pre-flip still reads it
+    assert(spark.read.parquet(s"$gen0/corpus").count() > 0L)
+    // the NEXT publish ends gen0's grace: only {current, previous} live
+    VectorOps.writeIvfIndex(corpus, path, cells = 8)
+    val gen2 = VectorOps.indexGenDir(spark, path)
+    assert(gen2.endsWith("gen=101"), s"expected gen=101, got $gen2")
     assert(!new java.io.File(gen0).exists(),
-      "publish must retire the superseded generation")
+      "grace must end at the following publish")
+    assert(new java.io.File(gen1).exists())
+    // explicit expiry once readers have drained: only the current stays
+    assert(VectorOps.expireIvfGenerations(spark, path) == 1)
+    assert(!new java.io.File(gen1).exists())
+    assert(VectorOps.probeIvfIndex(spark, path, nprobe = 2).collect()
+      .toSeq == before, "expiry changed the served relation")
     // torn generation (pointer names a dir whose manifest never landed):
     // serving it would silently mix quantizers — must throw instead
-    assert(new java.io.File(s"$gen1/_GRAFT_INDEX_OK").delete())
+    assert(new java.io.File(s"$gen2/_GRAFT_INDEX_OK").delete())
     val ex = intercept[IllegalStateException] {
       VectorOps.probeIvfIndex(spark, path, nprobe = 2).collect()
     }
@@ -415,6 +433,27 @@ class IvfIndexSpec extends SparkSpecBase {
       s"k-NN join planned as a cartesian product:\n$plan")
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
       s"k-NN candidate join is not an equijoin on cell:\n$plan")
+  }
+
+  test("q110 semantic dedup: planted copies die with their source as witness") {
+    val sources = graft.sources.Tables.embeddings(spark, sf)
+      .filter($"vec_id" % 10 === 0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val dropped = VectorOps.semanticDedup(spark, sf).collect()
+    assert(dropped.nonEmpty)
+    // keep-first: an original row can never be dropped — its only
+    // >=0.99-cosine neighbor is its copy, whose id is LARGER
+    dropped.foreach { r =>
+      val (id, dupOf) = (r.getLong(0), r.getLong(1))
+      assert(id >= 1000000L, s"non-planted row $id dropped")
+      assert(dupOf == id - 1000000L,
+        s"copy $id blamed witness $dupOf, not its source")
+    }
+    // recall: a copy shares its source's cell (identical vector ⇒
+    // identical assignment AND identical probe ranking), so the k-NN
+    // join finds the source for essentially every copy
+    val rate = dropped.length.toDouble / sources.size
+    assert(rate >= 0.9, s"only ${dropped.length}/${sources.size} copies dropped")
   }
 
   test("recall on a clustered corpus: >=0.9 probing 2 of 8 cells") {

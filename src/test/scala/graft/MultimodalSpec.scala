@@ -75,6 +75,85 @@ class MultimodalSpec extends SparkSpecBase {
     assert(math.abs(hist.sum - 1.0f) < 1e-5f)
   }
 
+  test("MediaCodec MP4: real box walk — dims, frames, duration, exact histogram") {
+    import graft.operators.Multimodal.MediaCodec
+    val (w, h, frames, seed) = (24, 18, 7, 99L)
+    val bytes = MediaCodec.makeMp4(w, h, frames, seed)
+    // genuinely ISO-BMFF: ftyp box leads
+    assert(new String(bytes, 4, 4, "US-ASCII") == "ftyp")
+    val info = MediaCodec.parseMp4(bytes)
+    assert(info.width == w && info.height == h && info.nFrames == frames)
+    assert(info.timescale == 1000 && info.durationMs == frames * 40L)
+    assert(info.sampleSize == w * h)
+    // decode dispatches on the bytes under the same "video" label as GIF
+    val (dw, dh, nf, hist) = MediaCodec.decode(bytes, "video")
+    assert(dw == w && dh == h && nf == frames)
+    // raw-gray payload is lossless: frame-0 histogram matches the pixel
+    // formula exactly (and therefore matches the equivalent GIF's)
+    val expected = new Array[Float](8)
+    for (y <- 0 until h; x <- 0 until w)
+      expected(((x * 7 + y * 13 + seed * 31) & 0xff).toInt % 8) += 1f
+    (0 until 8).foreach { i =>
+      assert(math.abs(hist(i) - expected(i) / (w * h)) < 1e-6f, s"bin $i")
+    }
+    val (_, _, _, gifHist) =
+      MediaCodec.decode(MediaCodec.makeGif(w, h, frames, seed), "video")
+    (0 until 8).foreach(i => assert(math.abs(hist(i) - gifHist(i)) < 1e-6f))
+  }
+
+  test("corrupt MP4s quarantine: truncation, zero-size box, sample-table overrun") {
+    import graft.operators.Multimodal.{MediaCodec, MediaRecord}
+    val good = MediaCodec.makeMp4(20, 12, 3, 7L)
+    // moov truncated mid-box
+    val truncated = good.take(good.length - 20)
+    // a size=0 box after ftyp: the classic infinite-walk corruption —
+    // must throw (bounded), not hang
+    val zeroSize = good.take(24) ++ Array[Byte](0, 0, 0, 0) ++
+      "junk".getBytes("US-ASCII") ++ Array.fill[Byte](16)(0)
+    // ftyp magic over garbage: no moov to find
+    val garbage = good.take(24) ++ Array.fill[Byte](40)(9)
+    Seq(truncated, zeroSize, garbage).foreach { bad =>
+      intercept[Exception](MediaCodec.parseMp4(bad))
+    }
+    val rows = Seq(
+      MediaRecord(1L, "video", good, good.length.toLong, "a"),
+      MediaRecord(2L, "video", truncated, truncated.length.toLong, "b"),
+      MediaRecord(3L, "video", zeroSize, zeroSize.length.toLong, "c"),
+      MediaRecord(4L, "video", garbage, garbage.length.toLong, "d"))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[MediaRecord])
+    val ok = Multimodal.extractFeaturesSafe(ds).collect()
+    assert(ok.map(_.doc_id).toSeq == Seq(1L), "only the intact MP4 decodes")
+    assert(ok.head.width == 20 && ok.head.height == 12 && ok.head.n_frames == 3)
+    assert(Multimodal.extractRejects(ds).collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+  }
+
+  test("q109 MP4 manifest fields equal the generator formulas (full pipeline)") {
+    val r = Multimodal.queries("q109_mp4_manifest")(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val id = row.getLong(0)
+      val (w, h, nf) = (16 + id % 32, 16 + (id / 3) % 32, 1 + id % 10)
+      assert(row.getInt(1) == w && row.getInt(2) == h && row.getInt(3) == nf)
+      assert(row.getLong(4) == nf * 40)
+      assert(row.getInt(5) == 1000)
+      assert(row.getLong(6) == w * h * nf)
+    }
+  }
+
+  test("video container mix: even ids MP4, odd ids GIF, one decode surface") {
+    import graft.operators.Multimodal.MediaCodec
+    val mp4 = MediaCodec.makeMedia(8L, "video") // even → ISO-BMFF
+    val gif = MediaCodec.makeMedia(5L, "video") // odd → GIF
+    assert(new String(mp4, 4, 4, "US-ASCII") == "ftyp")
+    assert(new String(gif, 0, 3, "US-ASCII") == "GIF")
+    val (w8, h8, f8, _) = MediaCodec.decode(mp4, "video")
+    assert(w8 == 16 + 8 % 32 && h8 == 16 + (8 / 3) % 32 && f8 == 1 + 8 % 10)
+    val (w5, h5, f5, _) = MediaCodec.decode(gif, "video")
+    assert(w5 == 16 + 5 % 32 && h5 == 16 + (5 / 3) % 32 && f5 == 1 + 5 % 10)
+  }
+
   test("corrupt payloads: safe extractor drops them, rejects manifest catches them") {
     import graft.operators.Multimodal.{MediaCodec, MediaRecord}
     val good = MediaCodec.makePng(20, 20, 1L)
