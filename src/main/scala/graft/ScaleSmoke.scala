@@ -359,10 +359,8 @@ object ScaleSmoke {
         val gen = VectorOps.indexGenDir(spark, idxPath)
         val stored = spark.read.parquet(s"$gen/corpus")
         val c2 = spark.read.parquet(s"$gen/centroids")
-        val centsRow = c2.agg(collect_list(struct(col("cell"), col("csum"),
-          col("cn"))).as("cents"))
-        val probers = stored.crossJoin(broadcast(centsRow))
-          .select(explode(VectorOps.probeCells(np)(col("iv"), col("cents")))
+        val probers = stored
+          .select(explode(VectorOps.probeCellsOf(c2, np)(col("iv")))
             .as("cell"))
           .groupBy(col("cell")).agg(count(lit(1)).as("p"))
         val members = stored.groupBy(col("cell")).agg(count(lit(1)).as("m"))

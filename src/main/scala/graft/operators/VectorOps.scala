@@ -89,46 +89,146 @@ object VectorOps {
     num.cast("double") / (cn * cn).cast("double")
   }
 
-  /** Fused argmin-cell UDF: one pass over the K broadcast centroids per
-    * row, exact BigInt numerator, one correctly-rounded double per key —
-    * the SAME rational→double mapping as [[distKey]] (BigInteger
-    * .doubleValue and BigDecimal.cast(double) are both round-to-nearest),
-    * so UDF and expression agree bit-for-bit; pinned by VectorFnsSpec. */
-  private val assignCellUdf =
-    udf((iv: Seq[Long], cents: Seq[org.apache.spark.sql.Row]) => {
+  /** Exact-integer inner loops shared by the fused UDFs. The arithmetic
+    * is 128-bit long-pair accumulation (`Math.multiplyHigh` + carry) —
+    * the per-element product and the running sum are EXACT, same as the
+    * BigInt fold it replaces, but allocation-free in the hot loop; the
+    * single BigInteger materialization at the end goes through the SAME
+    * correctly-rounded conversions as before (BigInteger.doubleValue /
+    * BigDecimal.setScale(12, HALF_UP).doubleValue), so every key and
+    * every dot is bit-identical to both the old fold and the Catalyst
+    * decimal expressions (parity pinned by VectorFnsSpec). At √N cells
+    * the cell-ranking pass is O(N·K·D) — the BigInt fold's ~200M
+    * short-lived allocations at sf0.1 were the measured bottleneck. */
+  private object ExactInt {
+    /** Exact Σ (iv_i·cn − csum_i)² → correctly-rounded double, / cn².
+      * The accumulator is an unsigned 128-bit (hi, lo) pair; terms are
+      * squares (non-negative), bounded like the distKey DECIMAL(38,0)
+      * contract, so no wraparound below ~1e9 rows/cell. */
+    def cellKey(iv: Seq[Long], csum: Array[Long], cn: Long): Double = {
+      var hi = 0L
+      var lo = 0L
+      var i = 0
+      while (i < iv.length) {
+        val diff = iv(i) * cn - csum(i)
+        val pl = diff * diff
+        val ph = Math.multiplyHigh(diff, diff)
+        val nl = lo + pl
+        hi += ph + (if (java.lang.Long.compareUnsigned(nl, lo) < 0) 1L else 0L)
+        lo = nl
+        i += 1
+      }
+      // 17 big-endian bytes with a leading zero: the accumulator is
+      // logically unsigned, the constructor reads two's complement
+      val b = new Array[Byte](17)
+      var j = 0
+      while (j < 8) { b(1 + j) = (hi >>> (56 - 8 * j)).toByte; j += 1 }
+      j = 0
+      while (j < 8) { b(9 + j) = (lo >>> (56 - 8 * j)).toByte; j += 1 }
+      new java.math.BigInteger(b).doubleValue() / (cn.toDouble * cn.toDouble)
+    }
+
+    /** Exact Σ a_i·b_i over ×1e9-scaled longs → the (18,9)² decimal dot
+      * rounded HALF_UP to scale 12, as a correctly-rounded double. The
+      * SIGNED 128-bit product (multiplyHigh + wrapping low) is exact for
+      * any long magnitudes — including the ×8 scaled-smoke vectors. */
+    def dot(a: Seq[Long], b: Seq[Long]): Double = {
+      var hi = 0L
+      var lo = 0L
+      var i = 0
+      while (i < a.length) {
+        val x = a(i)
+        val y = b(i)
+        val pl = x * y
+        val ph = Math.multiplyHigh(x, y)
+        val nl = lo + pl
+        hi += ph + (if (java.lang.Long.compareUnsigned(nl, lo) < 0) 1L else 0L)
+        lo = nl
+        i += 1
+      }
+      // Rounding tail in pure long arithmetic: the ×1e18 accumulator,
+      // rounded HALF_UP at scale 12, is q = round(|acc| / 1e6) — a
+      // 128÷32 schoolbook division in 32-bit limbs — and the final
+      // double is q / 1e12: q ≤ ~1e15 < 2^53 is exact and 1e12 is
+      // exact, so the one IEEE division is the correctly-rounded value
+      // of the rational q·10⁻¹², bit-identical to
+      // BigDecimal(q, 12).doubleValue() (kept as the fallback for
+      // magnitudes a real corpus never reaches).
+      val neg = hi < 0
+      var mHi = hi
+      var mLo = lo
+      if (neg) { // two's-complement negate of the 128-bit pair
+        mLo = ~mLo + 1
+        mHi = ~mHi + (if (mLo == 0L) 1L else 0L)
+      }
+      val d = 1000000L
+      var rem = 0L
+      var q3 = 0L; var q2 = 0L; var q1 = 0L; var q0 = 0L
+      var limb = mHi >>> 32
+      var cur = limb; q3 = cur / d; rem = cur % d
+      limb = mHi & 0xffffffffL
+      cur = (rem << 32) | limb; q2 = cur / d; rem = cur % d
+      limb = mLo >>> 32
+      cur = (rem << 32) | limb; q1 = cur / d; rem = cur % d
+      limb = mLo & 0xffffffffL
+      cur = (rem << 32) | limb; q0 = cur / d; rem = cur % d
+      if (q3 != 0L || q2 != 0L || (q1 >>> 20) != 0L) {
+        // quotient exceeds ~2^52: delegate to the exact slow path
+        val b16 = new Array[Byte](16)
+        var j = 0
+        while (j < 8) { b16(j) = (hi >>> (56 - 8 * j)).toByte; j += 1 }
+        j = 0
+        while (j < 8) { b16(8 + j) = (lo >>> (56 - 8 * j)).toByte; j += 1 }
+        return new java.math.BigDecimal(new java.math.BigInteger(b16), 18)
+          .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+      // ADD, not OR: q0 is a full division step and can exceed 32 bits
+      var q = (q1 << 32) + q0
+      if (rem * 2 >= d) q += 1 // HALF_UP = away from zero on the magnitude
+      val v = q.toDouble / 1.0e12
+      if (neg) -v else v
+    }
+  }
+
+
+  /** The centroid table as a driver-side array + Spark broadcast: K is
+    * the CELL count (≈√N — ~32k rows even at 10⁹ vectors, a bounded
+    * collect), and shipping it as a plain `Array[(cell, csum, cn)]`
+    * spares every assigned row the per-row Catalyst→Scala conversion of
+    * a K-struct array column (measured ~20 µs/row at K=45 — the
+    * dominant cost of an assign pass) plus the BroadcastNestedLoopJoin
+    * stage the one-row crossJoin form planned. */
+  private def centArray(cents: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Long], Long)]] = {
+    val arr = cents.select(col("cell"), col("csum"), col("cn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    cents.sparkSession.sparkContext.broadcast(arr)
+  }
+
+  /** Nearest-centroid assignment of `vecs` (vec_id, iv, …) against a
+    * (cell, csum, cn) centroid table: map-only — the K-row table ships
+    * as a broadcast array (see [[centArray]]) and the fused UDF folds
+    * over the K candidates per row. Public as the UDF/expression parity
+    * hook for VectorFnsSpec. */
+  def assignWithCentroids(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val bc = centArray(cents)
+    val u = udf((iv: Seq[Long]) => {
       var bestKey = Double.MaxValue
       var bestCell = Long.MaxValue
-      cents.foreach { c =>
-        val cell = c.getLong(0)
-        val csum = c.getSeq[Long](1)
-        val cn = c.getLong(2)
-        var num = BigInt(0)
-        var i = 0
-        while (i < iv.length) {
-          val diff = BigInt(iv(i) * cn - csum(i))
-          num += diff * diff
-          i += 1
-        }
-        val dk = num.toDouble / (cn.toDouble * cn.toDouble)
+      val cs = bc.value
+      var c = 0
+      while (c < cs.length) {
+        val (cell, csum, cn) = cs(c)
+        val dk = ExactInt.cellKey(iv, csum, cn)
         if (dk < bestKey || (dk == bestKey && cell < bestCell)) {
           bestKey = dk; bestCell = cell
         }
+        c += 1
       }
       bestCell
     })
-
-  /** Nearest-centroid assignment of `vecs` (vec_id, iv, …) against a
-    * (cell, csum, cn) centroid table: map-only — the K-row table collapses
-    * to a one-row array via collect_list, cross-joins broadcast, and the
-    * fused UDF folds over the K candidates per row. Public as the
-    * UDF/expression parity hook for VectorFnsSpec. */
-  def assignWithCentroids(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val centsRow = cents
-      .agg(collect_list(struct(col("cell"), col("csum"), col("cn")))
-        .as("cents"))
-    vecs.crossJoin(broadcast(centsRow))
-      .withColumn("cell", assignCellUdf(col("iv"), col("cents")))
-      .drop("cents")
+    vecs.withColumn("cell", u(col("iv")))
   }
 
   /** Trained IVF ANN (no pre-existing labels): k-means-style coarse
@@ -234,7 +334,13 @@ object VectorOps {
     // the a1 assignment pass would run once per consumer.
     val c2 = update(a1).persist()
     c2.count()
-    (assignNearest(c2), c2, base)
+    // the final assignment is persisted too: the k-NN join reads it from
+    // BOTH sides and the semantic-dedup tail twice more for norms — each
+    // unshared consumer would otherwise replay the whole broadcast-
+    // centroid assign chain (measured as 5 BroadcastNestedLoopJoin
+    // subtrees in one q105 plan)
+    val a2 = assignNearest(c2).persist()
+    (a2, c2, base)
   }
 
   /** Probe `nprobe` nearest cells per query under the c2 centroids — the
@@ -420,6 +526,7 @@ object VectorOps {
       .groupBy(col("cell")).agg(avg(col("dkey")).as("qerr"))
     c2.join(qerr, Seq("cell"), "left")
       .write.mode("overwrite").parquet(s"$genDir/centroids")
+    a2.unpersist()
     base.unpersist()
     c2.unpersist()
     val s = corpus.sparkSession
@@ -679,7 +786,8 @@ object VectorOps {
   }
 
   private def probeStored(s: SparkSession, genDir: String, corpus: DataFrame,
-      q: DataFrame, k: Int, nprobe: Int, excludeSelf: Boolean): DataFrame = {
+      q: DataFrame, k: Int, nprobe: Int, excludeSelf: Boolean,
+      withCos: Boolean = false): DataFrame = {
     val c2 = s.read.parquet(s"$genDir/centroids")
     val wq = Window.partitionBy(col("qid")).orderBy(col("dkey"), col("cell"))
     val probes = q.join(broadcast(c2))
@@ -696,14 +804,23 @@ object VectorOps {
       if (excludeSelf) col("cell") === col("pcell") && col("vec_id") =!= col("qid")
       else col("cell") === col("pcell")
     val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
-    corpus.filter(col("cell").isin(probedCells: _*))
+    val ranked = corpus.filter(col("cell").isin(probedCells: _*))
       .join(broadcast(probes), joinCond)
       .withColumn("dot", V.dotExact(col("qv"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id"), col("dot"),
+    // cosine only for the surviving N·k rows (exact self-dots + one
+    // correctly-rounded division — the same formula, and therefore the
+    // same threshold decisions, as the batch semanticDedup pipeline)
+    val out =
+      if (withCos) ranked.withColumn("cos",
+        col("dot") / (sqrt(V.dotExact(col("qv"), col("qv"))) *
+          sqrt(V.dotExact(col("embedding"), col("embedding")))))
+        .select(col("qid"), col("vec_id"), col("dot"), col("cos"),
+          col("rank").cast("long").as("rank"))
+      else ranked.select(col("qid"), col("vec_id"), col("dot"),
         col("rank").cast("long").as("rank"))
-      .orderBy(col("qid"), col("rank"))
+    out.orderBy(col("qid"), col("rank"))
   }
 
   /** Embedding near-dup detection via random-hyperplane LSH bucketing,
@@ -758,15 +875,14 @@ object VectorOps {
     * cost, which is the difference between a usable and an unusable
     * corpus×corpus re-rank (millions of dots, not thousands). */
   private val dotExactIvUdf =
-    udf((a: Seq[Long], b: Seq[Long]) => {
-      var acc = BigInt(0)
-      var i = 0
-      // per-element product fits a long only up to |x| ≈ 3e9; BigInt×long
-      // keeps the fold exact for any magnitude (scaled smoke runs ×8)
-      while (i < a.length) { acc += BigInt(a(i)) * b(i); i += 1 }
-      new java.math.BigDecimal(acc.bigInteger, 18)
-        .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
-    })
+    udf((a: Seq[Long], b: Seq[Long]) => ExactInt.dot(a, b))
+
+  /** The fused exact dot as a plain function (spec hook: the fast
+    * long-division rounding tail is pinned against a BigDecimal
+    * reference over randomized magnitudes, including the ×8 smoke
+    * range and exact rounding-boundary accumulators). */
+  private[graft] def dotExactIvPure(a: Seq[Long], b: Seq[Long]): Double =
+    ExactInt.dot(a, b)
 
   /** Column form of the fused exact dot (package-private: specs pin its
     * bit-parity against the [[V.dotExact]] expression). */
@@ -778,23 +894,24 @@ object VectorOps {
     * tie order as [[distKey]] + row_number. Fused because in the k-NN
     * join EVERY corpus row ranks the full centroid table; the
     * expression form would re-enter the interpreted decimal fold K
-    * times per row (the measured 3.7 s-vs-1 s lesson from training). */
-  private def probeCellsUdf(nprobe: Int) =
-    udf((iv: Seq[Long], cents: Seq[org.apache.spark.sql.Row]) => {
-      cents.map { c =>
-        val cell = c.getLong(0)
-        val csum = c.getSeq[Long](1)
-        val cn = c.getLong(2)
-        var num = BigInt(0)
-        var i = 0
-        while (i < iv.length) {
-          val diff = BigInt(iv(i) * cn - csum(i))
-          num += diff * diff
-          i += 1
-        }
-        (num.toDouble / (cn.toDouble * cn.toDouble), cell)
-      }.sortBy(identity).take(nprobe).map(_._2)
+    * times per row (the measured 3.7 s-vs-1 s lesson from training).
+    * Centroids ship as a broadcast array for the same per-row-conversion
+    * reason as [[centArray]]. */
+  private[graft] def probeCellsOf(cents: DataFrame, nprobe: Int)(iv: Column): Column = {
+    val bc = centArray(cents)
+    val u = udf((ivv: Seq[Long]) => {
+      val cs = bc.value
+      val keys = new Array[(Double, Long)](cs.length)
+      var c = 0
+      while (c < cs.length) {
+        val (cell, csum, cn) = cs(c)
+        keys(c) = (ExactInt.cellKey(ivv, csum, cn), cell)
+        c += 1
+      }
+      keys.sortBy(identity).take(nprobe).map(_._2).toSeq
     })
+    u(iv)
+  }
 
   /** Corpus×corpus k-NN join THROUGH the IVF index — the operator
     * semantic-dedup and clustering pipelines actually run at scale:
@@ -832,12 +949,9 @@ object VectorOps {
 
   private def knnJoinAssigned(a2: DataFrame, c2: DataFrame, k: Int,
       nprobe: Int): DataFrame = {
-    val centsRow = c2
-      .agg(collect_list(struct(col("cell"), col("csum"), col("cn")))
-        .as("cents"))
-    val probes = a2.crossJoin(broadcast(centsRow))
+    val probes = a2
       .select(col("vec_id").as("qid"), col("iv").as("qiv"),
-        explode(probeCellsUdf(nprobe)(col("iv"), col("cents"))).as("pcell"))
+        explode(probeCellsOf(c2, nprobe)(col("iv"))).as("pcell"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
     a2.join(probes, col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
       .withColumn("dot", dotExactIvUdf(col("qiv"), col("iv")))
@@ -848,11 +962,6 @@ object VectorOps {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** Package-private probe-cell ranking hook: the scale smoke uses it to
-    * measure Σ members·probers (the k-NN join's candidate bound) against
-    * all-pairs on the inflated corpus. */
-  private[graft] def probeCells(nprobe: Int)(iv: Column, cents: Column): Column =
-    probeCellsUdf(nprobe)(iv, cents)
 
   /** Semantic dedup — the pipeline [[ivfKnnJoin]] exists for: k-NN
     * edges through the IVF index → cosine gate → greedy keep-first drop
@@ -881,17 +990,37 @@ object VectorOps {
     * drop set: a copy shares its source's cell and clears any
     * threshold, so every planted row dies with its source as witness. */
   def semanticDedup(s: SparkSession, d: String, k: Int = 3,
-      nprobe: Int = 2, cells: Int = 8,
+      nprobe: Int = 2, cells: Int = 0,
       threshold: Double = 0.99): DataFrame = {
     val e = Tables.embeddings(s, d)
     val planted = e.filter(pmod(col("vec_id"), lit(10)) === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     val corpus = e.select(col("vec_id"), col("embedding")).union(planted)
-    val (a2, c2, _) = trainAssign(corpus, cells)
+    semanticDropSet(corpus, k, nprobe, cells, threshold)
+      .orderBy(col("vec_id"))
+  }
+
+  /** The [[semanticDedup]] drop rule over ANY (vec_id, embedding)
+    * corpus: (vec_id, dup_of) for every row with a smaller-id k-NN
+    * neighbor at cosine ≥ threshold. Caches follow the operator
+    * convention (session-cleared); the streaming ingest path uses
+    * [[semanticDropSetWithCleanup]] to release them per micro-batch. */
+  def semanticDropSet(corpus: DataFrame, k: Int = 3, nprobe: Int = 2,
+      cells: Int = 0, threshold: Double = 0.99): DataFrame =
+    semanticDropSetWithCleanup(corpus, k, nprobe, cells, threshold)._1
+
+  /** [[semanticDropSet]] plus a cleanup thunk that unpersists the
+    * training caches — call it AFTER materializing the returned plan
+    * (it is lazy). Per-batch callers (the streaming dedup sink) would
+    * otherwise leak one cached corpus per micro-batch forever. */
+  private[graft] def semanticDropSetWithCleanup(corpus: DataFrame,
+      k: Int, nprobe: Int, cells: Int,
+      threshold: Double): (DataFrame, () => Unit) = {
+    val (a2, c2, base) = trainAssign(corpus, cells)
     val knn = knnJoinAssigned(a2, c2, k, nprobe)
     val norms = a2.select(col("vec_id"),
       dotExactIv(col("iv"), col("iv")).as("sq"))
-    knn
+    val drops = knn
       .join(norms.select(col("vec_id").as("qid"), col("sq").as("qsq")), "qid")
       .join(norms.select(col("vec_id"), col("sq").as("csq")), "vec_id")
       .withColumn("cos", col("dot") / (sqrt(col("qsq")) * sqrt(col("csq"))))
@@ -899,8 +1028,42 @@ object VectorOps {
       .groupBy(col("qid"))
       .agg(min(col("vec_id")).as("dup_of"))
       .select(col("qid").as("vec_id"), col("dup_of"))
-      .orderBy(col("vec_id"))
+    (drops, () => { a2.unpersist(); base.unpersist(); c2.unpersist() })
   }
+
+  /** Drop witnesses for `batch` against a WRITTEN index — the streaming
+    * half of the [[semanticDedup]] policy: a batch row is reported iff
+    * some STORED (already-kept, earlier-arrived) vector clears the
+    * cosine threshold among its probed k-NN; `dup_of` is the smallest
+    * such witness. Rows of the batch itself are EXCLUDED from the
+    * candidate set (same-batch witnesses are the within-batch
+    * [[semanticDropSet]]'s job) — which also makes the result a pure
+    * function of the pre-batch index state, so a crash-replay that
+    * already half-appended this batch recomputes identical decisions. */
+  def semanticIndexDrops(s: SparkSession, path: String, batch: DataFrame,
+      k: Int = 3, nprobe: Int = 2, threshold: Double = 0.99): DataFrame = {
+    val genDir = indexGenDir(s, path)
+    val corpus = liveCorpus(s, genDir)
+      .join(broadcast(batch.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+    val probed = probeStored(s, genDir, corpus,
+      externalQ(batch.select(col("vec_id").as("qid"), col("embedding"))),
+      k, nprobe, excludeSelf = false, withCos = true)
+    probed.filter(col("cos") >= threshold)
+      .groupBy(col("qid"))
+      .agg(min(col("vec_id")).as("dup_of"))
+      .select(col("qid").as("vec_id"), col("dup_of"))
+  }
+
+  /** Live vec_ids of the current index generation (tombstones applied) —
+    * the id ledger the streaming append path anti-joins for replay
+    * idempotency. One-column parquet read, no vector data. */
+  def ivfIndexIds(s: SparkSession, path: String): DataFrame =
+    liveCorpus(s, indexGenDir(s, path)).select(col("vec_id"))
+
+  /** True iff `path` holds a published graft IVF index (pointer file
+    * present) — the streaming ingest path's bootstrap test. */
+  def ivfIndexExists(s: SparkSession, path: String): Boolean =
+    hfsOf(s, path).exists(new org.apache.hadoop.fs.Path(s"$path/$Pointer"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dot_topk" -> ((s, d) => dotTopK(s, d)),
@@ -922,8 +1085,13 @@ object VectorOps {
     "q110_semantic_dedup" -> ((s, d) => semanticDedup(s, d)),
     // corpus×corpus top-k through the index: every vector probes its 2
     // nearest of 8 cells; candidates are cell-bounded, never all-pairs
+    // cells = 0 → ~√N quantizer sizing — the property that keeps the
+    // join's Σ members·probers candidate bound at ~nprobe·N^1.5 instead
+    // of the N²/cells a FIXED cell count degrades to as N grows (at
+    // sf0.1 the pinned-8-cell form measured 22 s vs ~2 s); the oracle
+    // computes the identical cell count from its corpus
     "q105_ann_knn_join" -> ((s, d) =>
-      ivfKnnJoin(Tables.embeddings(s, d), k = 3, nprobe = 2, cells = 8)))
+      ivfKnnJoin(Tables.embeddings(s, d), k = 3, nprobe = 2, cells = 0)))
 
   // q40/q42 compare exact-decimal dots (hash-comparable); q41 compares
   // rank-only — the measured margins (≥ 2e-4 between adjacent ranks) dwarf
@@ -1109,10 +1277,14 @@ object VectorOps {
              CAST(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,9))
                * 1000000000 AS BIGINT) AS x
            FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+         csz AS (
+           SELECT greatest(4, CAST(round(sqrt(count(*))) AS BIGINT))
+             AS cells
+           FROM embeddings),
          seed AS (
            SELECT vec_id,
              ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
-               % 8 AS cell
+               % (SELECT cells FROM csz) AS cell
            FROM embeddings),
          c1 AS (
            SELECT s.cell, i, sum(x) AS cs, count(*) AS cn
@@ -1230,10 +1402,14 @@ object VectorOps {
              CAST(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,9))
                * 1000000000 AS BIGINT) AS x
            FROM corpus, (SELECT unnest(range(1, 65)) AS i)),
+         csz AS (
+           SELECT greatest(4, CAST(round(sqrt(count(*))) AS BIGINT))
+             AS cells
+           FROM corpus),
          seed AS (
            SELECT vec_id,
              ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
-               % 8 AS cell
+               % (SELECT cells FROM csz) AS cell
            FROM corpus),
          c1 AS (
            SELECT s.cell, i, sum(x) AS cs, count(*) AS cn

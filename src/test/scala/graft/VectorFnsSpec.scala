@@ -151,4 +151,41 @@ class VectorFnsSpec extends SparkSpecBase {
     assert(mismatches == 0L,
       s"$mismatches of 1600 pairs disagree between fused and expression dot")
   }
+
+  test("fast rounding tail ≡ BigDecimal reference over randomized magnitudes") {
+    import graft.operators.VectorOps
+    // the pure-long divide-by-1e6 HALF_UP tail must agree with the
+    // BigDecimal slow path bit-for-bit: ordinary magnitudes, the ×8
+    // scaled-smoke range, exact half-boundary accumulators, negatives
+    def reference(a: Seq[Long], b: Seq[Long]): Double = {
+      var acc = BigInt(0)
+      var i = 0
+      while (i < a.length) { acc += BigInt(a(i)) * b(i); i += 1 }
+      new java.math.BigDecimal(acc.bigInteger, 18)
+        .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val rnd = new scala.util.Random(7L)
+    def vec(scale: Long): Seq[Long] =
+      Seq.fill(64)((rnd.nextLong() % 1000000000L) * scale)
+    for (trial <- 0 until 400) {
+      val s = if (trial % 3 == 2) 8L else 1L // the scaled-smoke range
+      val (a, b) = (vec(s), vec(s))
+      val fast = VectorOps.dotExactIvPure(a, b)
+      val ref = reference(a, b)
+      assert(java.lang.Double.doubleToLongBits(fast) ==
+        java.lang.Double.doubleToLongBits(ref),
+        s"trial $trial: fast=$fast ref=$ref")
+    }
+    // rounding-boundary accumulators: Σ = q·1e6 + r with r ∈
+    // {499999, 500000, 500001} exactly, positive and negative
+    for (r <- Seq(499999L, 500000L, 500001L); sign <- Seq(1L, -1L)) {
+      val target = sign * (123456789012345L * 1000000L + r)
+      // one-element "vectors" multiplying to the target: a=target, b=1
+      val fast = VectorOps.dotExactIvPure(Seq(target), Seq(1L))
+      val ref = reference(Seq(target), Seq(1L))
+      assert(java.lang.Double.doubleToLongBits(fast) ==
+        java.lang.Double.doubleToLongBits(ref),
+        s"boundary r=$r sign=$sign: fast=$fast ref=$ref")
+    }
+  }
 }
