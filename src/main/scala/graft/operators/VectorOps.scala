@@ -128,6 +128,33 @@ object VectorOps {
       new java.math.BigInteger(b).doubleValue() / (cn.toDouble * cn.toDouble)
     }
 
+    /** Exact Σ a_i·b_i as a correctly-rounded RAW double — no decimal
+      * rescaling (the ADC term path: caller divides by the exact member
+      * count). 128-bit signed accumulation, one BigInteger conversion.
+      * Mirrored in SQL as `CAST(CAST(sum(hugeint) AS VARCHAR) AS
+      * DOUBLE)` — both are correct rounding of the exact integer. */
+    def dotRaw(a: Seq[Long], b: Array[Long]): Double = {
+      var hi = 0L
+      var lo = 0L
+      var i = 0
+      while (i < a.length) {
+        val x = a(i)
+        val y = b(i)
+        val pl = x * y
+        val ph = Math.multiplyHigh(x, y)
+        val nl = lo + pl
+        hi += ph + (if (java.lang.Long.compareUnsigned(nl, lo) < 0) 1L else 0L)
+        lo = nl
+        i += 1
+      }
+      val b16 = new Array[Byte](16)
+      var j = 0
+      while (j < 8) { b16(j) = (hi >>> (56 - 8 * j)).toByte; j += 1 }
+      j = 0
+      while (j < 8) { b16(8 + j) = (lo >>> (56 - 8 * j)).toByte; j += 1 }
+      new java.math.BigInteger(b16).doubleValue()
+    }
+
     /** Exact Σ a_i·b_i over ×1e9-scaled longs → the (18,9)² decimal dot
       * rounded HALF_UP to scale 12, as a correctly-rounded double. The
       * SIGNED 128-bit product (multiplyHigh + wrapping low) is exact for
@@ -1065,6 +1092,156 @@ object VectorOps {
   def ivfIndexExists(s: SparkSession, path: String): Boolean =
     hfsOf(s, path).exists(new org.apache.hadoop.fs.Path(s"$path/$Pointer"))
 
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ) with asymmetric-distance (ADC) scoring
+  // ---------------------------------------------------------------------
+
+  /** One PQ codebook: per-codeword exact integer (csum, cn) pairs for a
+    * single subspace, indexed by codeword id. */
+  private type Codebook = Array[(Long, Array[Long], Long)]
+
+  /** Train one subspace's codebook (2-pass md5-seeded Lloyd — exactly
+    * the coarse quantizer's discipline, on `subDim`-dim slices) and
+    * return it as a driver array: `codewords` rows of (cw, csum, cn) —
+    * 16 rows of 16 longs here, trivially bounded. */
+  private def trainBook(sub: DataFrame, subDim: Int,
+      codewords: Int): Codebook = {
+    def upd(df: DataFrame): DataFrame = df.groupBy(col("cw"))
+      .agg(graft.functions.ArrayLongSumAgg.arrayLongSum(subDim)(col("siv"))
+        .as("csum"), count(lit(1)).as("cn"))
+    def collectBook(df: DataFrame): Codebook =
+      df.select(col("cw"), col("csum"), col("cn")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+        .sortBy(_._1)
+    def assign(book: Codebook): DataFrame = {
+      val bc = sub.sparkSession.sparkContext.broadcast(book)
+      val u = udf((siv: Seq[Long]) => {
+        var bestK = Double.MaxValue
+        var bestC = Long.MaxValue
+        val cs = bc.value
+        var c = 0
+        while (c < cs.length) {
+          val (cw, csum, cn) = cs(c)
+          val dk = ExactInt.cellKey(siv, csum, cn)
+          if (dk < bestK || (dk == bestK && cw < bestC)) {
+            bestK = dk; bestC = cw
+          }
+          c += 1
+        }
+        bestC
+      })
+      sub.withColumn("cw", u(col("siv")))
+    }
+    val seeded = sub.withColumn("cw",
+      conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % codewords)
+    collectBook(upd(assign(collectBook(upd(seeded)))))
+  }
+
+  /** PQ-ADC top-k (q111): the memory-bounded ANN variant — each corpus
+    * vector is stored as `m` sub-codeword ids (m bytes-per-vector class
+    * storage vs 64 floats; here 4 longs for schema simplicity), and a
+    * query is scored against a vector WITHOUT touching the vector: per
+    * subspace, a 16-entry lookup table of exact query·codeword terms is
+    * built once per query, and the score is the ordered sum of m table
+    * hits. That is the classic asymmetric-distance computation — the
+    * layout that lets a billion-vector index live in RAM.
+    *
+    * Engine-exact and oracle-replayable end to end: codebooks are the
+    * same md5-seeded 2-pass exact-integer Lloyd as the coarse
+    * quantizer, per subspace; each ADC term is an exact 128-bit integer
+    * dot (query slice · codeword sum) correctly rounded to double, then
+    * divided by the exact member count; the m terms are added in
+    * subspace order (floating-point addition is not associative — the
+    * SQL mirror pivots to columns and adds in the same order). Ranking
+    * ties break by vec_id. Output is rank-only (the q41 convention):
+    * ADC is approximate by construction, so the verified artifact is
+    * the POLICY — quantize, score, rank — not float values.
+    *
+    * Held-out shape (the q103 convention): the index holds
+    * vec_id ≥ nQueries, the first `nQueries` vectors query it from
+    * outside. Scale shape: training aggregates are map-side partial
+    * over N rows per subspace; codebooks and per-query tables are
+    * driver/broadcast-bounded (m·codewords·subDim longs); scoring is
+    * ONE map pass over the code table (N·m ints, never the vectors)
+    * plus a per-query top-k window. */
+  def pqAdcTopK(s: SparkSession, d: String, m: Int = 4, subDim: Int = 16,
+      codewords: Int = 16, nQueries: Int = 5, k: Int = 5): DataFrame =
+    pqAdcFrom(Tables.embeddings(s, d), m, subDim, codewords, nQueries, k)
+
+  /** DataFrame form of [[pqAdcTopK]] (any (vec_id, embedding) table). */
+  def pqAdcFrom(e: DataFrame, m: Int, subDim: Int, codewords: Int,
+      nQueries: Int, k: Int): DataFrame = {
+    val s = e.sparkSession
+    val base = e.select(col("vec_id"), intVec(col("embedding")).as("iv"))
+      .persist()
+    val corpus = base.filter(col("vec_id") >= nQueries)
+    // per-subspace codebooks (driver arrays: m × codewords × subDim longs)
+    val books: Array[Codebook] = (0 until m).map { mi =>
+      trainBook(corpus.select(col("vec_id"),
+        slice(col("iv"), 1 + mi * subDim, subDim).as("siv")),
+        subDim, codewords)
+    }.toArray
+    // fused code assignment: one map pass, all m subspaces per row
+    val bcBooks = s.sparkContext.broadcast(books)
+    val codesUdf = udf((iv: Seq[Long]) => {
+      val bs = bcBooks.value
+      val out = new Array[Long](bs.length)
+      var mi = 0
+      while (mi < bs.length) {
+        val siv = iv.slice(mi * subDim, (mi + 1) * subDim)
+        val book = bs(mi)
+        var bestK = Double.MaxValue
+        var bestC = Long.MaxValue
+        var c = 0
+        while (c < book.length) {
+          val (cw, csum, cn) = book(c)
+          val dk = ExactInt.cellKey(siv, csum, cn)
+          if (dk < bestK || (dk == bestK && cw < bestC)) {
+            bestK = dk; bestC = cw
+          }
+          c += 1
+        }
+        out(mi) = bestC
+        mi += 1
+      }
+      out.toSeq
+    })
+    val codes = corpus.select(col("vec_id"), codesUdf(col("iv")).as("codes"))
+    // per-query ADC lookup tables: term(q, mi, cw) = exact(q_mi · csum)/cn
+    val qArr = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("iv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val lut: Array[(Long, Array[Array[Double]])] = qArr.map { case (qid, qiv) =>
+      (qid, Array.tabulate(m) { mi =>
+        val qslice: Seq[Long] =
+          qiv.slice(mi * subDim, (mi + 1) * subDim).toSeq
+        val arr = new Array[Double](codewords)
+        books(mi).foreach { case (cw, csum, cn) =>
+          arr(cw.toInt) = ExactInt.dotRaw(qslice, csum) / cn.toDouble
+        }
+        arr
+      })
+    }
+    val bcLut = s.sparkContext.broadcast(lut)
+    val scoreUdf = udf((codes: Seq[Long]) => {
+      bcLut.value.toSeq.map { case (qid, tabs) =>
+        var sc = 0.0
+        var mi = 0
+        while (mi < tabs.length) { sc += tabs(mi)(codes(mi).toInt); mi += 1 }
+        (qid, sc)
+      }
+    })
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    codes.select(col("vec_id"), explode(scoreUdf(col("codes"))).as("qs"))
+      .select(col("qs._1").as("qid"), col("vec_id"), col("qs._2").as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dot_topk" -> ((s, d) => dotTopK(s, d)),
     "q41_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
@@ -1091,7 +1268,12 @@ object VectorOps {
     // sf0.1 the pinned-8-cell form measured 22 s vs ~2 s); the oracle
     // computes the identical cell count from its corpus
     "q105_ann_knn_join" -> ((s, d) =>
-      ivfKnnJoin(Tables.embeddings(s, d), k = 3, nprobe = 2, cells = 0)))
+      ivfKnnJoin(Tables.embeddings(s, d), k = 3, nprobe = 2, cells = 0)),
+    // PQ-ADC: memory-bounded ANN — vectors stored as 4 sub-codeword
+    // ids, queries scored via per-subspace lookup tables; the oracle
+    // replays codebook training, code assignment, every ADC term, and
+    // the ordered 4-term float sum
+    "q111_pq_adc" -> ((s, d) => pqAdcTopK(s, d)))
 
   // q40/q42 compare exact-decimal dots (hash-comparable); q41 compares
   // rank-only — the measured margins (≥ 2e-4 between adjacent ranks) dwarf
@@ -1385,6 +1567,84 @@ object VectorOps {
                AS rank
            FROM dots)
          SELECT qid, vec_id, dot, rank FROM ranked
+         WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // full PQ replay: per-subspace 2-pass Lloyd over 16-dim slices,
+    // code assignment, exact ADC terms (hugeint dot → varchar → double
+    // → /cn), and the ORDERED 4-term sum (float addition is not
+    // associative — the pivot fixes the order the Spark loop uses)
+    "q111_pq_adc" ->
+      """WITH iv AS (
+           SELECT vec_id, i,
+             CAST(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,9))
+               * 1000000000 AS BIGINT) AS x
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+         sub AS (
+           SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS m, i, x
+           FROM iv),
+         corp AS (SELECT * FROM sub WHERE vec_id >= 5),
+         seed AS (
+           SELECT vec_id,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % 16 AS cw
+           FROM embeddings WHERE vec_id >= 5),
+         c1 AS (
+           SELECT v.m, s.cw, v.i, sum(v.x) AS cs, count(*) AS cn
+           FROM corp v JOIN seed s USING (vec_id)
+           GROUP BY v.m, s.cw, v.i),
+         d1 AS (
+           SELECT v.vec_id, v.m, c.cw,
+             CAST(CAST(sum(CAST(v.x * c.cn - c.cs AS HUGEINT) *
+                           CAST(v.x * c.cn - c.cs AS HUGEINT)) AS VARCHAR)
+               AS DOUBLE) / (c.cn * c.cn) AS dkey
+           FROM corp v JOIN c1 c ON c.m = v.m AND c.i = v.i
+           GROUP BY v.vec_id, v.m, c.cw, c.cn),
+         a1 AS (
+           SELECT vec_id, m, cw FROM (
+             SELECT vec_id, m, cw, row_number() OVER (
+               PARTITION BY vec_id, m ORDER BY dkey, cw) AS rn
+             FROM d1) t
+           WHERE rn = 1),
+         c2 AS (
+           SELECT v.m, a.cw, v.i, sum(v.x) AS cs, count(*) AS cn
+           FROM corp v JOIN a1 a ON a.vec_id = v.vec_id AND a.m = v.m
+           GROUP BY v.m, a.cw, v.i),
+         d2 AS (
+           SELECT v.vec_id, v.m, c.cw,
+             CAST(CAST(sum(CAST(v.x * c.cn - c.cs AS HUGEINT) *
+                           CAST(v.x * c.cn - c.cs AS HUGEINT)) AS VARCHAR)
+               AS DOUBLE) / (c.cn * c.cn) AS dkey
+           FROM corp v JOIN c2 c ON c.m = v.m AND c.i = v.i
+           GROUP BY v.vec_id, v.m, c.cw, c.cn),
+         a2 AS (
+           SELECT vec_id, m, cw FROM (
+             SELECT vec_id, m, cw, row_number() OVER (
+               PARTITION BY vec_id, m ORDER BY dkey, cw) AS rn
+             FROM d2) t
+           WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, m, i, x FROM sub WHERE vec_id < 5),
+         terms AS (
+           SELECT q.qid, c.m, c.cw,
+             CAST(CAST(sum(CAST(q.x AS HUGEINT) * c.cs) AS VARCHAR)
+               AS DOUBLE) / c.cn AS t
+           FROM q JOIN c2 c ON c.m = q.m AND c.i = q.i
+           GROUP BY q.qid, c.m, c.cw, c.cn),
+         tm AS (
+           SELECT t.qid, a.vec_id, a.m, t.t
+           FROM a2 a JOIN terms t ON t.m = a.m AND t.cw = a.cw),
+         piv AS (
+           SELECT qid, vec_id,
+             max(CASE WHEN m = 0 THEN t END) AS t0,
+             max(CASE WHEN m = 1 THEN t END) AS t1,
+             max(CASE WHEN m = 2 THEN t END) AS t2,
+             max(CASE WHEN m = 3 THEN t END) AS t3
+           FROM tm GROUP BY qid, vec_id),
+         ranked AS (
+           SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY ((t0 + t1) + t2) + t3 DESC, vec_id) AS rank
+           FROM piv)
+         SELECT qid, vec_id, rank FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank""",
 
     // q105's trained-quantizer replay over the copy-planted corpus, plus

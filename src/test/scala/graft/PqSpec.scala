@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.VectorOps
+
+/** PQ-ADC (q111): output contract, determinism, and the property the
+  * quantization actually guarantees — cluster ROUTING: a query drawn
+  * from a planted cluster scores that cluster's shared sub-codewords
+  * highest, so every top-k hit is a same-cluster member. (Set-recall
+  * against exact dots is intentionally NOT asserted: within a cluster
+  * ADC collapses members with identical codes to equal scores, and the
+  * vec_id tie-break picks the smallest ids — a correct ADC ranking that
+  * need not equal the exact-dot ordering. The oracle replays the same
+  * policy, which is what CORRECTNESS pins.) */
+class PqSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("q111 shape + determinism on the real table") {
+    val r1 = VectorOps.queries("q111_pq_adc")(spark, sf).collect()
+    val r2 = VectorOps.queries("q111_pq_adc")(spark, sf).collect()
+    assert(r1.toSeq == r2.toSeq, "PQ-ADC must be deterministic")
+    val byQ = r1.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to 5L))
+      rows.foreach(r => assert(r.getLong(1) >= 5L,
+        "a query vector leaked into the held-out index"))
+    }
+  }
+
+  test("cluster routing: every ADC hit shares the query's cluster") {
+    val rnd = new scala.util.Random(31L)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f).toSeq)
+    }
+    val out = VectorOps.pqAdcFrom(rows.toDF("vec_id", "embedding"),
+      m = 4, subDim = 16, codewords = 16, nQueries = 5, k = 5).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (qid, vid) = (r.getLong(0), r.getLong(1))
+      assert(vid % 8 == qid % 8,
+        s"query $qid (cluster ${qid % 8}) hit $vid (cluster ${vid % 8})")
+    }
+  }
+}
