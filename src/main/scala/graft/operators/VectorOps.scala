@@ -1169,9 +1169,63 @@ object VectorOps {
       codewords: Int = 16, nQueries: Int = 5, k: Int = 5): DataFrame =
     pqAdcFrom(Tables.embeddings(s, d), m, subDim, codewords, nQueries, k)
 
+  /** Two-stage PQ retrieval (q112): ADC shortlist → EXACT re-rank —
+    * the production shape (FAISS-style): the compressed codes prune the
+    * corpus to `shortlist` candidates per query without touching a
+    * vector, then only those candidates' real vectors are fetched for
+    * an exact-decimal dot ordering. Output carries the exact dot (the
+    * q40 hash-comparable convention) — the approximation decides only
+    * WHICH rows compete, never the reported values. At scale the fetch
+    * is a broadcast of nQueries·shortlist ids against the corpus — the
+    * vectors never shuffle for scoring. `shortlist ≥ corpus` degrades
+    * to exact brute force (spec-pinned ≡ [[dotTopKFrom]]). */
+  def pqAdcRerank(s: SparkSession, d: String, m: Int = 4, subDim: Int = 16,
+      codewords: Int = 16, nQueries: Int = 5, k: Int = 5,
+      shortlist: Int = 50): DataFrame =
+    pqAdcRerankFrom(Tables.embeddings(s, d), m, subDim, codewords,
+      nQueries, k, shortlist)
+
+  /** DataFrame form of [[pqAdcRerank]]. */
+  def pqAdcRerankFrom(e: DataFrame, m: Int, subDim: Int, codewords: Int,
+      nQueries: Int, k: Int, shortlist: Int): DataFrame = {
+    val s = e.sparkSession
+    val wA = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val short = pqScored(e, m, subDim, codewords, nQueries)
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= shortlist)
+      .select(col("qid"), col("vec_id"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val wE = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("vec_id"))
+    e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(short), "vec_id")
+      .join(broadcast(q), "qid")
+      .withColumn("dot", V.dotExact(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("dot"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** DataFrame form of [[pqAdcTopK]] (any (vec_id, embedding) table). */
   def pqAdcFrom(e: DataFrame, m: Int, subDim: Int, codewords: Int,
       nQueries: Int, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    pqScored(e, m, subDim, codewords, nQueries)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Shared PQ pipeline: codebooks → codes → ADC scores, one row per
+    * (qid, corpus vec). */
+  private def pqScored(e: DataFrame, m: Int, subDim: Int, codewords: Int,
+      nQueries: Int): DataFrame = {
     val s = e.sparkSession
     val base = e.select(col("vec_id"), intVec(col("embedding")).as("iv"))
       .persist()
@@ -1232,14 +1286,8 @@ object VectorOps {
         (qid, sc)
       }
     })
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("vec_id"))
     codes.select(col("vec_id"), explode(scoreUdf(col("codes"))).as("qs"))
       .select(col("qs._1").as("qid"), col("vec_id"), col("qs._2").as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"))
-      .orderBy(col("qid"), col("rank"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1273,7 +1321,11 @@ object VectorOps {
     // ids, queries scored via per-subspace lookup tables; the oracle
     // replays codebook training, code assignment, every ADC term, and
     // the ordered 4-term float sum
-    "q111_pq_adc" -> ((s, d) => pqAdcTopK(s, d)))
+    "q111_pq_adc" -> ((s, d) => pqAdcTopK(s, d)),
+    // two-stage retrieval: ADC shortlist (50) -> exact-decimal dot
+    // re-rank; the reported dots are exact (hash-comparable), the
+    // approximation only selects the competitors
+    "q112_pq_rerank" -> ((s, d) => pqAdcRerank(s, d)))
 
   // q40/q42 compare exact-decimal dots (hash-comparable); q41 compares
   // rank-only — the measured margins (≥ 2e-4 between adjacent ranks) dwarf
@@ -1645,6 +1697,101 @@ object VectorOps {
                ORDER BY ((t0 + t1) + t2) + t3 DESC, vec_id) AS rank
            FROM piv)
          SELECT qid, vec_id, rank FROM ranked
+         WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // q111's full ADC replay, widened to a 50-deep shortlist, then the
+    // q40-style exact-decimal dot re-rank over only those candidates
+    "q112_pq_rerank" ->
+      """WITH iv AS (
+           SELECT vec_id, i,
+             CAST(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,9))
+               * 1000000000 AS BIGINT) AS x
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+         sub AS (
+           SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS m, i, x
+           FROM iv),
+         corp AS (SELECT * FROM sub WHERE vec_id >= 5),
+         seed AS (
+           SELECT vec_id,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % 16 AS cw
+           FROM embeddings WHERE vec_id >= 5),
+         c1 AS (
+           SELECT v.m, s.cw, v.i, sum(v.x) AS cs, count(*) AS cn
+           FROM corp v JOIN seed s USING (vec_id)
+           GROUP BY v.m, s.cw, v.i),
+         d1 AS (
+           SELECT v.vec_id, v.m, c.cw,
+             CAST(CAST(sum(CAST(v.x * c.cn - c.cs AS HUGEINT) *
+                           CAST(v.x * c.cn - c.cs AS HUGEINT)) AS VARCHAR)
+               AS DOUBLE) / (c.cn * c.cn) AS dkey
+           FROM corp v JOIN c1 c ON c.m = v.m AND c.i = v.i
+           GROUP BY v.vec_id, v.m, c.cw, c.cn),
+         a1 AS (
+           SELECT vec_id, m, cw FROM (
+             SELECT vec_id, m, cw, row_number() OVER (
+               PARTITION BY vec_id, m ORDER BY dkey, cw) AS rn
+             FROM d1) t
+           WHERE rn = 1),
+         c2 AS (
+           SELECT v.m, a.cw, v.i, sum(v.x) AS cs, count(*) AS cn
+           FROM corp v JOIN a1 a ON a.vec_id = v.vec_id AND a.m = v.m
+           GROUP BY v.m, a.cw, v.i),
+         d2 AS (
+           SELECT v.vec_id, v.m, c.cw,
+             CAST(CAST(sum(CAST(v.x * c.cn - c.cs AS HUGEINT) *
+                           CAST(v.x * c.cn - c.cs AS HUGEINT)) AS VARCHAR)
+               AS DOUBLE) / (c.cn * c.cn) AS dkey
+           FROM corp v JOIN c2 c ON c.m = v.m AND c.i = v.i
+           GROUP BY v.vec_id, v.m, c.cw, c.cn),
+         a2 AS (
+           SELECT vec_id, m, cw FROM (
+             SELECT vec_id, m, cw, row_number() OVER (
+               PARTITION BY vec_id, m ORDER BY dkey, cw) AS rn
+             FROM d2) t
+           WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, m, i, x FROM sub WHERE vec_id < 5),
+         terms AS (
+           SELECT q.qid, c.m, c.cw,
+             CAST(CAST(sum(CAST(q.x AS HUGEINT) * c.cs) AS VARCHAR)
+               AS DOUBLE) / c.cn AS t
+           FROM q JOIN c2 c ON c.m = q.m AND c.i = q.i
+           GROUP BY q.qid, c.m, c.cw, c.cn),
+         tm AS (
+           SELECT t.qid, a.vec_id, a.m, t.t
+           FROM a2 a JOIN terms t ON t.m = a.m AND t.cw = a.cw),
+         piv AS (
+           SELECT qid, vec_id,
+             max(CASE WHEN m = 0 THEN t END) AS t0,
+             max(CASE WHEN m = 1 THEN t END) AS t1,
+             max(CASE WHEN m = 2 THEN t END) AS t2,
+             max(CASE WHEN m = 3 THEN t END) AS t3
+           FROM tm GROUP BY qid, vec_id),
+         short AS (
+           SELECT qid, vec_id FROM (
+             SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY ((t0 + t1) + t2) + t3 DESC, vec_id) AS arank
+             FROM piv) t
+           WHERE arank <= 50),
+         flat AS (
+           SELECT vec_id, i,
+             CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,9)) AS cx
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+         dots AS (
+           SELECT s.qid, s.vec_id,
+             CAST(CAST(round(sum(fq.cx * fc.cx), 12) AS DECIMAL(18,12))
+               AS DOUBLE) AS dot
+           FROM short s
+           JOIN flat fc ON fc.vec_id = s.vec_id
+           JOIN flat fq ON fq.vec_id = s.qid AND fq.i = fc.i
+           GROUP BY s.qid, s.vec_id),
+         reranked AS (
+           SELECT qid, vec_id, dot,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY dot DESC, vec_id) AS rank
+           FROM dots)
+         SELECT qid, vec_id, dot, rank FROM reranked
          WHERE rank <= 5 ORDER BY qid, rank""",
 
     // q105's trained-quantizer replay over the copy-planted corpus, plus

@@ -27,6 +27,24 @@ class PqSpec extends SparkSpecBase {
     }
   }
 
+  test("q112: shortlist >= corpus degrades to exact brute force, bit for bit") {
+    val rnd = new scala.util.Random(13L)
+    val rows = (0 until 120).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    val e = rows.toDF("vec_id", "embedding")
+    val queries = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding")
+    val brute = VectorOps.dotTopKWith(
+      e.filter($"vec_id" >= 5), queries, k = 5).collect().toSeq
+    // a shortlist wider than the corpus means ADC prunes nothing: the
+    // exact re-rank sees every candidate, so the two-stage result IS
+    // brute force — dots and ranks identical
+    val two = VectorOps.pqAdcRerankFrom(e, m = 4, subDim = 16,
+      codewords = 16, nQueries = 5, k = 5, shortlist = 1000)
+      .collect().toSeq
+    assert(two == brute)
+  }
+
   test("cluster routing: every ADC hit shares the query's cluster") {
     val rnd = new scala.util.Random(31L)
     val centers = Array.fill(8)(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
