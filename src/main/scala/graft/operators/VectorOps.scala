@@ -1058,6 +1058,49 @@ object VectorOps {
     (drops, () => { a2.unpersist(); base.unpersist(); c2.unpersist() })
   }
 
+  /** Semantic CLUSTERS (q113) — the q58 shape for embeddings: the
+    * cosine-gated k-NN edge set (same exact pipeline as
+    * [[semanticDedup]], un-filtered by id order, symmetrized) feeds the
+    * shared connected-components machinery (large-star/small-star with
+    * the size-gated driver union-find — TextOps.minLabelPropagate), and
+    * every corpus row gets its component's minimum id as the cluster
+    * label (singletons label themselves). Where [[semanticDedup]]
+    * answers "what do I drop", this answers "what belongs together" —
+    * the input to canonical selection / per-group curation. Edges are
+    * engine-exact, so the oracle replays them and resolves the same
+    * components with a recursive-CTE reachability mirror (the q58
+    * convention). */
+  def semanticClusters(s: SparkSession, d: String, k: Int = 3,
+      nprobe: Int = 2, cells: Int = 0,
+      threshold: Double = 0.99): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val planted = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val corpus = e.select(col("vec_id"), col("embedding")).union(planted)
+    val (a2, c2, _) = trainAssign(corpus, cells)
+    val knn = knnJoinAssigned(a2, c2, k, nprobe)
+    val norms = a2.select(col("vec_id"),
+      dotExactIv(col("iv"), col("iv")).as("sq"))
+    val gated = knn
+      .join(norms.select(col("vec_id").as("qid"), col("sq").as("qsq")), "qid")
+      .join(norms.select(col("vec_id"), col("sq").as("csq")), "vec_id")
+      .withColumn("cos", col("dot") / (sqrt(col("qsq")) * sqrt(col("csq"))))
+      .filter(col("cos") >= threshold)
+      .select(col("qid"), col("vec_id"))
+    // k-NN edges are DIRECTED (q can see v without v ranking q back);
+    // connectivity treats them undirected — both directions in one scan
+    val edges = gated.select(explode(array(
+        struct(col("qid").as("a"), col("vec_id").as("b")),
+        struct(col("vec_id").as("a"), col("qid").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val labels = TextOps.minLabelPropagate(edges)
+    corpus.select(col("vec_id"))
+      .join(labels, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Drop witnesses for `batch` against a WRITTEN index — the streaming
     * half of the [[semanticDedup]] policy: a batch row is reported iff
     * some STORED (already-kept, earlier-arrived) vector clears the
@@ -1325,7 +1368,11 @@ object VectorOps {
     // two-stage retrieval: ADC shortlist (50) -> exact-decimal dot
     // re-rank; the reported dots are exact (hash-comparable), the
     // approximation only selects the competitors
-    "q112_pq_rerank" -> ((s, d) => pqAdcRerank(s, d)))
+    "q112_pq_rerank" -> ((s, d) => pqAdcRerank(s, d)),
+    // semantic clustering: the q110 edge set, symmetrized, through the
+    // shared connected-components machinery; oracle resolves the same
+    // components via recursive-CTE reachability (q58 convention)
+    "q113_semantic_clusters" -> ((s, d) => semanticClusters(s, d)))
 
   // q40/q42 compare exact-decimal dots (hash-comparable); q41 compares
   // rank-only — the measured margins (≥ 2e-4 between adjacent ranks) dwarf
@@ -1887,6 +1934,109 @@ object VectorOps {
          SELECT qid AS vec_id, CAST(min(nid) AS BIGINT) AS dup_of
          FROM edges WHERE cosv >= 0.99 AND nid < qid
          GROUP BY qid ORDER BY vec_id""",
+
+    // q110's full edge replay (no id-order filter), symmetrized, then
+    // the q58 recursive-reachability component mirror
+    "q113_semantic_clusters" ->
+      """WITH RECURSIVE corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+           WHERE vec_id % 10 = 0),
+         iv AS (
+           SELECT vec_id, i,
+             CAST(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,9))
+               * 1000000000 AS BIGINT) AS x
+           FROM corpus, (SELECT unnest(range(1, 65)) AS i)),
+         csz AS (
+           SELECT greatest(4, CAST(round(sqrt(count(*))) AS BIGINT))
+             AS cells
+           FROM corpus),
+         seed AS (
+           SELECT vec_id,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % (SELECT cells FROM csz) AS cell
+           FROM corpus),
+         c1 AS (
+           SELECT s.cell, i, sum(x) AS cs, count(*) AS cn
+           FROM iv JOIN seed s USING (vec_id) GROUP BY s.cell, i),
+         d1 AS (
+           SELECT v.vec_id, c.cell,
+             CAST(CAST(sum(CAST(v.x * c.cn - c.cs AS HUGEINT) *
+                           CAST(v.x * c.cn - c.cs AS HUGEINT)) AS VARCHAR)
+               AS DOUBLE) / (c.cn * c.cn) AS dkey
+           FROM iv v JOIN c1 c USING (i)
+           GROUP BY v.vec_id, c.cell, c.cn),
+         a1 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dkey, cell) AS rn FROM d1) t
+           WHERE rn = 1),
+         c2 AS (
+           SELECT a.cell, i, sum(x) AS cs, count(*) AS cn
+           FROM iv JOIN a1 a USING (vec_id) GROUP BY a.cell, i),
+         d2 AS (
+           SELECT v.vec_id, c.cell,
+             CAST(CAST(sum(CAST(v.x * c.cn - c.cs AS HUGEINT) *
+                           CAST(v.x * c.cn - c.cs AS HUGEINT)) AS VARCHAR)
+               AS DOUBLE) / (c.cn * c.cn) AS dkey
+           FROM iv v JOIN c2 c USING (i)
+           GROUP BY v.vec_id, c.cell, c.cn),
+         a2 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dkey, cell) AS rn FROM d2) t
+           WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS qid, cell FROM (
+             SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dkey, cell) AS rn FROM d2) t
+           WHERE rn <= 2),
+         flat AS (
+           SELECT vec_id, i,
+             CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,9)) AS cx
+           FROM corpus, (SELECT unnest(range(1, 65)) AS i)),
+         dots AS (
+           SELECT p.qid, a.vec_id,
+             CAST(CAST(round(sum(fq.cx * fc.cx), 12) AS DECIMAL(18,12))
+               AS DOUBLE) AS dot
+           FROM probes p
+           JOIN a2 a ON a.cell = p.cell AND a.vec_id <> p.qid
+           JOIN flat fc ON fc.vec_id = a.vec_id
+           JOIN flat fq ON fq.vec_id = p.qid AND fq.i = fc.i
+           GROUP BY p.qid, a.vec_id),
+         knn AS (
+           SELECT qid, vec_id AS nid, dot FROM (
+             SELECT qid, vec_id, dot,
+               row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+                 AS rank
+             FROM dots) t
+           WHERE rank <= 3),
+         norms AS (
+           SELECT vec_id,
+             CAST(CAST(round(sum(cx * cx), 12) AS DECIMAL(18,12))
+               AS DOUBLE) AS sq
+           FROM flat GROUP BY vec_id),
+         gated AS (
+           SELECT k.qid, k.nid
+           FROM knn k
+           JOIN norms nq ON nq.vec_id = k.qid
+           JOIN norms nc ON nc.vec_id = k.nid
+           WHERE k.dot / (sqrt(nq.sq) * sqrt(nc.sq)) >= 0.99),
+         sym AS (
+           SELECT qid AS a, nid AS b FROM gated
+           UNION
+           SELECT nid, qid FROM gated),
+         reach AS (
+           SELECT a AS node, b AS peer FROM sym
+           UNION
+           SELECT r.node, e.b FROM reach r JOIN sym e ON e.a = r.peer),
+         cc AS (
+           SELECT node, least(node, min(peer)) AS cluster
+           FROM reach GROUP BY node)
+         SELECT c.vec_id, coalesce(cc.cluster, c.vec_id) AS cluster
+         FROM corpus c LEFT JOIN cc ON cc.node = c.vec_id
+         ORDER BY c.vec_id""",
 
     // LSH recall is provably exact for the ×2-scaled planted dups (see
     // cosineNearDup scaladoc), so the oracle is simply the planted pair set.

@@ -456,6 +456,22 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(rate >= 0.9, s"only ${dropped.length}/${sources.size} copies dropped")
   }
 
+  test("q113 semantic clusters: copy pairs collapse to the source label, others singleton") {
+    val r = VectorOps.semanticClusters(spark, sf).collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+    assert(r.nonEmpty)
+    val relabeled = r.filter { case (id, c) => c != id }
+    // only copies can be relabeled (no random pair clears cos >= 0.99),
+    // and a relabeled copy's component minimum is its source
+    relabeled.foreach { case (id, c) =>
+      assert(id >= 1000000L && c == id - 1000000L,
+        s"row $id landed in cluster $c")
+    }
+    val nPlanted = r.count(_._1 >= 1000000L)
+    assert(relabeled.length >= (0.9 * nPlanted).toInt,
+      s"only ${relabeled.length}/$nPlanted copies clustered with their source")
+  }
+
   test("recall on a clustered corpus: >=0.9 probing 2 of 8 cells") {
     // 8 planted clusters: deterministic centers, small perturbations —
     // the shape a trained quantizer exists for. 64-dim, 400 vectors.
