@@ -111,6 +111,26 @@ class StreamSemanticDedupSpec extends SparkSpecBase {
     assert(VectorOps.ivfIndexIds(spark, cfg.indexPath).count() == 6L)
   }
 
+  test("drift retrain mid-stream: the rebuilt generation keeps serving witnesses") {
+    val cfg = mkCfg().copy(retrainThreshold = 0.3)
+    StreamSemanticDedup.processBatch(
+      df((0L to 9L).map(i => (i, i.toInt)): _*), 0L, cfg)
+    val gen0 = VectorOps.indexGenDir(spark, cfg.indexPath)
+    // 5 appended / 10 trained = 50% mass growth > 0.3 → the append path
+    // retrains and publishes a NEW generation mid-stream
+    StreamSemanticDedup.processBatch(
+      df((10L, 10), (11L, 11), (12L, 12), (13L, 13), (14L, 14)), 1L, cfg)
+    val gen1 = VectorOps.indexGenDir(spark, cfg.indexPath)
+    assert(gen1 != gen0, "mass growth above the threshold must retrain")
+    // the superseded generation keeps its one-cycle reader grace
+    assert(new java.io.File(gen0).exists())
+    // the retrained quantizer serves the same live relation: stored
+    // witnesses (including pre-retrain rows) still kill copies
+    StreamSemanticDedup.processBatch(df((15L, 10), (16L, 16)), 2L, cfg)
+    assert(decisions(cfg, 2L) == Set((15L, false, 10L), (16L, true, -1L)))
+    assert(indexIds(cfg) == (0L to 14L).toSet + 16L)
+  }
+
   test("e2e over MemoryStream: three micro-batches, survivors only") {
     val cfg = mkCfg()
     val mem = MemoryStream[(Long, Seq[Float])](spark)
