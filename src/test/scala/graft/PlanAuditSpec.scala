@@ -15,6 +15,32 @@ class PlanAuditSpec extends SparkSpecBase {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sf)
 
+  test("q105/q110/q113: candidate joins are equijoins, never all-pairs") {
+    // the entire k-NN family stands on "pairs only within probed cells";
+    // a cartesian (or a nested-loop fallback) anywhere in these plans is
+    // the all-pairs scale killer the design exists to avoid
+    Seq("q105_ann_knn_join", "q110_semantic_dedup",
+        "q113_semantic_clusters").foreach { name =>
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct"),
+        s"$name planned a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name planned a nested-loop join:\n$p")
+    }
+  }
+
+  test("q112: the exact re-rank fetch broadcasts the shortlist, not the corpus") {
+    // the two-stage retrieval's whole point: only nQueries·shortlist ids
+    // travel; the corpus vectors are fetched by a broadcast equijoin and
+    // never shuffle for scoring
+    val p = plan(q("q112_pq_rerank"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast fetch:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equijoin fetch:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for the re-rank fetch:\n$p")
+  }
+
   test("q02: predicate and column pruning reach the parquet scan") {
     val p = q("q02_filter_pushdown").queryExecution.toString
     assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
