@@ -374,6 +374,22 @@ object ScaleSmoke {
         println(f"SCALE ivf_knn_join       $tk%8.2f s  rows=$knnRows  " +
           f"candidates=$cand ($frac%.2f%% of all-pairs, nprobe=$np)")
       }
+
+      // PQ-ADC at the inflated scale: train the sub-codebooks, code the
+      // corpus, score through lookup tables — the memory-bounded path.
+      // The reported byte ratio is the layout's point: a scored corpus
+      // row is 4 code ids, never the 64-float vector.
+      {
+        val t3 = System.nanoTime()
+        val pqRows = VectorOps.pqAdcFrom(bigE, m = 4, subDim = 16,
+          codewords = 16, nQueries = 5, k = 5).count()
+        val tq = (System.nanoTime() - t3) / 1e9
+        val codeBytes = nVecs * 4L * 8L
+        val rawBytes = nVecs * 64L * 4L
+        println(f"SCALE pq_adc             $tq%8.2f s  rows=$pqRows  " +
+          f"code-bytes=$codeBytes (${100.0 * codeBytes / rawBytes}%.1f%% " +
+          "of raw vectors)")
+      }
       spark.catalog.clearCache()
     }
 
