@@ -82,9 +82,21 @@ object StreamSemanticDedup {
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
       cfg: Config): Unit = {
     val s = batch.sparkSession
+    // exact-row dedupe absorbs within-batch redelivery of the same
+    // (id, vector) row — without it a duplicated input row would
+    // multiply decision rows and double-append its survivor
     val rows = batch.select(col("vec_id").cast("long").as("vec_id"),
-      col("embedding")).persist()
+      col("embedding")).distinct().persist()
     try {
+      // id contract: one vector per id. Two DIFFERENT vectors sharing an
+      // id is a data error that no deterministic policy can absorb
+      // (which one is "the" row?) — fail loudly before any publish
+      val clash = rows.groupBy(col("vec_id")).count()
+        .filter(col("count") > 1).limit(1).collect()
+      if (clash.nonEmpty)
+        throw new IllegalArgumentException(
+          s"StreamSemanticDedup batch $batchId: vec_id " +
+            s"${clash.head.get(0)} carries conflicting vectors")
       val dest = s"${cfg.outDir}/v=$batchId"
       val fs = new Path(cfg.outDir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)

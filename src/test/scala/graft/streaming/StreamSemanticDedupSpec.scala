@@ -111,6 +111,24 @@ class StreamSemanticDedupSpec extends SparkSpecBase {
     assert(VectorOps.ivfIndexIds(spark, cfg.indexPath).count() == 6L)
   }
 
+  test("within-batch redelivery of the same row is absorbed; conflicting vectors throw") {
+    val cfg = mkCfg()
+    // the same (id, vector) row twice in ONE batch: one decision row,
+    // one appended copy
+    StreamSemanticDedup.processBatch(
+      df((0L, 0), (0L, 0), (1L, 1)), 0L, cfg)
+    assert(decisions(cfg, 0L) == Set((0L, true, -1L), (1L, true, -1L)))
+    assert(VectorOps.ivfIndexIds(spark, cfg.indexPath).count() == 2L)
+    // same id, DIFFERENT vectors: no deterministic policy exists — the
+    // batch must fail loudly before anything publishes
+    val ex = intercept[IllegalArgumentException] {
+      StreamSemanticDedup.processBatch(df((7L, 7), (7L, 8)), 1L, cfg)
+    }
+    assert(ex.getMessage.contains("conflicting vectors"))
+    assert(!new java.io.File(s"${cfg.outDir}/v=1").exists(),
+      "a failed batch published decisions")
+  }
+
   test("drift retrain mid-stream: the rebuilt generation keeps serving witnesses") {
     val cfg = mkCfg().copy(retrainThreshold = 0.3)
     StreamSemanticDedup.processBatch(
