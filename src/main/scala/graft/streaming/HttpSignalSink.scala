@@ -48,8 +48,15 @@ object HttpSignalSink {
         val fs = new org.apache.hadoop.fs.Path(ledgerDir).getFileSystem(conf)
         val marker = new org.apache.hadoop.fs.Path(s"$ledgerDir/batch_$batchId")
         if (fs.exists(marker)) {
-          batch.queryExecution // completed on a prior attempt: no replays reach the wire
-          ()
+          // Completed on a prior attempt: no replay reaches the wire —
+          // but the batch must still be PROCESSED, not just left lazy:
+          // when a stateful operator (the monotone guard, the OTP
+          // correlator) feeds this sink, running the partitions is what
+          // commits its state stores, and Spark validates those commits
+          // per batch (the idempotentParquetSink lesson — the lazy
+          // no-op died STATE_STORE_COMMIT_VALIDATION_FAILED on the
+          // replay of a torn posted-but-uncommitted batch).
+          batch.foreach(_ => ())
         } else {
           val base = endpointBase
           batch.select(col("key").cast("string"), col("otp").cast("string"))
