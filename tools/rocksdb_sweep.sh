@@ -32,4 +32,5 @@ exec sbt -batch "testOnly \
   graft.streaming.ViewMaintenanceSpec \
   graft.streaming.SketchMaintenanceSpec \
   graft.streaming.IngestPipelineSpec \
-  graft.streaming.GrafteventsLifecycleSpec"
+  graft.streaming.GrafteventsLifecycleSpec \
+  graft.streaming.HttpLoopSpec"
