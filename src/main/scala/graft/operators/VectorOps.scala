@@ -1058,6 +1058,127 @@ object VectorOps {
     (drops, () => { a2.unpersist(); base.unpersist(); c2.unpersist() })
   }
 
+  /** Attach PQ codes to the CURRENT index generation as an optional
+    * acceleration artifact: `pq/` inside the gen dir holds the trained
+    * sub-codebooks and the per-vector codes, published atomically
+    * (tmp + rename + sentinel — a torn write leaves the generation
+    * serving exactly as before, with PQ simply unavailable). Codes are
+    * GENERATION-SCOPED: a retrain/compact publishes a new gen without
+    * them (recompute via this call), and an unretrained append grows
+    * the corpus past the codes — [[probePqIndex]] guards that
+    * staleness loudly instead of silently scoring a partial corpus. */
+  def writePqCodes(s: SparkSession, path: String, m: Int = 4,
+      subDim: Int = 16, codewords: Int = 16): Unit = {
+    val genDir = indexGenDir(s, path)
+    val corpus = liveCorpus(s, genDir)
+    val books: Array[Codebook] = (0 until m).map { mi =>
+      trainBook(corpus.select(col("vec_id"),
+        slice(col("iv"), 1 + mi * subDim, subDim).as("siv")),
+        subDim, codewords)
+    }.toArray
+    val bcBooks = s.sparkContext.broadcast(books)
+    val codesUdf = udf((iv: Seq[Long]) => {
+      val bs = bcBooks.value
+      val out = new Array[Long](bs.length)
+      var mi = 0
+      while (mi < bs.length) {
+        val siv = iv.slice(mi * subDim, (mi + 1) * subDim)
+        val book = bs(mi)
+        var bestK = Double.MaxValue
+        var bestC = Long.MaxValue
+        var c = 0
+        while (c < book.length) {
+          val (cw, csum, cn) = book(c)
+          val dk = ExactInt.cellKey(siv, csum, cn)
+          if (dk < bestK || (dk == bestK && cw < bestC)) {
+            bestK = dk; bestC = cw
+          }
+          c += 1
+        }
+        out(mi) = bestC
+        mi += 1
+      }
+      out.toSeq
+    })
+    val hfs = hfsOf(s, genDir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$genDir/.pq_tmp")
+    hfs.delete(tmp, true)
+    import s.implicits._
+    books.zipWithIndex.flatMap { case (book, mi) =>
+      book.map { case (cw, csum, cn) => (mi, cw, csum.toSeq, cn) }
+    }.toSeq.toDF("m", "cw", "csum", "cn")
+      .coalesce(1).write.parquet(s"$tmp/books")
+    corpus.select(col("vec_id"), codesUdf(col("iv")).as("codes"))
+      .write.parquet(s"$tmp/codes")
+    val ok = hfs.create(
+      new org.apache.hadoop.fs.Path(s"$tmp/$OkSentinel"), true)
+    ok.close()
+    val dest = new org.apache.hadoop.fs.Path(s"$genDir/pq")
+    hfs.delete(dest, true)
+    hfs.rename(tmp, dest)
+  }
+
+  /** ADC search over the STORED codes of the current generation: the
+    * query never touches a corpus vector — per-subspace lookup tables
+    * from the stored books, one map pass over the (vec_id, codes)
+    * table, rank-only top-k (the q111 policy, pay-per-query against a
+    * written artifact). Fails loudly when the generation has no PQ
+    * artifact, a torn one, or codes STALER than the corpus (unretrained
+    * appends after [[writePqCodes]]). */
+  def probePqIndex(s: SparkSession, path: String, queries: DataFrame,
+      k: Int = 5): DataFrame = {
+    val genDir = indexGenDir(s, path)
+    val hfs = hfsOf(s, genDir)
+    if (!hfs.exists(new org.apache.hadoop.fs.Path(s"$genDir/pq/$OkSentinel")))
+      throw new IllegalStateException(
+        s"no (or torn) PQ artifact in $genDir — run writePqCodes")
+    val books = s.read.parquet(s"$genDir/pq/books")
+      .select(col("m"), col("cw"), col("csum"), col("cn")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray,
+        r.getLong(3)))
+    val m = books.map(_._1).max + 1
+    val subDim = books.head._3.length
+    val codes = s.read.parquet(s"$genDir/pq/codes")
+    val nCodes = codes.count()
+    val nLive = liveCorpus(s, genDir).count()
+    if (nCodes != nLive)
+      throw new IllegalStateException(
+        s"PQ codes stale: $nCodes coded vs $nLive live corpus rows — " +
+          "re-run writePqCodes after appends/deletes")
+    val qArr = queries.select(col("qid"),
+      intVec(col("embedding")).as("qiv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val lut: Array[(Long, Array[Array[Double]])] = qArr.map { case (qid, qiv) =>
+      (qid, Array.tabulate(m) { mi =>
+        val qslice: Seq[Long] =
+          qiv.slice(mi * subDim, (mi + 1) * subDim).toSeq
+        val arr = new Array[Double](
+          books.filter(_._1 == mi).map(_._2).max.toInt + 1)
+        books.filter(_._1 == mi).foreach { case (_, cw, csum, cn) =>
+          arr(cw.toInt) = ExactInt.dotRaw(qslice, csum) / cn.toDouble
+        }
+        arr
+      })
+    }
+    val bcLut = s.sparkContext.broadcast(lut)
+    val scoreUdf = udf((cs: Seq[Long]) => {
+      bcLut.value.toSeq.map { case (qid, tabs) =>
+        var sc = 0.0
+        var mi = 0
+        while (mi < tabs.length) { sc += tabs(mi)(cs(mi).toInt); mi += 1 }
+        (qid, sc)
+      }
+    })
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    codes.select(col("vec_id"), explode(scoreUdf(col("codes"))).as("qs"))
+      .select(col("qs._1").as("qid"), col("vec_id"), col("qs._2").as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Semantic CLUSTERS (q113) — the q58 shape for embeddings: the
     * cosine-gated k-NN edge set (same exact pipeline as
     * [[semanticDedup]], un-filtered by id order, symmetrized) feeds the

@@ -45,6 +45,66 @@ class PqSpec extends SparkSpecBase {
     assert(two == brute)
   }
 
+  test("stored PQ artifact: ADC over written codes matches a driver replay; staleness guarded") {
+    val rnd = new scala.util.Random(61L)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    val rows = (0 until 160).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f).toSeq)
+    }
+    val path = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    VectorOps.writeIvfIndex(rows.toDF("vec_id", "embedding"), path, cells = 8)
+    VectorOps.writePqCodes(spark, path, m = 4, subDim = 16, codewords = 16)
+    val queries = Seq((900L, rows(3)._2), (901L, rows(12)._2))
+      .toDF("qid", "embedding")
+    val got = VectorOps.probePqIndex(spark, path, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // ground truth: replay ADC scoring on the driver from the STORED
+    // books and codes — the artifact, not the trainer, is what is pinned
+    val gen = VectorOps.indexGenDir(spark, path)
+    val books = spark.read.parquet(s"$gen/pq/books").collect()
+      .map(r => ((r.getInt(0), r.getLong(1)),
+        (r.getSeq[Long](2).toArray, r.getLong(3)))).toMap
+    val codes = spark.read.parquet(s"$gen/pq/codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    // integer scaling via the same string→decimal route the engine uses
+    def ivExact(v: Seq[Float]): Array[Long] =
+      v.map(x => (BigDecimal(x.toString).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP) * BigDecimal(1000000000L))
+        .toLongExact).toArray
+    val expected = Seq((900L, rows(3)._2), (901L, rows(12)._2)).flatMap {
+      case (qid, qv) =>
+        val qiv = ivExact(qv)
+        val scored = codes.map { case (vid, cs) =>
+          var sc = 0.0
+          (0 until 4).foreach { mi =>
+            val (csum, cn) = books((mi, cs(mi)))
+            var acc = BigInt(0)
+            (0 until 16).foreach(j => acc += BigInt(qiv(mi * 16 + j)) * csum(j))
+            sc += acc.toDouble / cn.toDouble
+          }
+          (vid, sc)
+        }
+        scored.sortBy { case (vid, sc) => (-sc, vid) }.take(5).zipWithIndex
+          .map { case ((vid, _), i) => (qid, vid, (i + 1).toLong) }
+    }
+    assert(got == expected)
+
+    // staleness: an unretrained append grows the corpus past the codes —
+    // scoring a partial corpus silently would be a wrong answer
+    VectorOps.appendToIvfIndex(spark, path,
+      Seq((500L, rows(0)._2)).toDF("vec_id", "embedding"),
+      retrainThreshold = 10.0, retrainCells = 8)
+    val ex = intercept[IllegalStateException] {
+      VectorOps.probePqIndex(spark, path, queries, k = 5).collect()
+    }
+    assert(ex.getMessage.contains("stale"))
+    // recompute covers the grown corpus
+    VectorOps.writePqCodes(spark, path, m = 4, subDim = 16, codewords = 16)
+    assert(VectorOps.probePqIndex(spark, path, queries, k = 5).count() == 10L)
+  }
+
   test("cluster routing: every ADC hit shares the query's cluster") {
     val rnd = new scala.util.Random(31L)
     val centers = Array.fill(8)(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
