@@ -1076,30 +1076,6 @@ object VectorOps {
         slice(col("iv"), 1 + mi * subDim, subDim).as("siv")),
         subDim, codewords)
     }.toArray
-    val bcBooks = s.sparkContext.broadcast(books)
-    val codesUdf = udf((iv: Seq[Long]) => {
-      val bs = bcBooks.value
-      val out = new Array[Long](bs.length)
-      var mi = 0
-      while (mi < bs.length) {
-        val siv = iv.slice(mi * subDim, (mi + 1) * subDim)
-        val book = bs(mi)
-        var bestK = Double.MaxValue
-        var bestC = Long.MaxValue
-        var c = 0
-        while (c < book.length) {
-          val (cw, csum, cn) = book(c)
-          val dk = ExactInt.cellKey(siv, csum, cn)
-          if (dk < bestK || (dk == bestK && cw < bestC)) {
-            bestK = dk; bestC = cw
-          }
-          c += 1
-        }
-        out(mi) = bestC
-        mi += 1
-      }
-      out.toSeq
-    })
     val hfs = hfsOf(s, genDir)
     val tmp = new org.apache.hadoop.fs.Path(s"$genDir/.pq_tmp")
     hfs.delete(tmp, true)
@@ -1108,7 +1084,8 @@ object VectorOps {
       book.map { case (cw, csum, cn) => (mi, cw, csum.toSeq, cn) }
     }.toSeq.toDF("m", "cw", "csum", "cn")
       .coalesce(1).write.parquet(s"$tmp/books")
-    corpus.select(col("vec_id"), codesUdf(col("iv")).as("codes"))
+    corpus.select(col("vec_id"),
+        pqCodesCol(s, books, subDim)(col("iv")).as("codes"))
       .write.parquet(s"$tmp/codes")
     val ok = hfs.create(
       new org.apache.hadoop.fs.Path(s"$tmp/$OkSentinel"), true)
@@ -1132,46 +1109,39 @@ object VectorOps {
     if (!hfs.exists(new org.apache.hadoop.fs.Path(s"$genDir/pq/$OkSentinel")))
       throw new IllegalStateException(
         s"no (or torn) PQ artifact in $genDir — run writePqCodes")
-    val books = s.read.parquet(s"$genDir/pq/books")
+    val flat = s.read.parquet(s"$genDir/pq/books")
       .select(col("m"), col("cw"), col("csum"), col("cn")).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray,
         r.getLong(3)))
-    val m = books.map(_._1).max + 1
-    val subDim = books.head._3.length
+    val m = flat.map(_._1).max + 1
+    val books: Array[Codebook] = (0 until m).map { mi =>
+      flat.filter(_._1 == mi)
+        .map { case (_, cw, csum, cn) => (cw, csum, cn) }.sortBy(_._1)
+    }.toArray
+    val subDim = books.head.head._2.length
     val codes = s.read.parquet(s"$genDir/pq/codes")
-    val nCodes = codes.count()
-    val nLive = liveCorpus(s, genDir).count()
-    if (nCodes != nLive)
+    // staleness is an ID-SET property, not a count: a delete plus an
+    // equal-size append keeps the counts matched while the codes table
+    // still scores tombstoned rows and misses the live appends — the
+    // symmetric anti-join catches any divergence
+    val codeIds = codes.select(col("vec_id"))
+    val liveIds = liveCorpus(s, genDir).select(col("vec_id"))
+    val nDiverged =
+      codeIds.join(liveIds, Seq("vec_id"), "left_anti").count() +
+        liveIds.join(codeIds, Seq("vec_id"), "left_anti").count()
+    if (nDiverged != 0L)
       throw new IllegalStateException(
-        s"PQ codes stale: $nCodes coded vs $nLive live corpus rows — " +
-          "re-run writePqCodes after appends/deletes")
+        s"PQ codes stale: $nDiverged vec_ids diverge between the codes " +
+          "table and the live corpus — re-run writePqCodes after " +
+          "appends/deletes")
     val qArr = queries.select(col("qid"),
       intVec(col("embedding")).as("qiv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
-    val lut: Array[(Long, Array[Array[Double]])] = qArr.map { case (qid, qiv) =>
-      (qid, Array.tabulate(m) { mi =>
-        val qslice: Seq[Long] =
-          qiv.slice(mi * subDim, (mi + 1) * subDim).toSeq
-        val arr = new Array[Double](
-          books.filter(_._1 == mi).map(_._2).max.toInt + 1)
-        books.filter(_._1 == mi).foreach { case (_, cw, csum, cn) =>
-          arr(cw.toInt) = ExactInt.dotRaw(qslice, csum) / cn.toDouble
-        }
-        arr
-      })
-    }
-    val bcLut = s.sparkContext.broadcast(lut)
-    val scoreUdf = udf((cs: Seq[Long]) => {
-      bcLut.value.toSeq.map { case (qid, tabs) =>
-        var sc = 0.0
-        var mi = 0
-        while (mi < tabs.length) { sc += tabs(mi)(cs(mi).toInt); mi += 1 }
-        (qid, sc)
-      }
-    })
+    val lut = adcLut(books, subDim, qArr)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("vec_id"))
-    codes.select(col("vec_id"), explode(scoreUdf(col("codes"))).as("qs"))
+    codes.select(col("vec_id"),
+        explode(adcScoresCol(s, lut)(col("codes"))).as("qs"))
       .select(col("qs._1").as("qid"), col("vec_id"), col("qs._2").as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -1302,6 +1272,74 @@ object VectorOps {
     collectBook(upd(assign(collectBook(upd(seeded)))))
   }
 
+  /** Fused all-subspace PQ code assignment as a Column over the full iv
+    * — ONE home for the argmin loop, shared by the inline scorer and
+    * the stored-artifact writer (a tie-break or key-formula change must
+    * never be able to diverge between them). */
+  private def pqCodesCol(s: SparkSession, books: Array[Codebook],
+      subDim: Int)(iv: Column): Column = {
+    val bcBooks = s.sparkContext.broadcast(books)
+    val u = udf((ivv: Seq[Long]) => {
+      val bs = bcBooks.value
+      val out = new Array[Long](bs.length)
+      var mi = 0
+      while (mi < bs.length) {
+        val siv = ivv.slice(mi * subDim, (mi + 1) * subDim)
+        val book = bs(mi)
+        var bestK = Double.MaxValue
+        var bestC = Long.MaxValue
+        var c = 0
+        while (c < book.length) {
+          val (cw, csum, cn) = book(c)
+          val dk = ExactInt.cellKey(siv, csum, cn)
+          if (dk < bestK || (dk == bestK && cw < bestC)) {
+            bestK = dk; bestC = cw
+          }
+          c += 1
+        }
+        out(mi) = bestC
+        mi += 1
+      }
+      out.toSeq
+    })
+    u(iv)
+  }
+
+  /** Per-query ADC lookup tables: term(q, mi, cw) = exact(q_mi·csum)/cn,
+    * sized to each book's max codeword id. Shared by the inline scorer
+    * and the stored-artifact probe. */
+  private def adcLut(books: Array[Codebook], subDim: Int,
+      qArr: Array[(Long, Array[Long])]): Array[(Long, Array[Array[Double]])] =
+    qArr.map { case (qid, qiv) =>
+      (qid, books.zipWithIndex.map { case (book, mi) =>
+        val qslice: Seq[Long] =
+          qiv.slice(mi * subDim, (mi + 1) * subDim).toSeq
+        val arr = new Array[Double](
+          book.map(_._1).foldLeft(-1L)(math.max).toInt + 1)
+        book.foreach { case (cw, csum, cn) =>
+          arr(cw.toInt) = ExactInt.dotRaw(qslice, csum) / cn.toDouble
+        }
+        arr
+      })
+    }
+
+  /** (qid, score) pairs per corpus row from its codes column — the m
+    * table hits added in SUBSPACE ORDER (float addition is not
+    * associative; the oracles pivot and add in the same order). */
+  private def adcScoresCol(s: SparkSession,
+      lut: Array[(Long, Array[Array[Double]])])(codes: Column): Column = {
+    val bcLut = s.sparkContext.broadcast(lut)
+    val u = udf((cs: Seq[Long]) => {
+      bcLut.value.toSeq.map { case (qid, tabs) =>
+        var sc = 0.0
+        var mi = 0
+        while (mi < tabs.length) { sc += tabs(mi)(cs(mi).toInt); mi += 1 }
+        (qid, sc)
+      }
+    })
+    u(codes)
+  }
+
   /** PQ-ADC top-k (q111): the memory-bounded ANN variant — each corpus
     * vector is stored as `m` sub-codeword ids (m bytes-per-vector class
     * storage vs 64 floats; here 4 longs for schema simplicity), and a
@@ -1401,56 +1439,14 @@ object VectorOps {
         subDim, codewords)
     }.toArray
     // fused code assignment: one map pass, all m subspaces per row
-    val bcBooks = s.sparkContext.broadcast(books)
-    val codesUdf = udf((iv: Seq[Long]) => {
-      val bs = bcBooks.value
-      val out = new Array[Long](bs.length)
-      var mi = 0
-      while (mi < bs.length) {
-        val siv = iv.slice(mi * subDim, (mi + 1) * subDim)
-        val book = bs(mi)
-        var bestK = Double.MaxValue
-        var bestC = Long.MaxValue
-        var c = 0
-        while (c < book.length) {
-          val (cw, csum, cn) = book(c)
-          val dk = ExactInt.cellKey(siv, csum, cn)
-          if (dk < bestK || (dk == bestK && cw < bestC)) {
-            bestK = dk; bestC = cw
-          }
-          c += 1
-        }
-        out(mi) = bestC
-        mi += 1
-      }
-      out.toSeq
-    })
-    val codes = corpus.select(col("vec_id"), codesUdf(col("iv")).as("codes"))
-    // per-query ADC lookup tables: term(q, mi, cw) = exact(q_mi · csum)/cn
+    val codes = corpus.select(col("vec_id"),
+      pqCodesCol(s, books, subDim)(col("iv")).as("codes"))
     val qArr = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("iv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
-    val lut: Array[(Long, Array[Array[Double]])] = qArr.map { case (qid, qiv) =>
-      (qid, Array.tabulate(m) { mi =>
-        val qslice: Seq[Long] =
-          qiv.slice(mi * subDim, (mi + 1) * subDim).toSeq
-        val arr = new Array[Double](codewords)
-        books(mi).foreach { case (cw, csum, cn) =>
-          arr(cw.toInt) = ExactInt.dotRaw(qslice, csum) / cn.toDouble
-        }
-        arr
-      })
-    }
-    val bcLut = s.sparkContext.broadcast(lut)
-    val scoreUdf = udf((codes: Seq[Long]) => {
-      bcLut.value.toSeq.map { case (qid, tabs) =>
-        var sc = 0.0
-        var mi = 0
-        while (mi < tabs.length) { sc += tabs(mi)(codes(mi).toInt); mi += 1 }
-        (qid, sc)
-      }
-    })
-    codes.select(col("vec_id"), explode(scoreUdf(col("codes"))).as("qs"))
+    val lut = adcLut(books, subDim, qArr)
+    codes.select(col("vec_id"),
+        explode(adcScoresCol(s, lut)(col("codes"))).as("qs"))
       .select(col("qs._1").as("qid"), col("vec_id"), col("qs._2").as("score"))
   }
 

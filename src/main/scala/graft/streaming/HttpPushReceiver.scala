@@ -30,7 +30,17 @@ import org.apache.spark.sql.types.StructType
   * production.
   */
 class HttpPushReceiver(spoolDir: String, port: Int = 0) {
-  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  // Resume the spool sequence PAST anything already on disk: a fresh
+  // receiver over an existing spool (the restart flow) restarting at 0
+  // would silently OVERWRITE spooled files via ATOMIC_MOVE — and the
+  // file-stream checkpoint has already marked those names processed, so
+  // the new message would be ACKed yet never enter the stream.
+  private val seq = new java.util.concurrent.atomic.AtomicLong(
+    Option(new java.io.File(spoolDir).listFiles()).toSeq.flatten
+      .map(_.getName)
+      .collect { case n if n.startsWith("msg_") && n.endsWith(".json") =>
+        n.stripPrefix("msg_").stripSuffix(".json").toLong }
+      .foldLeft(0L)(math.max))
   private val server = com.sun.net.httpserver.HttpServer.create(
     new java.net.InetSocketAddress("127.0.0.1", port), 0)
 
@@ -41,9 +51,24 @@ class HttpPushReceiver(spoolDir: String, port: Int = 0) {
       // zero-padded sequence keeps spool listing order = arrival order
       val name = f"msg_$n%012d.json"
       val tmp = java.nio.file.Paths.get(spoolDir, s".$name.tmp")
-      java.nio.file.Files.write(tmp, body)
+      // DSYNC: the BYTES are on stable storage before the rename — an
+      // ACK backed only by the page cache is the in-memory-queue failure
+      // mode the class contract exists to rule out (power loss after a
+      // cached ACK would lose a message the bus will never redeliver)
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+        java.nio.file.StandardOpenOption.DSYNC)
+      try ch.write(java.nio.ByteBuffer.wrap(body)) finally ch.close()
       java.nio.file.Files.move(tmp, java.nio.file.Paths.get(spoolDir, name),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // ...and the DIRECTORY ENTRY too: the rename itself lives in the
+      // directory inode, which has its own writeback
+      val dch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(spoolDir),
+        java.nio.file.StandardOpenOption.READ)
+      try dch.force(true) finally dch.close()
       // ACK only now: the message is durable — a crash anywhere above
       // leaves it un-ACKed and the bus redelivers (at-least-once kept)
       val resp = "{\"ok\":true}".getBytes("UTF-8")

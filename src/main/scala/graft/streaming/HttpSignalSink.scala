@@ -66,12 +66,22 @@ object HttpSignalSink {
                 rows.foreach { r =>
                   val key = r.getString(0)
                   val otp = r.getString(1)
+                  // PATH-segment encoding, not form encoding: URLEncoder
+                  // is application/x-www-form-urlencoded, which maps a
+                  // space to '+' — a URI path does NOT decode '+' back,
+                  // so "user 1" would silently signal resource "user+1"
                   val keyEnc = java.net.URLEncoder.encode(key, "UTF-8")
+                    .replace("+", "%20")
                   val body = s"""{"otp":"${otp.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
                   val req = java.net.http.HttpRequest
                     .newBuilder(java.net.URI.create(s"$base/$keyEnc/receive_otp"))
                     .header("Content-Type", "application/json")
-                    .header("Idempotency-Key", s"graft-$batchId-$key")
+                    // the token carries the ENCODED key: header values
+                    // must be ASCII without CR/LF — a raw key with
+                    // either would throw in the builder and wedge the
+                    // batch as a poison pill; the encoded form is both
+                    // header-safe and still deterministic per (batch, key)
+                    .header("Idempotency-Key", s"graft-$batchId-$keyEnc")
                     .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
                     .build()
                   val resp = client.send(req,

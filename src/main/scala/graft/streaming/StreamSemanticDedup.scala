@@ -138,8 +138,14 @@ object StreamSemanticDedup {
         if (!kept.isEmpty)
           VectorOps.writeIvfIndex(kept, cfg.indexPath, cfg.cells)
       } else {
+        // NO broadcast hint on the ledger: it is the FULL live-corpus id
+        // column — forcing it into a broadcast would collect the whole
+        // index's ids to the driver every batch and break precisely at
+        // the corpus scales this pipeline targets. The planner keeps the
+        // one-column anti-join a shuffle join when the ledger is big and
+        // broadcasts it itself (via AQE) while it is genuinely small.
         val missing = kept.join(
-          broadcast(VectorOps.ivfIndexIds(s, cfg.indexPath)),
+          VectorOps.ivfIndexIds(s, cfg.indexPath),
           Seq("vec_id"), "left_anti")
         if (!missing.isEmpty)
           VectorOps.appendToIvfIndex(s, cfg.indexPath, missing,

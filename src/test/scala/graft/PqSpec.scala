@@ -103,6 +103,23 @@ class PqSpec extends SparkSpecBase {
     // recompute covers the grown corpus
     VectorOps.writePqCodes(spark, path, m = 4, subDim = 16, codewords = 16)
     assert(VectorOps.probePqIndex(spark, path, queries, k = 5).count() == 10L)
+    // COUNT-MATCHED divergence: delete one id, append a different one —
+    // row counts agree again, but the codes table scores a tombstoned
+    // row and misses the live one; the id-set guard must still fire
+    VectorOps.deleteFromIvfIndex(spark, path,
+      Seq(7L).toDF("vec_id"), rewriteThreshold = 0.9, retrainCells = 8)
+    VectorOps.appendToIvfIndex(spark, path,
+      Seq((501L, rows(1)._2)).toDF("vec_id", "embedding"),
+      retrainThreshold = 10.0, retrainCells = 8)
+    val ex2 = intercept[IllegalStateException] {
+      VectorOps.probePqIndex(spark, path, queries, k = 5).collect()
+    }
+    assert(ex2.getMessage.contains("stale"),
+      "count-matched delete+append must still be detected as stale")
+    VectorOps.writePqCodes(spark, path, m = 4, subDim = 16, codewords = 16)
+    val fresh = VectorOps.probePqIndex(spark, path, queries, k = 5)
+      .collect().map(_.getLong(1))
+    assert(!fresh.contains(7L), "a tombstoned row surfaced after recompute")
   }
 
   test("cluster routing: every ADC hit shares the query's cluster") {

@@ -77,6 +77,10 @@ class HttpLoopSpec extends SparkSpecBase {
       assert(post(rcv.endpoint, """{"mailbox":"a@x","historyId":5}""") == 200)
       assert(post(rcv.endpoint, """{"mailbox":"b@y","historyId":8}""") == 200)
       assert(post(rcv.endpoint, """{"mailbox":"a@x","historyId":5}""") == 200) // redelivery
+      // a key with a SPACE: path-segment encoding must produce %20, not
+      // the form-encoded '+' (which a URI path would NOT decode back —
+      // the signal would silently route to the wrong resource)
+      assert(post(rcv.endpoint, """{"mailbox":"c d@z","historyId":2}""") == 200)
       val q1 = run()
       q1.processAllAvailable()
       q1.stop()
@@ -84,7 +88,8 @@ class HttpLoopSpec extends SparkSpecBase {
       val leg1 = hits.asScala.toSeq
       assert(leg1.map(h => (h._1, h._3)).sorted == Seq(
         ("/a@x/receive_otp", """{"otp":"5"}"""),
-        ("/b@y/receive_otp", """{"otp":"8"}""")).sorted,
+        ("/b@y/receive_otp", """{"otp":"8"}"""),
+        ("/c d@z/receive_otp", """{"otp":"2"}""")).sorted,
         s"leg 1 signals wrong: $leg1")
       hits.clear()
 

@@ -77,4 +77,27 @@ class HttpPushReceiverSpec extends SparkSpecBase {
         "restart must process only new spool files, and 4 < 9 is stale")
     } finally rcv.stop()
   }
+
+  test("receiver restart resumes the spool sequence — never overwrites a spooled file") {
+    val spool = java.nio.file.Files.createTempDirectory("push_seq").toString
+    val rcv1 = new HttpPushReceiver(spool)
+    try {
+      assert(post(rcv1.endpoint, """{"mailbox":"m","historyId":1}""") == 200)
+      assert(post(rcv1.endpoint, """{"mailbox":"m","historyId":2}""") == 200)
+    } finally rcv1.stop()
+    val before = new java.io.File(spool).listFiles()
+      .filter(_.getName.startsWith("msg_")).map(_.getName).toSet
+    // a FRESH receiver over the same spool (crash-restart flow): its
+    // sequence must resume past the existing files — restarting at 0
+    // would ATOMIC_MOVE over msg_000000000001.json, destroying a spooled
+    // message the stream checkpoint already considers processed
+    val rcv2 = new HttpPushReceiver(spool)
+    try {
+      assert(post(rcv2.endpoint, """{"mailbox":"m","historyId":3}""") == 200)
+    } finally rcv2.stop()
+    val after = new java.io.File(spool).listFiles()
+      .filter(_.getName.startsWith("msg_")).map(_.getName).toSet
+    assert(before.subsetOf(after), "restart overwrote spooled files")
+    assert(after.size == 3, s"expected 3 distinct spool files, got $after")
+  }
 }
