@@ -391,6 +391,50 @@ object ScaleSmoke {
           "of raw vectors)")
       }
       spark.catalog.clearCache()
+
+      // IVFADC (q114's stored form): PQ codes attached to the written
+      // index PARTITIONED BY the coarse cell, then an external-query
+      // probe that ADC-scans only the probed cells' code files. The
+      // reported fraction — codes bytes actually read / total codes
+      // bytes — is the measurement behind "IVF prunes the ADC": flat PQ
+      // reads 100% of codes per query batch, IVFADC reads ~nprobe/cells.
+      {
+        val t4 = System.nanoTime()
+        VectorOps.writePqCodes(spark, idxPath, m = 4, subDim = 16,
+          codewords = 16)
+        val tw2 = (System.nanoTime() - t4) / 1e9
+        val gen = VectorOps.indexGenDir(spark, idxPath)
+        val codesTotal = {
+          def sz(f: java.io.File): Long =
+            if (f.isDirectory)
+              Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+                .map(sz).sum
+            else f.length()
+          sz(new java.io.File(s"$gen/pq/codes"))
+        }
+        val t5 = System.nanoTime()
+        val adc = VectorOps.probeIvfPqIndex(spark, idxPath, queries,
+          k = 5, nprobe = 2, shortlist = 50)
+        val adcRows = adc.count()
+        val ta = (System.nanoTime() - t5) / 1e9
+        adc.queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.metadata.get("Location").exists(_.contains("codes")) => f
+        }.headOption match {
+          case Some(scan) =>
+            val selBytes = scan.selectedPartitions.totalFileSize
+            val pct = if (codesTotal > 0)
+              f"${100.0 * selBytes / codesTotal}%.1f%%" else "n/a"
+            println(f"SCALE ivfadc             $ta%8.2f s  rows=$adcRows  " +
+              f"(pq-write $tw2%.2f s) codes-read=$selBytes/$codesTotal " +
+              s"bytes ($pct of the codes table)")
+          case None =>
+            println(f"SCALE ivfadc             $ta%8.2f s  rows=$adcRows  " +
+              f"(pq-write $tw2%.2f s) codes-read=?/$codesTotal bytes " +
+              "(no FileSourceScanExec over codes — prune metric unavailable)")
+        }
+      }
+      spark.catalog.clearCache()
     }
 
     // q43-shaped embedding near-dup at mult× (exact vector copies share a

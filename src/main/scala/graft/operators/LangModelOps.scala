@@ -111,6 +111,97 @@ object LangModelOps {
     (3000004L, "los ninos caminaban hacia la vieja escuela por la manana"),
     (3000005L, "zz qq xx"))
 
+  // ─── trained quality classifier (q115) ───
+
+  /** Whitespace tokens of lower-cased `c`, empties dropped (a leading
+    * separator yields an empty first split element in both engines). */
+  private def wsTokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  /** Labeled quality training table — the stand-in for a curated
+    * labeled set (VALUES-expressible so the oracle trains the identical
+    * model): `hi` rows are clean prose, `lo` rows are the junk classes
+    * the heuristic gates (q32/q52) target — keyword spam, repetition,
+    * boilerplate, symbol noise. */
+  val qualityTrainRows: Seq[(String, String)] = Seq(
+    ("hi", "the committee reviewed the proposal and published its findings"),
+    ("hi", "researchers measured the effect of temperature on reaction rates"),
+    ("hi", "the novel follows a family across three generations of change"),
+    ("hi", "engineers designed the bridge to withstand seasonal flooding"),
+    ("hi", "the report explains how local markets adapted to new policies"),
+    ("hi", "students presented their analysis of the survey results"),
+    ("hi", "the museum opened a new exhibit on early navigation tools"),
+    ("hi", "farmers rotated their crops to preserve the soil quality"),
+    ("lo", "click here buy now free free free limited offer click here"),
+    ("lo", "win win win cash prize click subscribe now now now"),
+    ("lo", "aaa bbb ccc aaa bbb ccc aaa bbb ccc aaa"),
+    ("lo", "best deal best deal best price buy buy buy cheap cheap"),
+    ("lo", "lorem ipsum dolor sit amet lorem ipsum dolor sit amet"),
+    ("lo", "subscribe like share subscribe like share subscribe like"),
+    ("lo", "xxx 000 $$$ !!! xxx 000 $$$ !!! xxx 000"),
+    ("lo", "home home contact about home links home contact about home"))
+
+  /** Held-out sentences (never in training): routing must come from the
+    * LEARNED token weights alone. */
+  val qualityTestRows: Seq[(Long, String)] = Seq(
+    (4000001L, "the city council approved the plan after a public review"),
+    (4000002L, "scientists published the results of the field measurements"),
+    (4000003L, "free free click now buy buy subscribe win cash offer"),
+    (4000004L, "deal deal cheap cheap buy now click here free prize"))
+
+  /** Train the integer token weights: per training token, its
+    * occurrence count in each class, plus the class token totals
+    * (broadcast-bounded: |training vocabulary| rows + one totals row).
+    * Returns (weights, totals). */
+  def trainQualityWeights(train: DataFrame): (DataFrame, DataFrame) = {
+    val tok = train.select(col("label"),
+      explode(wsTokens(col("text"))).as("w"))
+    val weights = tok.groupBy(col("w")).agg(
+      sum(when(col("label") === "hi", 1L).otherwise(0L)).as("cnt_hi"),
+      sum(when(col("label") === "lo", 1L).otherwise(0L)).as("cnt_lo"))
+    val totals = tok.agg(
+      sum(when(col("label") === "hi", 1L).otherwise(0L)).as("t_hi"),
+      sum(when(col("label") === "lo", 1L).otherwise(0L)).as("t_lo"))
+    (weights, totals)
+  }
+
+  /** Trained quality classifier (q115) — the learned counterpart of the
+    * q32/q52 heuristic gates, closing the curation stack's
+    * heuristic→learned story. Multinomial class-frequency scoring in
+    * EXACT INTEGERS: a doc's class score is Σ_w count_w(doc) ·
+    * cnt_class(w), compared CROSS-MULTIPLIED by the opposite class's
+    * token total (s_hi = raw_hi·t_lo vs s_lo = raw_lo·t_hi — the
+    * integer form of comparing class-normalized frequencies
+    * raw_hi/t_hi vs raw_lo/t_lo), so training, scoring, and the argmax
+    * are all integer-exact and the DuckDB oracle retrains the identical
+    * model. Ties — including zero-evidence docs — route to `lo` (the
+    * conservative curation default: unknown text does not pass a
+    * quality gate). Bounded-float-free by construction: no logs, no
+    * smoothing constants to round.
+    *
+    * Scale shape: the weight table is |training vocab| rows —
+    * broadcast; doc tokenization is a map-side generator; the score
+    * aggregation partial-aggregates map-side into one row per doc
+    * before the shuffle. Train once, classify any corpus. */
+  def qualityClassify(docs: DataFrame, weights: DataFrame,
+      totals: DataFrame): DataFrame = {
+    val dtok = docs.select(col("doc_id"),
+      explode(wsTokens(col("text"))).as("w"))
+    val raw = dtok.join(broadcast(weights), "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt_hi")).as("raw_hi"), sum(col("cnt_lo")).as("raw_lo"))
+    docs.select(col("doc_id")).join(raw, Seq("doc_id"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("s_hi", coalesce(col("raw_hi"), lit(0L)) * col("t_lo"))
+      .withColumn("s_lo", coalesce(col("raw_lo"), lit(0L)) * col("t_hi"))
+      .select(col("doc_id"),
+        when(col("s_hi") > col("s_lo"), lit("hi")).otherwise(lit("lo"))
+          .as("pred_label"),
+        col("s_hi").cast("long").as("s_hi"),
+        col("s_lo").cast("long").as("s_lo"))
+      .orderBy(col("doc_id"))
+  }
+
   // ─── true BPE (merge loop) ───
 
   /** The merge table, rank-ordered. WELL-FORMED by construction: each
@@ -187,12 +278,30 @@ object LangModelOps {
         .select(col("doc_id"), col("b._1").as("n_words"),
           col("b._2").as("n_bpe_tokens"))
         .orderBy(col("doc_id"))
+    }),
+
+    // trained quality classifier over corpus + held-out sentences:
+    // integer token weights learned from the labeled table, never from
+    // the prediction set; cross-multiplied class-frequency argmax
+    "q115_quality_classifier" -> ((s, d) => {
+      import s.implicits._
+      val (weights, totals) =
+        trainQualityWeights(qualityTrainRows.toDF("label", "text"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(qualityTestRows.toDF("doc_id", "text"))
+      qualityClassify(Tables.spread(docs), weights, totals)
     }))
 
   private def trainValues: String = langTrainRows
     .map { case (l, t) => s"('$l', '$t')" }.mkString(",\n             ")
 
   private def testValues: String = langTestRows
+    .map { case (id, t) => s"($id, '$t')" }.mkString(",\n             ")
+
+  private def qualityTrainValues: String = qualityTrainRows
+    .map { case (l, t) => s"('$l', '$t')" }.mkString(",\n             ")
+
+  private def qualityTestValues: String = qualityTestRows
     .map { case (id, t) => s"($id, '$t')" }.mkString(",\n             ")
 
   /** Rank-sequential replacement on the spaced-symbol form — equivalent
@@ -269,5 +378,50 @@ object LangModelOps {
          SELECT d.doc_id, CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
            CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
          FROM documents d LEFT JOIN agg a USING (doc_id)
-         ORDER BY d.doc_id""")
+         ORDER BY d.doc_id""",
+
+    // the full train→classify mirror: identical integer token weights,
+    // identical cross-multiplied class-frequency scores, identical
+    // tie-to-lo argmax
+    "q115_quality_classifier" ->
+      s"""WITH train(label, text) AS (VALUES
+             $qualityTrainValues),
+         tok_t AS (
+           SELECT label,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+               x -> x <> '')) AS w
+           FROM train),
+         weights AS (
+           SELECT w,
+             sum(CASE WHEN label = 'hi' THEN 1 ELSE 0 END) AS cnt_hi,
+             sum(CASE WHEN label = 'lo' THEN 1 ELSE 0 END) AS cnt_lo
+           FROM tok_t GROUP BY w),
+         totals AS (
+           SELECT
+             sum(CASE WHEN label = 'hi' THEN 1 ELSE 0 END) AS t_hi,
+             sum(CASE WHEN label = 'lo' THEN 1 ELSE 0 END) AS t_lo
+           FROM tok_t),
+         corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             $qualityTestValues) v(doc_id, text)),
+         dtok AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+               x -> x <> '')) AS w
+           FROM corpus),
+         raw AS (
+           SELECT d.doc_id, sum(wt.cnt_hi) AS raw_hi,
+             sum(wt.cnt_lo) AS raw_lo
+           FROM dtok d JOIN weights wt USING (w)
+           GROUP BY d.doc_id)
+         SELECT c.doc_id,
+           CASE WHEN coalesce(r.raw_hi, 0) * t.t_lo >
+                     coalesce(r.raw_lo, 0) * t.t_hi
+             THEN 'hi' ELSE 'lo' END AS pred_label,
+           CAST(coalesce(r.raw_hi, 0) * t.t_lo AS BIGINT) AS s_hi,
+           CAST(coalesce(r.raw_lo, 0) * t.t_hi AS BIGINT) AS s_lo
+         FROM corpus c LEFT JOIN raw r USING (doc_id) CROSS JOIN totals t
+         ORDER BY c.doc_id""")
 }

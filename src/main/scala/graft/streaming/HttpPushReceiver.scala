@@ -38,8 +38,12 @@ class HttpPushReceiver(spoolDir: String, port: Int = 0) {
   private val seq = new java.util.concurrent.atomic.AtomicLong(
     Option(new java.io.File(spoolDir).listFiles()).toSeq.flatten
       .map(_.getName)
-      .collect { case n if n.startsWith("msg_") && n.endsWith(".json") =>
-        n.stripPrefix("msg_").stripSuffix(".json").toLong }
+      // guarded parse: a foreign/corrupt file in the spool dir (e.g.
+      // msg_readme.json) must be ignored, not fatal to the constructor
+      .flatMap { n =>
+        if (n.startsWith("msg_") && n.endsWith(".json"))
+          scala.util.Try(n.stripPrefix("msg_").stripSuffix(".json").toLong).toOption
+        else None }
       .foldLeft(0L)(math.max))
   private val server = com.sun.net.httpserver.HttpServer.create(
     new java.net.InetSocketAddress("127.0.0.1", port), 0)
@@ -65,10 +69,17 @@ class HttpPushReceiver(spoolDir: String, port: Int = 0) {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       // ...and the DIRECTORY ENTRY too: the rename itself lives in the
       // directory inode, which has its own writeback
-      val dch = java.nio.channels.FileChannel.open(
-        java.nio.file.Paths.get(spoolDir),
-        java.nio.file.StandardOpenOption.READ)
-      try dch.force(true) finally dch.close()
+      // Directory fsync is best-effort (the Lucene IOUtils.fsync
+      // convention): opening/forcing a directory channel throws on
+      // Windows and some network filesystems, and a failure here must
+      // not turn an already-durably-renamed message into a 500 NACK.
+      // The file-DATA sync above stays strict.
+      try {
+        val dch = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(spoolDir),
+          java.nio.file.StandardOpenOption.READ)
+        try dch.force(true) finally dch.close()
+      } catch { case _: java.io.IOException => () }
       // ACK only now: the message is durable — a crash anywhere above
       // leaves it un-ACKed and the bus redelivers (at-least-once kept)
       val resp = "{\"ok\":true}".getBytes("UTF-8")

@@ -31,6 +31,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * task/batch so Spark retries it — at-least-once at the transport,
   * exactly-once end-to-end via the token.
   *
+  * '''Upgrade note (token format):''' as of round 11 the Idempotency-Key
+  * carries the percent-ENCODED key (`graft-<batchId>-<keyEnc>`), where
+  * earlier builds used the raw key. A torn posted-but-uncommitted batch
+  * replayed across that version boundary re-POSTs with different tokens
+  * and can double-apply at the receiver. Operators upgrading a live
+  * pipeline should drain in-flight batches (let the ledger marker land)
+  * before swapping the jar.
+  *
   * `afterPost(batchId)` runs driver-side after the batch's POSTs succeed
   * and BEFORE the ledger commit — an ops/metrics hook, and the fault
   * injection point the kill-restart spec uses to prove the torn window
@@ -98,9 +106,24 @@ object HttpSignalSink {
           // just replays into the idempotency-token layer above
           val tmp = new org.apache.hadoop.fs.Path(s"$ledgerDir/.tmp_batch_$batchId")
           fs.mkdirs(tmp)
-          fs.rename(tmp, marker)
-          ()
+          commitMarker(fs, tmp, marker)
         }
       }
       .start()
+
+  /** Publish the ledger marker, ENFORCING the rename contract.
+    *
+    * HDFS-style FileSystems report rename failure by returning false,
+    * not throwing. The ledger's contract is "existence ⟹ completeness":
+    * a silently-unrenamed marker would re-POST the batch on every future
+    * replay forever. A false return is acceptable only when the marker
+    * already exists — a concurrent attempt won the commit, same outcome.
+    */
+  private[streaming] def commitMarker(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      marker: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(tmp, marker) && !fs.exists(marker))
+      throw new IllegalStateException(
+        s"ledger commit failed: rename $tmp -> $marker returned false " +
+          "and the marker does not exist")
 }

@@ -870,7 +870,10 @@ object IncrementalDedup {
         if (full) hfs.createNewFile(new Path(tmp, "_FULL"))
         val destPath = new Path(dest)
         if (hfs.exists(destPath)) hfs.delete(destPath, true)
-        hfs.rename(new Path(tmp), destPath)
+        // rename returns false (not throw) on HDFS-style failure — enforce
+        if (!hfs.rename(new Path(tmp), destPath) && !hfs.exists(destPath))
+          throw new IllegalStateException(
+            s"state publish failed: rename $tmp -> $destPath returned false")
         // GC: keep the two newest fulls and everything after the older
         // one (any replayed batch ≥ the older full can still fold)
         val vs = versions(spark, s"$stateDir/$kind").sorted

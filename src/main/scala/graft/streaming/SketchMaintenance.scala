@@ -66,7 +66,10 @@ object SketchMaintenance {
     // the merge job and keep the published file set stable
     if (fs.exists(destPath)) return
     merged.write.mode("overwrite").parquet(tmp)
-    fs.rename(new Path(tmp), destPath)
+    // rename returns false (not throw) on HDFS-style failure — enforce
+    if (!fs.rename(new Path(tmp), destPath) && !fs.exists(destPath))
+      throw new IllegalStateException(
+        s"view publish failed: rename $tmp -> $destPath returned false")
     val keep = math.max(2, retainVersions)
     versions(spark, viewDir).sorted.dropRight(keep)
       .foreach(v => fs.delete(new Path(s"$viewDir/v=$v"), true))

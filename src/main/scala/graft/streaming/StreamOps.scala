@@ -134,7 +134,12 @@ object StreamOps {
         if (!fs.exists(destPath)) {
           val tmp = s"$outDir/.tmp_batch_$batchId"
           batch.write.mode("overwrite").parquet(tmp)
-          fs.rename(new org.apache.hadoop.fs.Path(tmp), destPath)
+          // rename returns false (not throw) on HDFS-style failure —
+          // a silent false breaks "existence ⟹ completeness"; enforce
+          if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), destPath) &&
+              !fs.exists(destPath))
+            throw new IllegalStateException(
+              s"publish failed: rename $tmp -> $destPath returned false")
         } else {
           // Publish is skipped, but the batch must still be PROCESSED:
           // when a stateful operator (e.g. the monotone guard's fMGWS)

@@ -124,9 +124,20 @@ object StreamSemanticDedup {
           .select(col("vec_id"),
             col("dup_of").isNull.as("kept"), col("dup_of"))
         val tmp = s"${cfg.outDir}/.tmp_v_$batchId"
-        decisions.write.mode("overwrite").parquet(tmp)
-        cleanup()
-        fs.rename(new Path(tmp), new Path(dest))
+        // try/finally: cleanup() must run even when the decision write
+        // (or the publish rename) throws — otherwise the persisted
+        // training caches from semanticDropSetWithCleanup leak on every
+        // failed attempt, accumulating across restarts of this batch
+        try {
+          decisions.write.mode("overwrite").parquet(tmp)
+          // rename-failure contract: HDFS-style FileSystems return
+          // false instead of throwing; a silent false would leave the
+          // batch unpublished yet "attempted" — enforce existence
+          if (!fs.rename(new Path(tmp), new Path(dest)) &&
+              !fs.exists(new Path(dest)))
+            throw new IllegalStateException(
+              s"decision publish failed: rename $tmp -> $dest returned false")
+        } finally cleanup()
       }
 
       // ---- append survivors, derived from the PUBLISHED decisions ----

@@ -88,7 +88,10 @@ object ViewMaintenance {
     // listing for no reason and wastes the whole merge job.
     if (fs.exists(destPath)) return
     merged.write.mode("overwrite").parquet(tmp)
-    fs.rename(new Path(tmp), destPath)
+    // rename returns false (not throw) on HDFS-style failure — enforce
+    if (!fs.rename(new Path(tmp), destPath) && !fs.exists(destPath))
+      throw new IllegalStateException(
+        s"view publish failed: rename $tmp -> $destPath returned false")
     // GC: the view would otherwise grow one full snapshot per batch.
     // Keep the newest `retainVersions` (min 2 — the newest's predecessor
     // must survive for a latest-batch replay to find its base).

@@ -49,6 +49,37 @@ class LangModelOpsSpec extends SparkSpecBase {
     assert(nonzero > 0.95, s"only ${nonzero * 100}% of corpus rows scored > 0")
   }
 
+  test("q115: held-out docs route by the LEARNED scores alone") {
+    val (weights, totals) = LangModelOps.trainQualityWeights(
+      LangModelOps.qualityTrainRows.toDF("label", "text"))
+    val preds = LangModelOps.qualityClassify(
+      LangModelOps.qualityTestRows.toDF("doc_id", "text"), weights, totals)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // none of these sentences appear in training — routing is pure
+    // learned token evidence
+    assert(preds(4000001L) == "hi")
+    assert(preds(4000002L) == "hi")
+    assert(preds(4000003L) == "lo")
+    assert(preds(4000004L) == "lo")
+  }
+
+  test("q115: zero-evidence docs route conservatively to lo; scores integer-exact") {
+    val (weights, totals) = LangModelOps.trainQualityWeights(
+      LangModelOps.qualityTrainRows.toDF("label", "text"))
+    val out = LangModelOps.qualityClassify(
+      Seq((1L, "zzz qqq vvv"), (2L, "")).toDF("doc_id", "text"),
+      weights, totals).collect()
+    out.foreach { r =>
+      assert(r.getString(1) == "lo",
+        s"no-evidence doc ${r.getLong(0)} must not pass the quality gate")
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L)
+    }
+    // the weights are raw integer counts — spot-check one loud token:
+    // "free" appears only in lo training rows
+    val free = weights.filter($"w" === "free").collect().head
+    assert(free.getLong(1) == 0L && free.getLong(2) > 0L)
+  }
+
   test("true BPE merge loop: greedy min-rank merging, well-formed chains") {
     assert(LangModelOps.bpeTokenize("table") == List("table"),
       "the t+able chain must fully merge")

@@ -20,7 +20,7 @@ class PlanAuditSpec extends SparkSpecBase {
     // a cartesian (or a nested-loop fallback) anywhere in these plans is
     // the all-pairs scale killer the design exists to avoid
     Seq("q105_ann_knn_join", "q110_semantic_dedup",
-        "q113_semantic_clusters").foreach { name =>
+        "q113_semantic_clusters", "q114_ivfadc").foreach { name =>
       val p = plan(q(name))
       assert(!p.contains("CartesianProduct"),
         s"$name planned a cartesian:\n$p")

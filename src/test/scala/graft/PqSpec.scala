@@ -122,6 +122,77 @@ class PqSpec extends SparkSpecBase {
     assert(!fresh.contains(7L), "a tombstoned row surfaced after recompute")
   }
 
+  test("q114 ivfadc: probe-all + wide shortlist degrades to exact brute force") {
+    val rnd = new scala.util.Random(29L)
+    val rows = (0 until 120).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    val e = rows.toDF("vec_id", "embedding")
+    val queries = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding")
+    val brute = VectorOps.dotTopKWith(
+      e.filter($"vec_id" >= 5), queries, k = 5).collect().toSeq
+    // nprobe = cells (nothing coarse-pruned) + shortlist > corpus
+    // (nothing ADC-pruned): the composition must BE brute force
+    val got = VectorOps.ivfAdcRerankFrom(e, m = 4, subDim = 16,
+      codewords = 16, nQueries = 5, k = 5, nprobe = 8, cells = 8,
+      shortlist = 1000).collect().toSeq
+    assert(got == brute)
+  }
+
+  test("q114 ivfadc shape + determinism on the real table") {
+    val r1 = VectorOps.queries("q114_ivfadc")(spark, sf).collect()
+    val r2 = VectorOps.queries("q114_ivfadc")(spark, sf).collect()
+    assert(r1.toSeq == r2.toSeq, "IVFADC must be deterministic")
+    val byQ = r1.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to 5L))
+      rows.foreach(r => assert(r.getLong(1) >= 5L,
+        "a query vector leaked into the held-out index"))
+    }
+  }
+
+  test("stored ivfadc: codes and corpus scans carry cell partition filters; hits stay in probed cells") {
+    val rnd = new scala.util.Random(47L)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    val rows = (0 until 160).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f).toSeq)
+    }
+    val path = java.nio.file.Files.createTempDirectory("ivfadc_idx").toString
+    VectorOps.writeIvfIndex(rows.toDF("vec_id", "embedding"), path, cells = 8)
+    VectorOps.writePqCodes(spark, path, m = 4, subDim = 16, codewords = 16)
+    val queries = Seq((900L, rows(3)._2), (901L, rows(12)._2))
+      .toDF("qid", "embedding")
+    val df = VectorOps.probeIvfPqIndex(spark, path, queries,
+      k = 5, nprobe = 2, shortlist = 20)
+    val p = df.queryExecution.executedPlan.toString
+    // THE q114 scale pin: the pq/codes (and corpus) parquet scans must
+    // be directory-pruned to the probed cells — a full codes scan is
+    // flat PQ's O(N·m), exactly what IVFADC exists to avoid
+    val scans = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(scans.nonEmpty, s"no partitioned scans in plan:\n$p")
+    val pruned = scans.filter(l =>
+      l.contains("cell") && !l.contains("PartitionFilters: []"))
+    assert(pruned.size >= 2,
+      s"expected cell partition filters on codes AND corpus scans:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equijoin:\n$p")
+    // routing: with tight clusters, each query's hits share its cluster
+    val out = df.collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (qid, vid) = (r.getLong(0), r.getLong(1))
+      val want = if (qid == 900L) 3L % 8 else 12L % 8
+      assert(vid % 8 == want, s"query $qid hit off-cluster row $vid")
+    }
+    // and the stored form agrees with the from-table form's contract:
+    // deterministic across invocations
+    val again = VectorOps.probeIvfPqIndex(spark, path, queries,
+      k = 5, nprobe = 2, shortlist = 20).collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("cluster routing: every ADC hit shares the query's cluster") {
     val rnd = new scala.util.Random(31L)
     val centers = Array.fill(8)(Array.fill(64)(rnd.nextFloat() * 2f - 1f))

@@ -87,14 +87,19 @@ class HeartbeatMonitorTwsSpec extends SparkSpecBase {
         // speak again: the NEXT alert (after renewed silence) must be
         // n_missed = 1 again, not a continuation
         input.addData(Heartbeat("r", ts(100)))
-        val before = alerts.length
+        // Wait for an alert WITNESSING the new heartbeat (last_seen ==
+        // ts(100)) — not mere length growth: while "r" is still silent
+        // the monitor legitimately keeps escalating the OLD silence
+        // (n_missed = 2, 3, …) every ~700 ms, and under a loaded box one
+        // of those can land before the ts(100) heartbeat is processed.
         val dl2 = System.currentTimeMillis() + 60000
-        while (alerts.length <= before &&
+        def post = alerts.filter(_.last_seen == ts(100))
+        while (post.isEmpty &&
           System.currentTimeMillis() < dl2) Thread.sleep(150)
-        val fresh = alerts.sortBy(_.last_seen.getTime).last
+        assert(post.nonEmpty, "an alert for the renewed silence must fire")
+        val fresh = post.minBy(_.n_missed)
         assert(fresh.n_missed == 1L,
           s"escalation must reset after a heartbeat, got ${fresh.n_missed}")
-        assert(fresh.last_seen == ts(100))
       } finally q.stop()
     }
   }
