@@ -1,0 +1,237 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The directory-backed partitioned log under the "graftbus" connector
+  * (sources/v2/BusSource.scala) — the broker-less model of the
+  * reference's message bus (deployment/api/gmail_pubsub.tf:7-22), built
+  * from the repo's two exactly-once primitives:
+  *
+  *  - '''segments''' (the spool durability discipline,
+  *    HttpPushReceiver): each producer append to a partition is ONE
+  *    immutable file `seg_<firstOffset>_<count>_<tag>.jsonl`, written
+  *    tmp + DSYNC + atomic rename — a crash mid-write leaves no
+  *    partial segment, and the name itself carries the offset range so
+  *    readers slice without opening non-overlapping files;
+  *  - '''producer idempotency''' (the batchId-ledger discipline,
+  *    HttpSignalSink): the streaming sink tags every segment with the
+  *    micro-batch id; a replayed batch whose tag already exists in a
+  *    partition skips that partition's append — the torn window
+  *    (some partitions appended, crash, replay) converges to
+  *    exactly-once without a ledger directory, because the LOG is the
+  *    ledger.
+  *
+  * Offsets are dense per partition: a partition's next offset is
+  * max(firstOffset + count) over its segments — derived from the
+  * listing, never stored separately, so there is no offset file to
+  * tear. Keys route to partitions by a stable hash (murmur-free:
+  * `String.hashCode` is specified arithmetic, identical on every JVM),
+  * which gives Kafka's per-key ordering guarantee.
+  *
+  * ORDERING CONTRACT (Kafka's): per-partition order is total and
+  * gapless; cross-partition order is undefined. SINGLE WRITER per
+  * partition per append call — the streaming sink enforces it by
+  * hash-repartitioning rows so each log partition is appended from
+  * exactly one task.
+  */
+object FileBus {
+
+  // ─── layout ───
+
+  private def pdir(path: String, p: Int) = new File(path, s"p=$p")
+
+  /** Create the topic: `P` partition dirs + a `_PARTITIONS` marker so
+    * consumers learn the partition count from the topic itself. */
+  def createTopic(path: String, partitions: Int): Unit = {
+    require(partitions > 0, "a topic needs at least one partition")
+    (0 until partitions).foreach(p => pdir(path, p).mkdirs())
+    val m = new File(path, "_PARTITIONS")
+    val tmp = new File(path, "._PARTITIONS.tmp")
+    java.nio.file.Files.write(tmp.toPath, partitions.toString.getBytes(UTF_8))
+    java.nio.file.Files.move(tmp.toPath, m.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def partitionIds(path: String): Seq[Int] = {
+    val m = new File(path, "_PARTITIONS")
+    if (!m.exists())
+      throw new IllegalStateException(
+        s"$path is not a graftbus topic (no _PARTITIONS marker); " +
+          "create one with FileBus.createTopic")
+    val n = new String(java.nio.file.Files.readAllBytes(m.toPath), UTF_8)
+      .trim.toInt
+    0 until n
+  }
+
+  /** (firstOffset, count, file) per segment of partition `p`, in offset
+    * order. Foreign/tmp files are ignored (the spool-resume lesson —
+    * a stray file must not wedge the consumer). */
+  def segments(path: String, p: Int): Seq[(Long, Long, File)] =
+    Option(pdir(path, p).listFiles()).toSeq.flatten
+      .flatMap { f =>
+        f.getName.split("_") match {
+          case Array("seg", first, count, _*) if f.getName.endsWith(".jsonl") =>
+            scala.util.Try((first.toLong, count.toLong, f)).toOption
+          case _ => None
+        }
+      }.sortBy(_._1)
+
+  /** Next offset (= total records) per partition — the listing IS the
+    * offset store. */
+  def endOffsets(path: String): Map[Int, Long] =
+    partitionIds(path).map { p =>
+      p -> segments(path, p).lastOption.fold(0L) { case (f, c, _) => f + c }
+    }.toMap
+
+  // ─── records ───
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c => c.toString
+    }
+
+  private def unesc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => b += '\\'
+          case '"' => b += '"'
+          case 'n' => b += '\n'
+          case 'r' => b += '\r'
+          case 't' => b += '\t'
+          case c => b += c
+        }
+        i += 2
+      } else { b += s.charAt(i); i += 1 }
+    }
+    b.toString
+  }
+
+  private def line(k: String, v: String): String =
+    s"""{"key":"${esc(k)}","value":"${esc(v)}"}"""
+
+  /** Parse one segment line — the inverse of [[line]] by construction
+    * (positional, since the writer controls the layout). */
+  private def parseLine(s: String): (String, String) = {
+    val kPre = "{\"key\":\""
+    val mid = "\",\"value\":\""
+    val end = "\"}"
+    val mi = {
+      // the key may CONTAIN the mid marker escaped; scan for the first
+      // UNESCAPED occurrence (even number of preceding backslashes)
+      var i = s.indexOf(mid)
+      while (i > 0 && {
+        var bs = 0; var j = i - 1
+        while (j >= 0 && s.charAt(j) == '\\') { bs += 1; j -= 1 }
+        bs % 2 == 1
+      }) i = s.indexOf(mid, i + 1)
+      i
+    }
+    (unesc(s.substring(kPre.length, mi)),
+      unesc(s.substring(mi + mid.length, s.length - end.length)))
+  }
+
+  def readSegment(f: File): Seq[(String, String)] =
+    new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty).map(parseLine)
+
+  /** Stable key→partition routing (Kafka's per-key ordering guarantee
+    * rests on this being deterministic across JVMs — String.hashCode
+    * is specified arithmetic, not identity-based). */
+  def partitionOf(key: String, nParts: Int): Int =
+    math.floorMod(if (key == null) 0 else key.hashCode, nParts)
+
+  /** Append records to partition `p` as one durable segment. `tag`
+    * makes the append IDEMPOTENT per (tag, partition): if a segment
+    * with this tag already exists the call is a no-op — the producer
+    * sequence-number analog the exactly-once sink rides on. Single
+    * writer per partition assumed (see class doc). */
+  def appendSegment(path: String, p: Int, records: Seq[(String, String)],
+      tag: String): Unit = {
+    if (records.isEmpty) return
+    val dir = pdir(path, p)
+    if (!dir.isDirectory)
+      throw new IllegalStateException(s"no partition $p in topic $path")
+    if (segments(path, p).exists(_._3.getName.endsWith(s"_$tag.jsonl"))) return
+    val first = segments(path, p).lastOption.fold(0L) { case (f, c, _) => f + c }
+    val name = f"seg_${first}%012d_${records.size}_$tag.jsonl"
+    val tmp = new File(dir, s".$name.tmp")
+    val ch = java.nio.channels.FileChannel.open(tmp.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+      java.nio.file.StandardOpenOption.DSYNC)
+    try ch.write(java.nio.ByteBuffer.wrap(
+      records.map { case (k, v) => line(k, v) }.mkString("", "\n", "\n")
+        .getBytes(UTF_8)))
+    finally ch.close()
+    java.nio.file.Files.move(tmp.toPath, new File(dir, name).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // directory-entry durability, best-effort (the Lucene convention)
+    try {
+      val dch = java.nio.channels.FileChannel.open(dir.toPath,
+        java.nio.file.StandardOpenOption.READ)
+      try dch.force(true) finally dch.close()
+    } catch { case _: java.io.IOException => () }
+  }
+
+  /** Driver-side producer: route by key hash, one segment per touched
+    * partition. `tag` defaults to a fresh unique id (a NON-replayed
+    * producer call is a new append by definition); pass a stable tag to
+    * make the call idempotent. */
+  def produce(path: String, records: Seq[(String, String)],
+      tag: String = java.util.UUID.randomUUID().toString.take(8)): Unit = {
+    val n = partitionIds(path).size
+    records.groupBy { case (k, _) => partitionOf(k, n) }
+      .foreach { case (p, rs) => appendSegment(path, p, rs, tag) }
+  }
+
+  // ─── exactly-once streaming producer (the sink) ───
+
+  /** Stream (key, value) rows INTO the topic exactly-once. Rows are
+    * hash-repartitioned by log partition so each partition is appended
+    * by exactly one task (the single-writer invariant), and every
+    * segment is tagged `b<batchId>`: a replayed micro-batch — full or
+    * torn — skips partitions that already hold its tag, so the log
+    * converges to exactly-once with no separate ledger (the segment
+    * listing is the ledger). `afterWrite(batchId)` runs driver-side
+    * after the appends and is the fault-injection point the
+    * kill-restart spec tears the batch at. */
+  def sink(data: DataFrame, path: String, checkpoint: String,
+      afterWrite: Long => Unit = _ => ()): StreamingQuery = {
+    val nParts = partitionIds(path).size
+    data.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val tag = s"b$batchId"
+        val route = udf((k: String) => partitionOf(k, nParts))
+        batch.select(col("key").cast("string"), col("value").cast("string"))
+          .withColumn("p", route(col("key")))
+          .repartition(nParts, col("p"))
+          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+            // a task may hold several log partitions (hash collisions
+            // across Spark partitions are impossible — same p, same
+            // task — but several p values can share one task)
+            rows.toSeq.groupBy(_.getInt(2)).foreach { case (p, rs) =>
+              appendSegment(path, p,
+                rs.map(r => (r.getString(0), r.getString(1))), tag)
+            }
+          }
+        afterWrite(batchId)
+      }
+      .start()
+  }
+}

@@ -1,0 +1,198 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpecBase
+
+/** The "graftbus" partitioned-log connector — the Kafka-contract specs:
+  * per-partition total gapless order, offset-vector resume, admission
+  * control, independent consumer groups, and the exactly-once streaming
+  * producer (torn-batch replay converges via segment tags). */
+class BusSourceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def newTopic(parts: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("bus_topic").toString
+    FileBus.createTopic(dir, parts)
+    dir
+  }
+
+  test("produce/consume: every record once, per-partition offsets dense, key order kept") {
+    val topic = newTopic(4)
+    // three producer calls = three segments per touched partition;
+    // same key → same partition → per-key order is per-partition order
+    val batches = Seq(
+      (0 until 20).map(i => (s"k${i % 7}", s"a$i")),
+      (0 until 15).map(i => (s"k${i % 7}", s"b$i")),
+      (0 until 9).map(i => (s"k${i % 7}", s"c$i")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      FileBus.produce(topic, b, tag = s"t$i") }
+
+    val out = spark.readStream.format("graftbus").option("path", topic)
+      .load()
+    val q = out.writeStream.format("memory").queryName("bus_all")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("bus_all")
+      .select($"partition", $"offset", $"key", $"value")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(rows.length == 44, s"expected 44 records, got ${rows.length}")
+    // dense gapless offsets per partition
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (0L until rs.length).toSeq,
+        s"partition $p offsets not dense: ${rs.map(_._2).sorted.toSeq}")
+    }
+    // per-key order = produce order (same key, same partition, offsets
+    // ascending in append order)
+    val expected = batches.flatten
+    (0 until 7).map(i => s"k$i").foreach { k =>
+      val got = rows.filter(_._3 == k).sortBy(_._2).map(_._4).toSeq
+      val want = expected.filter(_._1 == k).map(_._2)
+      assert(got == want, s"key $k order: got $got want $want")
+    }
+    // every record routed by the stable hash
+    rows.foreach { case (p, _, k, _) =>
+      assert(p == FileBus.partitionOf(k, 4)) }
+  }
+
+  test("admission control: maxPerTrigger caps each micro-batch across partitions") {
+    val topic = newTopic(3)
+    FileBus.produce(topic, (0 until 50).map(i => (s"k$i", s"v$i")), tag = "t0")
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graftbus").option("path", topic)
+      .option("maxPerTrigger", "7").load()
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("bus_adm_ckpt").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sizes.synchronized { sizes += b.count() }; ()
+      }.start()
+    q.awaitTermination(120000)
+    assert(sizes.sum == 50, s"all records must drain, got ${sizes.sum}")
+    assert(sizes.forall(_ <= 7), s"a batch exceeded the admission cap: $sizes")
+    assert(sizes.length >= 8, s"expected >= ceil(50/7) batches, got $sizes")
+  }
+
+  test("offset-vector resume: kill mid-drain, produce more, restart — exactly once") {
+    val topic = newTopic(2)
+    val ckpt = java.nio.file.Files.createTempDirectory("bus_resume").toString
+    FileBus.produce(topic, (0 until 20).map(i => (s"k$i", s"v$i")), tag = "t0")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def consume(crashAtBatch: Long): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("graftbus").option("path", topic)
+        .option("maxPerTrigger", "6").load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          // crash BEFORE recording: the torn batch replays on restart
+          if (id == crashAtBatch)
+            throw new RuntimeException("injected kill mid-drain")
+          b.select(col("value")).collect().foreach(r => got.add(r.getString(0)))
+          ()
+        }.start()
+    // run 1: batch 0 (cap = 6 rows) commits, batch 1 crashes
+    val q1 = consume(crashAtBatch = 1L)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable(); q1.awaitTermination()
+    }
+    assert(got.size == 6, s"first run should commit exactly the cap, got ${got.size}")
+    // run 2: the uncommitted batch 1 REPLAYS from the offset vector,
+    // then the rest — including records produced after the kill
+    FileBus.produce(topic, (20 until 25).map(i => (s"k$i", s"v$i")), tag = "t1")
+    val q2 = consume(crashAtBatch = -1L)
+    q2.awaitTermination(120000)
+    val vals = got.toArray(Array.empty[String]).toSeq
+    assert(vals.length == 25, s"expected 25 total, got ${vals.length}: $vals")
+    assert(vals.distinct.length == 25, "resume duplicated or lost records")
+  }
+
+  test("independent consumer groups: a fresh checkpoint re-reads from offset zero") {
+    val topic = newTopic(2)
+    FileBus.produce(topic, (0 until 12).map(i => (s"k$i", s"v$i")), tag = "t0")
+    def drain(name: String): Long = {
+      val q = spark.readStream.format("graftbus").option("path", topic)
+        .load().writeStream.format("memory").queryName(name)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"bus_$name").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.table(name).count()
+    }
+    assert(drain("bus_g1") == 12)
+    assert(drain("bus_g2") == 12, "a second group must re-read the full log")
+  }
+
+  test("batch read mirrors the streamed log") {
+    val topic = newTopic(3)
+    FileBus.produce(topic, (0 until 30).map(i => (s"k$i", s"v$i")), tag = "t0")
+    val batch = spark.read.format("graftbus").option("path", topic).load()
+    assert(batch.count() == 30)
+    assert(batch.select($"partition").distinct().count() == 3)
+    // empty-partition topics plan only non-empty slices
+    val topic2 = newTopic(8)
+    FileBus.produce(topic2, Seq(("only", "one")), tag = "t0")
+    assert(spark.read.format("graftbus").option("path", topic2).load()
+      .count() == 1)
+  }
+
+  test("exactly-once streaming producer: torn-batch replay converges via segment tags") {
+    val topic = newTopic(3)
+    val ckpt = java.nio.file.Files.createTempDirectory("bus_sink_ckpt").toString
+    val input = MemoryStream[(String, String)](spark)
+    val df = input.toDS().toDF("key", "value")
+
+    // run 1: crash AFTER the segment appends, BEFORE the checkpoint
+    // commit — the torn window
+    val crashed = new AtomicInteger(0)
+    val q1 = FileBus.sink(df, topic, ckpt,
+      afterWrite = _ => {
+        if (crashed.incrementAndGet() == 1)
+          throw new RuntimeException("injected crash in the torn window")
+      })
+    input.addData(("a", "1"), ("b", "2"), ("c", "3"), ("d", "4"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable(); q1.awaitTermination()
+    }
+    // the appends happened; the batch will replay
+    assert(FileBus.endOffsets(topic).values.sum == 4L)
+
+    // run 2: replay the torn batch (tag-skip), then new data
+    val q2 = FileBus.sink(df, topic, ckpt)
+    input.addData(("a", "5"), ("e", "6"))
+    q2.processAllAvailable()
+    q2.stop()
+    val all = spark.read.format("graftbus").option("path", topic).load()
+      .select($"key", $"value").as[(String, String)].collect().toSeq
+    assert(all.length == 6, s"expected 6 records exactly-once, got $all")
+    assert(all.toSet ==
+      Set(("a", "1"), ("b", "2"), ("c", "3"), ("d", "4"), ("a", "5"), ("e", "6")))
+    // per-key ordering survived the crash: a's two values in produce order
+    val aVals = spark.read.format("graftbus").option("path", topic).load()
+      .filter($"key" === "a").orderBy($"offset")
+      .select($"value").as[String].collect().toSeq
+    assert(aVals == Seq("1", "5"))
+  }
+
+  test("log survives foreign files and round-trips hostile record content") {
+    val topic = newTopic(2)
+    val hostile = Seq(
+      ("quote\"key", "value with \"quotes\" and \\backslash"),
+      ("tab\tkey", "line\nbreak\rand\ttab"),
+      ("", "empty key routes to a stable partition"),
+      ("k", """{"key":"looks","value":"like json"}"""))
+    FileBus.produce(topic, hostile, tag = "t0")
+    // a foreign file in a partition dir must be ignored, not fatal
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(topic, "p=0", "seg_README"), "junk".getBytes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(topic, "p=0", "other.jsonl"), "junk".getBytes)
+    val got = spark.read.format("graftbus").option("path", topic).load()
+      .select($"key", $"value").as[(String, String)].collect().toSet
+    assert(got == hostile.toSet)
+  }
+}
