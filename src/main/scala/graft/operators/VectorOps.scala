@@ -1267,6 +1267,11 @@ object VectorOps {
     val genDir = indexGenDir(s, path)
     val (books, subDim) = loadPqBooks(s, genDir)
     val codesAll = s.read.parquet(s"$genDir/pq/codes")
+    if (!codesAll.columns.contains("cell"))
+      throw new IllegalStateException(
+        s"PQ artifact in $genDir predates cell partitioning (no `cell` " +
+          "column in pq/codes) — IVFADC needs the cell-partitioned " +
+          "layout; re-run writePqCodes")
     assertPqFresh(s, genDir, codesAll)
     val c2 = s.read.parquet(s"$genDir/centroids")
     val q = externalQ(queries)
@@ -1350,6 +1355,9 @@ object VectorOps {
     val probes = queries.select(col("qid"), col("qiv"),
         explode(probeCellsOf(c2, nprobe)(col("qiv"))).as("pcell"))
       .persist()
+    // bounded collect: nQueries integer vectors for the per-query ADC
+    // lookup tables (the LUT is a broadcast-sized driver artifact by
+    // design — m·codewords doubles per query)
     val qArr = probes.select(col("qid"), col("qiv")).distinct().collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
     val lut = adcLut(books, subDim, qArr)

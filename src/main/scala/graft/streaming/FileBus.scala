@@ -101,47 +101,40 @@ object FileBus {
       case c => c.toString
     }
 
-  private def unesc(s: String): String = {
-    val b = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      if (s.charAt(i) == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case '\\' => b += '\\'
-          case '"' => b += '"'
-          case 'n' => b += '\n'
-          case 'r' => b += '\r'
-          case 't' => b += '\t'
-          case c => b += c
-        }
-        i += 2
-      } else { b += s.charAt(i); i += 1 }
-    }
-    b.toString
-  }
+  // null keys and null values are legal records (Kafka's tombstone
+  // shape) — encoded as JSON null, round-tripped as Scala null
+  private def jstr(s: String): String =
+    if (s == null) "null" else s""""${esc(s)}""""
 
   private def line(k: String, v: String): String =
-    s"""{"key":"${esc(k)}","value":"${esc(v)}"}"""
+    s"""{"key":${jstr(k)},"value":${jstr(v)}}"""
 
   /** Parse one segment line — the inverse of [[line]] by construction
-    * (positional, since the writer controls the layout). */
+    * (a scanner over the writer's fixed field layout; null fields are
+    * the JSON literal). */
   private def parseLine(s: String): (String, String) = {
-    val kPre = "{\"key\":\""
-    val mid = "\",\"value\":\""
-    val end = "\"}"
-    val mi = {
-      // the key may CONTAIN the mid marker escaped; scan for the first
-      // UNESCAPED occurrence (even number of preceding backslashes)
-      var i = s.indexOf(mid)
-      while (i > 0 && {
-        var bs = 0; var j = i - 1
-        while (j >= 0 && s.charAt(j) == '\\') { bs += 1; j -= 1 }
-        bs % 2 == 1
-      }) i = s.indexOf(mid, i + 1)
-      i
-    }
-    (unesc(s.substring(kPre.length, mi)),
-      unesc(s.substring(mi + mid.length, s.length - end.length)))
+    // position after `{"key":`
+    var i = s.indexOf(':') + 1
+    def readField(): String =
+      if (s.charAt(i) == 'n') { i += 4; null } // null
+      else {
+        val b = new StringBuilder
+        i += 1 // opening quote
+        while (s.charAt(i) != '"') {
+          if (s.charAt(i) == '\\') {
+            b += (s.charAt(i + 1) match {
+              case 'n' => '\n'; case 'r' => '\r'; case 't' => '\t'
+              case c => c
+            })
+            i += 2
+          } else { b += s.charAt(i); i += 1 }
+        }
+        i += 1 // closing quote
+        b.toString
+      }
+    val k = readField()
+    i = s.indexOf(':', i) + 1 // after `,"value":`
+    (k, readField())
   }
 
   def readSegment(f: File): Seq[(String, String)] =

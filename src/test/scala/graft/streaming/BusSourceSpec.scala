@@ -184,7 +184,12 @@ class BusSourceSpec extends SparkSpecBase {
       ("quote\"key", "value with \"quotes\" and \\backslash"),
       ("tab\tkey", "line\nbreak\rand\ttab"),
       ("", "empty key routes to a stable partition"),
-      ("k", """{"key":"looks","value":"like json"}"""))
+      ("k", """{"key":"looks","value":"like json"}"""),
+      // Kafka's tombstone shapes: null value, null key, both
+      ("tombstone-key", null),
+      (null, "null key routes to partition 0"),
+      (null, null),
+      ("colon:key", "colon:value"))
     FileBus.produce(topic, hostile, tag = "t0")
     // a foreign file in a partition dir must be ignored, not fatal
     java.nio.file.Files.write(
