@@ -47,11 +47,12 @@ class BusSource extends TableProvider with DataSourceRegister {
     BusSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val opts = properties.asScala
-    val path = opts.getOrElse("path",
+    // the engine hands getTable the CASE-PRESERVING map — wrap it back
+    // so "MaxPerTrigger" is not silently ignored (unbounded first batch)
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = Option(opts.get("path")).getOrElse(
       throw new IllegalArgumentException("graftbus requires a path option"))
-    val maxPerTrigger = opts.get("maxpertrigger").map(_.toLong)
-      .orElse(opts.get("maxPerTrigger").map(_.toLong))
+    val maxPerTrigger = Option(opts.get("maxpertrigger")).map(_.toLong)
     new BusTable(path, maxPerTrigger)
   }
 }
@@ -146,15 +147,47 @@ class BusMicroBatchStream(path: String, maxPerTrigger: Option[Long])
         c.getReadLimits.toSeq.flatMap(maxRowsOf(_)).minOption
       case _ => None
     }
-    // deterministic admission: ascending partition order, greedy up to
-    // the remaining row budget (per-partition order is the contract;
-    // cross-partition allocation is an admission detail)
-    var budget = maxRowsOf(limit).getOrElse(Long.MaxValue)
-    val next = avail.toSeq.sortBy(_._1).map { case (p, end) =>
-      val from = s.getOrElse(p, 0L)
-      val take = math.min(end - from, budget).max(0L)
-      budget -= take
-      p -> (from + take)
+    // deterministic admission, starvation-free: the budget is split
+    // across partitions in proportion to their lag (Kafka's
+    // maxOffsetsPerTrigger discipline — a greedy ascending-p fill would
+    // let one hot partition starve all higher ones forever under a
+    // ProcessingTime trigger), with the integer remainder granted to
+    // the largest-lag partitions first (ties: ascending p) — the
+    // most-behind partitions are always served, so every partition's
+    // lag drains even when budget < partition count
+    val budget = maxRowsOf(limit).getOrElse(Long.MaxValue)
+    val lags = avail.toSeq.sortBy(_._1).map { case (p, end) =>
+      (p, s.getOrElse(p, 0L), math.max(end - s.getOrElse(p, 0L), 0L))
+    }
+    val total = lags.map(_._3).sum
+    val takes: Map[Int, Long] =
+      if (total <= budget) lags.map { case (p, _, lag) => p -> lag }.toMap
+      else {
+        val base = lags.map { case (p, _, lag) =>
+          // lag/total <= 1 so lag*budget can overflow only if budget is
+          // huge — but then total <= budget took the branch above
+          p -> lag * budget / total
+        }.toMap
+        var rem = budget - base.values.sum
+        // the integer remainder rotates round-robin over the lagging
+        // partitions, keyed by the total rows already admitted (derived
+        // from the start vector, hence deterministic across replays of
+        // the same batch): a small-lag partition whose proportional
+        // share floors to 0 is still served within |partitions|
+        // batches, no matter how hard a hot peer floods — bounded
+        // delay, where a largest-remainder rule would let a mid-size
+        // partition outbid a tiny one indefinitely
+        val rot = lags.map(_._2).sum
+        val order = lags.sortBy { case (p, _, _) =>
+          (math.floorMod(p - rot, lags.size.toLong), p)
+        }
+        val bonus = order.collect {
+          case (p, _, lag) if rem > 0 && base(p) < lag => rem -= 1; p -> 1L
+        }.toMap
+        base.map { case (p, b) => p -> (b + bonus.getOrElse(p, 0L)) }
+      }
+    val next = lags.map { case (p, from, _) =>
+      p -> (from + takes.getOrElse(p, 0L))
     }.toMap
     // partitions present in the checkpoint but not on disk (yet) keep
     // their position rather than vanishing from the vector
@@ -199,15 +232,18 @@ class BusReaderFactory extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       private val values = new Array[Any](4)
       private val row = new GenericInternalRow(values)
-      override def next(): Boolean = it.hasNext
-      override def get(): InternalRow = {
-        val (off, k, v) = it.next()
-        values(0) = p
-        values(1) = off
-        values(2) = if (k == null) null else UTF8String.fromString(k)
-        values(3) = if (v == null) null else UTF8String.fromString(v)
-        row
-      }
+      // DSv2 contract: next() advances, get() is a pure read of the
+      // current row (callable any number of times between next()s)
+      override def next(): Boolean =
+        if (it.hasNext) {
+          val (off, k, v) = it.next()
+          values(0) = p
+          values(1) = off
+          values(2) = if (k == null) null else UTF8String.fromString(k)
+          values(3) = if (v == null) null else UTF8String.fromString(v)
+          true
+        } else false
+      override def get(): InternalRow = row
       override def close(): Unit = ()
     }
   }

@@ -147,32 +147,63 @@ object FileBus {
   def partitionOf(key: String, nParts: Int): Int =
     math.floorMod(if (key == null) 0 else key.hashCode, nParts)
 
+  /** The tag field of a segment file name — everything after the third
+    * underscore (tags may themselves contain underscores). */
+  private def tagOf(name: String): String =
+    name.stripSuffix(".jsonl").split("_", 4) match {
+      case Array("seg", _, _, t) => t
+      case _ => ""
+    }
+
   /** Append records to partition `p` as one durable segment. `tag`
     * makes the append IDEMPOTENT per (tag, partition): if a segment
     * with this tag already exists the call is a no-op — the producer
-    * sequence-number analog the exactly-once sink rides on. Single
-    * writer per partition assumed (see class doc). */
+    * sequence-number analog the exactly-once sink rides on. The tag
+    * check compares the parsed tag FIELD exactly (a suffix match would
+    * let tag "1" alias an existing "x_1" and silently drop an append).
+    * Single writer per partition assumed (see class doc); a concurrent
+    * DUPLICATE attempt of the same append (speculative or zombie task)
+    * is safe: each attempt writes its own tmp file and publishes with
+    * an atomic create-new link — exactly one attempt's bytes become the
+    * segment, the loser observes it and stands down. */
   def appendSegment(path: String, p: Int, records: Seq[(String, String)],
       tag: String): Unit = {
     if (records.isEmpty) return
+    require(tag.nonEmpty && !tag.contains('/') && !tag.contains('.'),
+      s"invalid segment tag '$tag'")
     val dir = pdir(path, p)
     if (!dir.isDirectory)
       throw new IllegalStateException(s"no partition $p in topic $path")
-    if (segments(path, p).exists(_._3.getName.endsWith(s"_$tag.jsonl"))) return
+    if (segments(path, p).exists(s => tagOf(s._3.getName) == tag)) return
     val first = segments(path, p).lastOption.fold(0L) { case (f, c, _) => f + c }
     val name = f"seg_${first}%012d_${records.size}_$tag.jsonl"
-    val tmp = new File(dir, s".$name.tmp")
+    // per-attempt-unique tmp: two live attempts of the same task must
+    // never interleave writes into one file
+    val tmp = new File(dir,
+      s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val ch = java.nio.channels.FileChannel.open(tmp.toPath,
-      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.CREATE_NEW,
       java.nio.file.StandardOpenOption.WRITE,
-      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
       java.nio.file.StandardOpenOption.DSYNC)
     try ch.write(java.nio.ByteBuffer.wrap(
       records.map { case (k, v) => line(k, v) }.mkString("", "\n", "\n")
         .getBytes(UTF_8)))
     finally ch.close()
-    java.nio.file.Files.move(tmp.toPath, new File(dir, name).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // publish by hard link: atomic AND refuses an existing target
+    // (POSIX rename would silently replace a segment a concurrent
+    // attempt already published — and row order is attempt-dependent,
+    // so replacement would rewrite history under a reader's feet)
+    val target = new File(dir, name).toPath
+    try java.nio.file.Files.createLink(target, tmp.toPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => () // lost the race: append already landed
+      case _: UnsupportedOperationException =>
+        // no hard links (exotic FS): degrade to atomic rename with a
+        // pre-check — the no-replace guarantee narrows to best-effort
+        if (!java.nio.file.Files.exists(target))
+          java.nio.file.Files.move(tmp.toPath, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally java.nio.file.Files.deleteIfExists(tmp.toPath)
     // directory-entry durability, best-effort (the Lucene convention)
     try {
       val dch = java.nio.channels.FileChannel.open(dir.toPath,
@@ -183,10 +214,12 @@ object FileBus {
 
   /** Driver-side producer: route by key hash, one segment per touched
     * partition. `tag` defaults to a fresh unique id (a NON-replayed
-    * producer call is a new append by definition); pass a stable tag to
+    * producer call is a new append by definition; full-entropy UUID —
+    * a truncated id collides with ~50% odds inside 100k calls, and a
+    * collision is a silently skipped append); pass a stable tag to
     * make the call idempotent. */
   def produce(path: String, records: Seq[(String, String)],
-      tag: String = java.util.UUID.randomUUID().toString.take(8)): Unit = {
+      tag: String = java.util.UUID.randomUUID().toString): Unit = {
     val n = partitionIds(path).size
     records.groupBy { case (k, _) => partitionOf(k, n) }
       .foreach { case (p, rs) => appendSegment(path, p, rs, tag) }

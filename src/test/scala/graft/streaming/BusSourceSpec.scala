@@ -178,6 +178,106 @@ class BusSourceSpec extends SparkSpecBase {
     assert(aVals == Seq("1", "5"))
   }
 
+  test("admission is proportional: a hot partition cannot starve the others") {
+    val topic = newTopic(3)
+    // p-lags 90 / 9 / 1 (keys chosen per partition), budget 10 — the
+    // old greedy ascending-p fill would admit 10 from the hot partition
+    // and zero from the rest, forever under continuous production
+    def keyFor(p: Int): String =
+      Iterator.from(0).map(i => s"k$i")
+        .find(k => FileBus.partitionOf(k, 3) == p).get
+    FileBus.appendSegment(topic, 0, (0 until 90).map(i => (keyFor(0), s"a$i")), "t0")
+    FileBus.appendSegment(topic, 1, (0 until 9).map(i => (keyFor(1), s"b$i")), "t0")
+    FileBus.appendSegment(topic, 2, Seq((keyFor(2), "c0")), "t0")
+    val stream = new graft.sources.v2.BusMicroBatchStream(topic, Some(10L))
+    val limit =
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(10L)
+    var pos = stream.initialOffset()
+    // drive 12 admission rounds while the hot partition keeps producing
+    // 10 rows/round (production = budget: the old greedy fill would pin
+    // the whole budget on p0 forever and p1/p2 would never drain)
+    (0 until 12).foreach { round =>
+      FileBus.appendSegment(topic, 0,
+        (0 until 10).map(i => (keyFor(0), s"hot${round}_$i")), s"h$round")
+      val end = stream.latestOffset(pos, limit)
+      val v = end.asInstanceOf[graft.sources.v2.BusOffset].next
+      val prev = pos.asInstanceOf[graft.sources.v2.BusOffset].next
+      assert(v.map { case (p, o) => o - prev.getOrElse(p, 0L) }.sum <= 10,
+        s"budget exceeded in round $round: $prev -> $v")
+      pos = end
+    }
+    val contended = pos.asInstanceOf[graft.sources.v2.BusOffset].next
+    // bounded-delay service under perpetual contention: the remainder
+    // rotation must have reached both small partitions several times
+    assert(contended(2) == 1L,
+      s"the 1-row partition must drain under a hot peer, got $contended")
+    assert(contended(1) >= 3L,
+      s"the 9-row partition must make steady progress, got $contended")
+    assert(contended(0) > 90L,
+      "the hot partition must still get most of the budget")
+    // production stops: every partition must drain to its end offset
+    var prev = Map.empty[Int, Long]
+    var cur = contended
+    while (cur != prev) {
+      prev = cur
+      pos = stream.latestOffset(pos, limit)
+      cur = pos.asInstanceOf[graft.sources.v2.BusOffset].next
+    }
+    assert(cur == FileBus.endOffsets(topic),
+      s"quiet rounds must drain everything: $cur")
+  }
+
+  test("segment tag idempotency compares the exact tag field, not a suffix") {
+    val topic = newTopic(1)
+    FileBus.appendSegment(topic, 0, Seq(("k", "first")), "x_1")
+    // tag "1" is a SUFFIX of "x_1" — it must still append
+    FileBus.appendSegment(topic, 0, Seq(("k", "second")), "1")
+    // exact replays skip
+    FileBus.appendSegment(topic, 0, Seq(("k", "dup")), "x_1")
+    FileBus.appendSegment(topic, 0, Seq(("k", "dup")), "1")
+    val vals = spark.read.format("graftbus").option("path", topic).load()
+      .orderBy($"offset").select($"value").as[String].collect().toSeq
+    assert(vals == Seq("first", "second"), s"got $vals")
+    // default producer tags are full-entropy and never collide/skip
+    FileBus.produce(topic, Seq(("k", "v1")))
+    FileBus.produce(topic, Seq(("k", "v2")))
+    assert(FileBus.endOffsets(topic)(0) == 4L)
+  }
+
+  test("option keys are case-insensitive (MaxPerTrigger is honored)") {
+    val topic = newTopic(2)
+    FileBus.produce(topic, (0 until 30).map(i => (s"k$i", s"v$i")), tag = "t0")
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graftbus").option("path", topic)
+      .option("MaxPerTrigger", "7").load()
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("bus_case_ckpt").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sizes.synchronized { sizes += b.count() }; ()
+      }.start()
+    q.awaitTermination(120000)
+    assert(sizes.sum == 30 && sizes.forall(_ <= 7),
+      s"MaxPerTrigger ignored: $sizes")
+  }
+
+  test("partition reader honors the DSv2 next()/get() contract (get is a pure read)") {
+    val topic = newTopic(1)
+    FileBus.produce(topic, Seq(("a", "1"), ("b", "2"), ("c", "3")), tag = "t0")
+    val reader = new graft.sources.v2.BusReaderFactory()
+      .createReader(graft.sources.v2.BusSlice(topic, 0, 0L, 3L))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (reader.next()) {
+      val once = reader.get().getString(3).toString
+      // a second get() between next()s must return the SAME row
+      assert(reader.get().getString(3).toString == once)
+      seen += once
+    }
+    reader.close()
+    assert(seen.toSeq == Seq("1", "2", "3"),
+      s"double get() skipped or repeated rows: $seen")
+  }
+
   test("log survives foreign files and round-trips hostile record content") {
     val topic = newTopic(2)
     val hostile = Seq(
