@@ -225,13 +225,16 @@ object VectorOps {
     * a K-struct array column (measured ~20 µs/row at K=45 — the
     * dominant cost of an assign pass) plus the BroadcastNestedLoopJoin
     * stage the one-row crossJoin form planned. */
-  private def centArray(cents: DataFrame)
-      : org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Long], Long)]] = {
-    val arr = cents.select(col("cell"), col("csum"), col("cn"))
+  /** Collect a (cell, csum, cn) centroid table to a driver array —
+    * bounded by K ≈ √N rows (the quantizer-sizing convention). */
+  private def centRows(cents: DataFrame): Array[(Long, Array[Long], Long)] =
+    cents.select(col("cell"), col("csum"), col("cn"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
-    cents.sparkSession.sparkContext.broadcast(arr)
-  }
+
+  private def centArray(cents: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Long], Long)]] =
+    cents.sparkSession.sparkContext.broadcast(centRows(cents))
 
   /** Nearest-centroid assignment of `vecs` (vec_id, iv, …) against a
     * (cell, csum, cn) centroid table: map-only — the K-row table ships
@@ -924,6 +927,23 @@ object VectorOps {
     * times per row (the measured 3.7 s-vs-1 s lesson from training).
     * Centroids ship as a broadcast array for the same per-row-conversion
     * reason as [[centArray]]. */
+  /** Driver-side mirror of [[probeCellsOf]] for an already-collected
+    * query vector: identical cellKey arithmetic and (key, cell) tie
+    * order, so both paths rank cells bit-identically. Lets the probe
+    * pipelines compute their ≤ nQueries·nprobe (qid, cell) pairs with
+    * zero Spark jobs — no probes plan to persist, no UDF broadcast. */
+  private def probeCellsDriver(cents: Array[(Long, Array[Long], Long)],
+      qiv: Array[Long], nprobe: Int): Seq[Long] = {
+    val keys = new Array[(Double, Long)](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val (cell, csum, cn) = cents(c)
+      keys(c) = (ExactInt.cellKey(qiv.toSeq, csum, cn), cell)
+      c += 1
+    }
+    keys.sortBy(identity).take(nprobe).map(_._2).toSeq
+  }
+
   private[graft] def probeCellsOf(cents: DataFrame, nprobe: Int)(iv: Column): Column = {
     val bc = centArray(cents)
     val u = udf((ivv: Seq[Long]) => {
@@ -1035,8 +1055,9 @@ object VectorOps {
     * ~7 s/query of N-invariant constants on the bench board. The memo
     * is safe for correctness because every stage is deterministic
     * (md5-seeded exact-integer Lloyd, exact-decimal dots): a cache hit
-    * returns bit-identical edges to a fresh train. Keyed by app id +
-    * session identity so a new session never sees a stale plan.
+    * returns bit-identical edges to a fresh train. Stored in the
+    * per-session weak memo ([[memoFor]]) so a new session never sees a
+    * stale plan and a dead session's blocks are reclaimable.
     *
     * The edge set is materialized by eager `localCheckpoint`, NOT
     * `persist`: the bench/verify harnesses call
@@ -1047,33 +1068,42 @@ object VectorOps {
     * Checkpoint blocks live outside the SQL cache manager, so the memo
     * survives; the training caches are released eagerly once the edges
     * (≤ N·k id pairs) are materialized. */
-  private val plantedGatedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** Per-session memo store for trained artifacts (gated edge sets, PQ
+    * codebooks, coarse assignments). WEAKLY keyed by the owning
+    * SparkSession — an identity map, so two sessions can never alias
+    * (the previous identityHashCode-in-a-string key could collide), and
+    * a stopped, dereferenced session's entries (and through them its
+    * checkpointed blocks) become unreachable and are reclaimed by GC +
+    * ContextCleaner instead of pinning executor storage for the JVM's
+    * lifetime. */
+  private val sessionMemos = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+
+  private def memoFor(s: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, AnyRef] =
+    sessionMemos.synchronized {
+      var m = sessionMemos.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+        sessionMemos.put(s, m)
+      }
+      m
+    }
 
   private def plantedGatedEdges(s: SparkSession, d: String, k: Int,
-      nprobe: Int, cells: Int, threshold: Double): DataFrame = {
-    val key = s"${s.sparkContext.applicationId}|${System.identityHashCode(s)}|" +
-      s"$d|$k|$nprobe|$cells|$threshold"
-    plantedGatedCache.computeIfAbsent(key, _ => {
-      val e = Tables.embeddings(s, d)
-      val planted = e.filter(pmod(col("vec_id"), lit(10)) === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      val corpus = e.select(col("vec_id"), col("embedding")).union(planted)
-      val (a2, c2, base) = trainAssign(corpus, cells)
-      val knn = knnJoinAssigned(a2, c2, k, nprobe)
-      val norms = a2.select(col("vec_id"),
-        dotExactIv(col("iv"), col("iv")).as("sq"))
-      val gated = knn
-        .join(norms.select(col("vec_id").as("qid"), col("sq").as("qsq")), "qid")
-        .join(norms.select(col("vec_id"), col("sq").as("csq")), "vec_id")
-        .withColumn("cos", col("dot") / (sqrt(col("qsq")) * sqrt(col("csq"))))
-        .filter(col("cos") >= threshold)
-        .select(col("qid"), col("vec_id"))
-        .localCheckpoint(true)
-      a2.unpersist(); c2.unpersist(); base.unpersist()
-      gated
-    })
-  }
+      nprobe: Int, cells: Int, threshold: Double): DataFrame =
+    memoFor(s).computeIfAbsent(s"edges|$d|$k|$nprobe|$cells|$threshold",
+      _ => {
+        val e = Tables.embeddings(s, d)
+        val planted = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        val corpus = e.select(col("vec_id"), col("embedding")).union(planted)
+        val (gatedPlan, cleanup) =
+          gatedKnnEdges(corpus, k, nprobe, cells, threshold)
+        val gated = gatedPlan.localCheckpoint(true)
+        cleanup()
+        gated
+      }).asInstanceOf[DataFrame]
 
   /** The [[semanticDedup]] drop rule over ANY (vec_id, embedding)
     * corpus: (vec_id, dup_of) for every row with a smaller-id k-NN
@@ -1091,19 +1121,36 @@ object VectorOps {
   private[graft] def semanticDropSetWithCleanup(corpus: DataFrame,
       k: Int, nprobe: Int, cells: Int,
       threshold: Double): (DataFrame, () => Unit) = {
+    val (gated, cleanup) = gatedKnnEdges(corpus, k, nprobe, cells, threshold)
+    val drops = gated
+      .filter(col("vec_id") < col("qid"))
+      .groupBy(col("qid"))
+      .agg(min(col("vec_id")).as("dup_of"))
+      .select(col("qid").as("vec_id"), col("dup_of"))
+    (drops, cleanup)
+  }
+
+  /** The cosine-gated k-NN edge pipeline over ANY corpus — ONE home for
+    * the train → k-NN join → self-norms → cosine gate chain, shared by
+    * the batch memo ([[plantedGatedEdges]], q110/q113) and the
+    * per-micro-batch streaming path ([[semanticDropSetWithCleanup]]):
+    * a gate-semantics change in one consumer cannot silently diverge
+    * the other. Returns the gated DIRECTED edges (qid, vec_id) and the
+    * training-cache cleanup thunk (call only after materializing —
+    * the returned plan is lazy). */
+  private def gatedKnnEdges(corpus: DataFrame, k: Int, nprobe: Int,
+      cells: Int, threshold: Double): (DataFrame, () => Unit) = {
     val (a2, c2, base) = trainAssign(corpus, cells)
     val knn = knnJoinAssigned(a2, c2, k, nprobe)
     val norms = a2.select(col("vec_id"),
       dotExactIv(col("iv"), col("iv")).as("sq"))
-    val drops = knn
+    val gated = knn
       .join(norms.select(col("vec_id").as("qid"), col("sq").as("qsq")), "qid")
       .join(norms.select(col("vec_id"), col("sq").as("csq")), "vec_id")
       .withColumn("cos", col("dot") / (sqrt(col("qsq")) * sqrt(col("csq"))))
-      .filter(col("cos") >= threshold && col("vec_id") < col("qid"))
-      .groupBy(col("qid"))
-      .agg(min(col("vec_id")).as("dup_of"))
-      .select(col("qid").as("vec_id"), col("dup_of"))
-    (drops, () => { a2.unpersist(); base.unpersist(); c2.unpersist() })
+      .filter(col("cos") >= threshold)
+      .select(col("qid"), col("vec_id"))
+    (gated, () => { a2.unpersist(); base.unpersist(); c2.unpersist() })
   }
 
   /** Attach PQ codes to the CURRENT index generation as an optional
@@ -1118,6 +1165,10 @@ object VectorOps {
   def writePqCodes(s: SparkSession, path: String, m: Int = 4,
       subDim: Int = 16, codewords: Int = 16): Unit = {
     val genDir = indexGenDir(s, path)
+    // snapshot the source file set BEFORE reading anything: if an
+    // append races this write, the listing diverges and later probes
+    // correctly report the artifact stale
+    val sources = sourceListing(s, genDir)
     val corpus = liveCorpus(s, genDir)
     val books: Array[Codebook] = (0 until m).map { mi =>
       trainBook(corpus.select(col("vec_id"),
@@ -1138,6 +1189,11 @@ object VectorOps {
     corpus.select(col("vec_id"), col("cell"),
         pqCodesCol(s, books, subDim)(col("iv")).as("codes"))
       .write.partitionBy("cell").parquet(s"$tmp/codes")
+    val sf = hfs.create(
+      new org.apache.hadoop.fs.Path(s"$tmp/source_files"), true)
+    try sf.write(sources.map(_ + "\n").mkString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally sf.close()
     val ok = hfs.create(
       new org.apache.hadoop.fs.Path(s"$tmp/$OkSentinel"), true)
     ok.close()
@@ -1162,7 +1218,7 @@ object VectorOps {
     val genDir = indexGenDir(s, path)
     val (books, subDim) = loadPqBooks(s, genDir)
     val codes = s.read.parquet(s"$genDir/pq/codes")
-    assertPqFresh(s, genDir, codes)
+    assertPqFreshFast(s, genDir, codes)
     val qArr = queries.select(col("qid"),
       intVec(col("embedding")).as("qiv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
@@ -1216,6 +1272,56 @@ object VectorOps {
         s"PQ codes stale: $nDiverged vec_ids diverge between the codes " +
           "table and the live corpus — re-run writePqCodes after " +
           "appends/deletes")
+  }
+
+  /** Sorted (relative path, length) fingerprint of a generation's
+    * corpus + tombstone FILES — parquet files are immutable, so an
+    * unchanged listing implies an unchanged live id set. O(#files)
+    * directory listing, no data scan. */
+  private def sourceListing(s: SparkSession, genDir: String): Seq[String] = {
+    val hfs = hfsOf(s, genDir)
+    val prefix = new org.apache.hadoop.fs.Path(genDir).toUri.getPath
+    def ls(sub: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$genDir/$sub")
+      if (!hfs.exists(p)) Seq.empty
+      else {
+        val it = hfs.listFiles(p, true)
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val f = it.next()
+          b += s"${f.getPath.toUri.getPath.stripPrefix(prefix)}:${f.getLen}"
+        }
+        b.result()
+      }
+    }
+    (ls("corpus") ++ ls("tombstones")).sorted
+  }
+
+  /** The production-shape freshness check: [[writePqCodes]] records the
+    * file listing of the corpus + tombstones it encoded; a probe
+    * compares TODAY's listing against it — an O(#files) metadata read
+    * instead of [[assertPqFresh]]'s per-probe O(N) symmetric anti-join
+    * (which at 10⁹ vectors would cost a full-table pass before every
+    * pruned scan, defeating IVFADC's point). Conservative: any listing
+    * change (append, delete — even a tombstone of an id the corpus
+    * never held) reads as stale. Artifacts written before the snapshot
+    * existed fall back to the anti-join. */
+  private def assertPqFreshFast(s: SparkSession, genDir: String,
+      codes: DataFrame): Unit = {
+    val snap = new org.apache.hadoop.fs.Path(s"$genDir/pq/source_files")
+    val hfs = hfsOf(s, genDir)
+    if (!hfs.exists(snap)) { assertPqFresh(s, genDir, codes); return }
+    val recorded = {
+      val in = hfs.open(snap)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    }
+    val now = sourceListing(s, genDir)
+    if (recorded != now)
+      throw new IllegalStateException(
+        "PQ codes stale: the corpus/tombstone file set changed since " +
+          s"writePqCodes (${recorded.size} files recorded, ${now.size} " +
+          "now) — re-run writePqCodes after appends/deletes")
   }
 
   /** ADC score of ONE (query, code-row) pair: the m table hits summed
@@ -1272,27 +1378,30 @@ object VectorOps {
         s"PQ artifact in $genDir predates cell partitioning (no `cell` " +
           "column in pq/codes) — IVFADC needs the cell-partitioned " +
           "layout; re-run writePqCodes")
-    assertPqFresh(s, genDir, codesAll)
+    assertPqFreshFast(s, genDir, codesAll)
     val c2 = s.read.parquet(s"$genDir/centroids")
     val q = externalQ(queries)
-    // cell ranking via the fused probe UDF over the broadcast centroid
-    // array (the q105 discipline) — map-only, no query×centroid join in
-    // the plan, same exact (key, cell) tie order as distKey+row_number
-    val probes = q.select(col("qid"), col("qiv"),
-        explode(probeCellsOf(c2, nprobe)(col("qiv"))).as("pcell"))
-      .persist()
-    // probed cell ids: tiny (≤ nQueries·nprobe longs) — collected so the
-    // codes AND corpus reads carry literal IN-list partition filters
-    val probedCells = probes.select(col("pcell")).distinct()
-      .collect().map(_.getLong(0))
-    val qArr = probes.select(col("qid"), col("qiv")).distinct().collect()
+    // bounded collect: the nQueries (qid, qiv) rows drive BOTH the
+    // per-query ADC LUTs (driver artifacts by design — m·codewords
+    // doubles each) and the cell ranking, which runs on the DRIVER over
+    // the collected centroid array (K ≈ √N rows) via the exact
+    // probeCellsOf arithmetic — no probe-side Spark job, no persisted
+    // probes plan or UDF broadcast left behind per call
+    val qArr = q.select(col("qid"), col("qiv")).distinct().collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val cents = centRows(c2)
+    val probePairs = qArr.toSeq.flatMap { case (qid, qiv) =>
+      probeCellsDriver(cents, qiv, nprobe).map(c => (qid, c)) }
+    // probed cell ids: tiny (≤ nQueries·nprobe longs) — literal IN-list
+    // partition filters on the codes AND corpus reads
+    val probedCells = probePairs.map(_._2).distinct
     val lut = adcLut(books, subDim, qArr)
     val wA = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("vec_id"))
+    import s.implicits._
+    val probes = probePairs.toDF("qid", "pcell")
     val short = codesAll.filter(col("cell").isin(probedCells: _*))
-      .join(broadcast(probes.select(col("qid"), col("pcell"))),
-        col("cell") === col("pcell"))
+      .join(broadcast(probes), col("cell") === col("pcell"))
       .withColumn("score", adcScorePairCol(s, lut)(col("qid"), col("codes")))
       .withColumn("arank", row_number().over(wA))
       .filter(col("arank") <= shortlist)
@@ -1358,26 +1467,26 @@ object VectorOps {
     val codes = a2.select(col("vec_id"), col("cell"),
       pqCodesCol(s, books, subDim)(col("iv")).as("codes"))
     // coarse prune: rank trained centroids per query, keep nprobe cells
-    // (base stays cached per the operator convention — see ivfTopKFrom)
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         intVec(col("embedding")).as("qiv"))
-    // cell ranking via the fused probe UDF over the broadcast centroid
-    // array (the q105 discipline) — map-only, no query×centroid join
-    val probes = queries.select(col("qid"), col("qiv"),
-        explode(probeCellsOf(c2, nprobe)(col("qiv"))).as("pcell"))
-      .persist()
-    // bounded collect: nQueries integer vectors for the per-query ADC
-    // lookup tables (the LUT is a broadcast-sized driver artifact by
-    // design — m·codewords doubles per query)
-    val qArr = probes.select(col("qid"), col("qiv")).distinct().collect()
+    // bounded collect: nQueries (qid, qiv) rows — they drive the
+    // per-query ADC LUTs (driver artifacts by design) and the cell
+    // ranking, computed on the DRIVER over the collected centroid array
+    // (K ≈ √N rows, identical probeCellsOf arithmetic) — no probe-side
+    // Spark job, nothing persisted per call
+    val qArr = queries.select(col("qid"), col("qiv")).distinct().collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val cents = centRows(c2)
+    val probePairs = qArr.toSeq.flatMap { case (qid, qiv) =>
+      probeCellsDriver(cents, qiv, nprobe).map(c => (qid, c)) }
     val lut = adcLut(books, subDim, qArr)
     val wA = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("vec_id"))
+    import s.implicits._
+    val probes = probePairs.toDF("qid", "pcell")
     val short = codes
-      .join(broadcast(probes.select(col("qid"), col("pcell"))),
-        col("cell") === col("pcell"))
+      .join(broadcast(probes), col("cell") === col("pcell"))
       .withColumn("score", adcScorePairCol(s, lut)(col("qid"), col("codes")))
       .withColumn("arank", row_number().over(wA))
       .filter(col("arank") <= shortlist)
@@ -1588,22 +1697,17 @@ object VectorOps {
     * plain driver arrays (m·codewords·subDim longs), so unlike the edge
     * memo no checkpoint is needed — `clearCache()` can't touch them.
     * The training cache is released before returning. */
-  private val pqBookCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Codebook]]()
-
   private def heldOutBooks(s: SparkSession, d: String, m: Int,
-      subDim: Int, codewords: Int, nQueries: Int): Array[Codebook] = {
-    val key = s"${s.sparkContext.applicationId}|${System.identityHashCode(s)}|" +
-      s"$d|$m|$subDim|$codewords|$nQueries"
-    pqBookCache.computeIfAbsent(key, _ => {
-      val base = Tables.embeddings(s, d)
-        .filter(col("vec_id") >= nQueries)
-        .select(col("vec_id"), intVec(col("embedding")).as("iv")).persist()
-      val books = trainBooksOn(base, m, subDim, codewords)
-      base.unpersist()
-      books
-    })
-  }
+      subDim: Int, codewords: Int, nQueries: Int): Array[Codebook] =
+    memoFor(s).computeIfAbsent(s"pqbooks|$d|$m|$subDim|$codewords|$nQueries",
+      _ => {
+        val base = Tables.embeddings(s, d)
+          .filter(col("vec_id") >= nQueries)
+          .select(col("vec_id"), intVec(col("embedding")).as("iv")).persist()
+        val books = trainBooksOn(base, m, subDim, codewords)
+        base.unpersist()
+        books
+      }).asInstanceOf[Array[Codebook]]
 
   /** Train the m per-subspace codebooks over a (vec_id, iv) table —
     * the loop shared by the flat-PQ and IVFADC trainers. */
@@ -1626,22 +1730,16 @@ object VectorOps {
     * held-out corpus (vec_id, embedding, iv, cell) — bench-scale data;
     * the production path for stored indexes is [[probeIvfPqIndex]],
     * which never trains inline. */
-  private val heldOutAssignCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
-
   private def heldOutAssign(s: SparkSession, d: String, cells: Int,
-      nQueries: Int): (DataFrame, DataFrame) = {
-    val key = s"${s.sparkContext.applicationId}|${System.identityHashCode(s)}|" +
-      s"$d|$cells|$nQueries"
-    heldOutAssignCache.computeIfAbsent(key, _ => {
+      nQueries: Int): (DataFrame, DataFrame) =
+    memoFor(s).computeIfAbsent(s"assign|$d|$cells|$nQueries", _ => {
       val (a2, c2, base) = trainAssign(
         Tables.embeddings(s, d).filter(col("vec_id") >= nQueries), cells)
       val a2c = a2.localCheckpoint(true)
       val c2c = c2.localCheckpoint(true)
       a2.unpersist(); c2.unpersist(); base.unpersist()
       (a2c, c2c)
-    })
-  }
+    }).asInstanceOf[(DataFrame, DataFrame)]
 
   /** PQ-ADC top-k (q111): the memory-bounded ANN variant — each corpus
     * vector is stored as `m` sub-codeword ids (m bytes-per-vector class
