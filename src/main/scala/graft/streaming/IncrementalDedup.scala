@@ -686,11 +686,19 @@ object IncrementalDedup {
       .select(col("node"), col("label"))
       .localCheckpoint()
     // 3. edge set for the subgraph: stored stars + new→bucket-label links
-    //    + new-new bucket cliques, symmetrized
-    val newNew = newBands.alias("x").join(newBands.alias("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    //    + new-new bucket stars, symmetrized
+    //    new-new links are PER-BUCKET STARS, not cliques: connectivity
+    //    within a band bucket is all the CC step needs, and a star to
+    //    the bucket's min doc_id yields the identical components in
+    //    O(bucket) edges where the x<y self-join paid O(bucket²) — on a
+    //    dup-heavy bulk batch (64 copies per doc) the clique was the
+    //    64× ScaleSmoke's super-linear term (8× data → 30× time)
+    val newBucketHubs = newBands.groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("hub"))
+    val newNew = newBands
+      .join(newBucketHubs, Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("a"), col("doc_id").as("b"))
     val halfEdges = affectedMembers.filter(col("node") =!= col("label"))
       .select(col("node").as("a"), col("label").as("b"))
       .unionByName(matched.select(col("doc_id").as("a"), col("label").as("b")))
