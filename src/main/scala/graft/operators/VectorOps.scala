@@ -550,7 +550,14 @@ object VectorOps {
     * error, even when their mass is small. */
   private def writeGen(corpus: DataFrame, genDir: String, cells: Int): Unit = {
     val (a2, c2, base) = trainAssign(corpus, cells)
-    a2.write.mode("overwrite").partitionBy("cell").parquet(s"$genDir/corpus")
+    // range-repartition by (cell, vec_id) before the partitioned write:
+    // a straight partitionBy from an n-partition plan writes n files
+    // PER CELL (measured 22k part-files for one 346-cell index — every
+    // later listing, footer read, and freshness snapshot pays for it);
+    // ranging gives ~cells + n files total while a hot cell still
+    // splits across tasks by vec_id instead of serializing on one
+    a2.repartitionByRange(col("cell"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$genDir/corpus")
     val qerr = a2.join(broadcast(c2), "cell")
       .withColumn("dkey", distKey(col("iv"), col("csum"), col("cn")))
       .groupBy(col("cell")).agg(avg(col("dkey")).as("qerr"))
@@ -776,7 +783,10 @@ object VectorOps {
       batch.withColumn("iv", intVec(col("embedding"))), c2)
       .select(col("vec_id"), col("embedding"), col("iv"), col("cell"))
       .persist()
-    assigned.write.mode("append").partitionBy("cell")
+    // range the append too: a small batch otherwise scatters up to
+    // n·touchedCells tiny files into the generation per append
+    assigned.repartitionByRange(col("cell"), col("vec_id"))
+      .write.mode("append").partitionBy("cell")
       .parquet(s"$genDir/corpus")
     val trained = c2.agg(sum(col("cn"))).head().getLong(0)
     val total = s.read.parquet(s"$genDir/corpus").count()
@@ -999,13 +1009,21 @@ object VectorOps {
     val probes = a2
       .select(col("vec_id").as("qid"), col("iv").as("qiv"),
         explode(probeCellsOf(c2, nprobe)(col("iv"))).as("pcell"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
+    // per-query top-k as a PARTIAL-aggregating UDAF, not a row_number
+    // window: the window shuffles and sorts the full candidate set by
+    // qid (68.7M pair rows at the 64× smoke); the aggregator reduces
+    // map-side to one ≤k buffer per query per partition, so the
+    // exchange carries ~nprobe·N·k values. Ordering (dot desc, vec_id)
+    // is bit-identical to the window's — the q105/q110/q113 oracles
+    // pin it
+    val topk = graft.functions.TopKDotAgg.topKByDot(k)
     a2.join(probes, col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
       .withColumn("dot", dotExactIvUdf(col("qiv"), col("iv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id"), col("dot"),
-        col("rank").cast("long").as("rank"))
+      .groupBy(col("qid"))
+      .agg(topk(col("dot"), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t._2").as("vec_id"), col("t._1").as("dot"),
+        (col("pos") + 1).cast("long").as("rank"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -1188,6 +1206,7 @@ object VectorOps {
     // code files (directory pruning), never the full codes table
     corpus.select(col("vec_id"), col("cell"),
         pqCodesCol(s, books, subDim)(col("iv")).as("codes"))
+      .repartitionByRange(col("cell"), col("vec_id"))
       .write.partitionBy("cell").parquet(s"$tmp/codes")
     val sf = hfs.create(
       new org.apache.hadoop.fs.Path(s"$tmp/source_files"), true)
