@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throwaway A/B timer for the k-NN join's top-k formulation at an
+  * inflated corpus: the partial-aggregating UDAF hits
+  * ObjectHashAggregate's 128-key sort-based fallback by default —
+  * this measures the join with and without a raised threshold.
+  * Usage: runMain graft.KnnProbe [sfDir] [mult]. */
+object KnnProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(64)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.Tables
+    import graft.operators.VectorOps
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val bigE = (0 until mult).map(k =>
+      e.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        col("embedding"))).reduce(_ union _)
+    def run(tag: String): Unit = {
+      val t0 = System.nanoTime()
+      val n = VectorOps.ivfKnnJoin(bigE, k = 3, nprobe = 1, cells = 0).count()
+      println(f"KNN $tag%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
+      spark.catalog.clearCache()
+    }
+    run("warm")
+    run("default")
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+    run("hash4m")
+  }
+}

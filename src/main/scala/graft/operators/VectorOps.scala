@@ -105,7 +105,13 @@ object VectorOps {
       * The accumulator is an unsigned 128-bit (hi, lo) pair; terms are
       * squares (non-negative), bounded like the distKey DECIMAL(38,0)
       * contract, so no wraparound below ~1e9 rows/cell. */
-    def cellKey(iv: Seq[Long], csum: Array[Long], cn: Long): Double = {
+    /** Seq delegate (spec parity hooks); the hot UDFs take primitive
+      * arrays — a `Seq[Long]` erases `apply` to Object, boxing every
+      * element access in the inner loop. */
+    def cellKey(iv: Seq[Long], csum: Array[Long], cn: Long): Double =
+      cellKey(iv.toArray, csum, cn)
+
+    def cellKey(iv: Array[Long], csum: Array[Long], cn: Long): Double = {
       var hi = 0L
       var lo = 0L
       var i = 0
@@ -159,7 +165,10 @@ object VectorOps {
       * rounded HALF_UP to scale 12, as a correctly-rounded double. The
       * SIGNED 128-bit product (multiplyHigh + wrapping low) is exact for
       * any long magnitudes — including the ×8 scaled-smoke vectors. */
-    def dot(a: Seq[Long], b: Seq[Long]): Double = {
+    def dot(a: Seq[Long], b: Seq[Long]): Double =
+      dot(a.toArray, b.toArray)
+
+    def dot(a: Array[Long], b: Array[Long]): Double = {
       var hi = 0L
       var lo = 0L
       var i = 0
@@ -243,7 +252,10 @@ object VectorOps {
     * hook for VectorFnsSpec. */
   def assignWithCentroids(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val bc = centArray(cents)
-    val u = udf((iv: Seq[Long]) => {
+    // Array[Long], not Seq: the codegen'd deserializer hands the UDF the
+    // primitive array (toLongArray) — a Seq parameter boxes every
+    // element access in the K·D inner loop
+    val u = udf((iv: Array[Long]) => {
       var bestKey = Double.MaxValue
       var bestCell = Long.MaxValue
       val cs = bc.value
@@ -915,7 +927,7 @@ object VectorOps {
     * cost, which is the difference between a usable and an unusable
     * corpus×corpus re-rank (millions of dots, not thousands). */
   private val dotExactIvUdf =
-    udf((a: Seq[Long], b: Seq[Long]) => ExactInt.dot(a, b))
+    udf((a: Array[Long], b: Array[Long]) => ExactInt.dot(a, b))
 
   /** The fused exact dot as a plain function (spec hook: the fast
     * long-division rounding tail is pinned against a BigDecimal
@@ -948,7 +960,7 @@ object VectorOps {
     var c = 0
     while (c < cents.length) {
       val (cell, csum, cn) = cents(c)
-      keys(c) = (ExactInt.cellKey(qiv.toSeq, csum, cn), cell)
+      keys(c) = (ExactInt.cellKey(qiv, csum, cn), cell)
       c += 1
     }
     keys.sortBy(identity).take(nprobe).map(_._2).toSeq
@@ -956,7 +968,7 @@ object VectorOps {
 
   private[graft] def probeCellsOf(cents: DataFrame, nprobe: Int)(iv: Column): Column = {
     val bc = centArray(cents)
-    val u = udf((ivv: Seq[Long]) => {
+    val u = udf((ivv: Array[Long]) => {
       val cs = bc.value
       val keys = new Array[(Double, Long)](cs.length)
       var c = 0
@@ -1009,21 +1021,22 @@ object VectorOps {
     val probes = a2
       .select(col("vec_id").as("qid"), col("iv").as("qiv"),
         explode(probeCellsOf(c2, nprobe)(col("iv"))).as("pcell"))
-    // per-query top-k as a PARTIAL-aggregating UDAF, not a row_number
-    // window: the window shuffles and sorts the full candidate set by
-    // qid (68.7M pair rows at the 64× smoke); the aggregator reduces
-    // map-side to one ≤k buffer per query per partition, so the
-    // exchange carries ~nprobe·N·k values. Ordering (dot desc, vec_id)
-    // is bit-identical to the window's — the q105/q110/q113 oracles
-    // pin it
-    val topk = graft.functions.TopKDotAgg.topKByDot(k)
+    // per-query top-k via row_number, NOT a partial-aggregating UDAF:
+    // measured head-to-head at the 64× corpus (graft.KnnProbe), the
+    // typed-Aggregator form costs 185-189 s against the window's
+    // 135-145 s — the join's per-candidate work (array handling + the
+    // exact dot), not the qid exchange, dominates, and the aggregator
+    // adds per-row encoder/virtual-call overhead the window doesn't;
+    // raising ObjectHashAggregate's sort-fallback threshold (4M keys)
+    // changes nothing. The window's shuffle rows are slim
+    // (qid, vec_id, dot)
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
     a2.join(probes, col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
       .withColumn("dot", dotExactIvUdf(col("qiv"), col("iv")))
-      .groupBy(col("qid"))
-      .agg(topk(col("dot"), col("vec_id")).as("top"))
-      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("qid"), col("t._2").as("vec_id"), col("t._1").as("dot"),
-        (col("pos") + 1).cast("long").as("rank"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("dot"),
+        col("rank").cast("long").as("rank"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -1621,7 +1634,7 @@ object VectorOps {
         .sortBy(_._1)
     def assign(book: Codebook): DataFrame = {
       val bc = sub.sparkSession.sparkContext.broadcast(book)
-      val u = udf((siv: Seq[Long]) => {
+      val u = udf((siv: Array[Long]) => {
         var bestK = Double.MaxValue
         var bestC = Long.MaxValue
         val cs = bc.value
@@ -1651,12 +1664,13 @@ object VectorOps {
   private def pqCodesCol(s: SparkSession, books: Array[Codebook],
       subDim: Int)(iv: Column): Column = {
     val bcBooks = s.sparkContext.broadcast(books)
-    val u = udf((ivv: Seq[Long]) => {
+    val u = udf((ivv: Array[Long]) => {
       val bs = bcBooks.value
       val out = new Array[Long](bs.length)
       var mi = 0
       while (mi < bs.length) {
-        val siv = ivv.slice(mi * subDim, (mi + 1) * subDim)
+        val siv = java.util.Arrays.copyOfRange(ivv, mi * subDim,
+          (mi + 1) * subDim)
         val book = bs(mi)
         var bestK = Double.MaxValue
         var bestC = Long.MaxValue
