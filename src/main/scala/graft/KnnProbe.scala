@@ -3,11 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Throwaway A/B timer for the k-NN join's top-k formulation at an
-  * inflated corpus: the partial-aggregating UDAF hits
-  * ObjectHashAggregate's 128-key sort-based fallback by default —
-  * this measures the join with and without a raised threshold.
-  * Usage: runMain graft.KnnProbe [sfDir] [mult]. */
+/** A/B timer for the k-NN join at an inflated corpus: one warm pass
+  * (codegen + file listing), then the measured pass. Used to decide
+  * the primitive-array UDF signatures and to reject the typed top-k
+  * Aggregator (slower than the row_number window — rationale at
+  * knnJoinAssigned). Usage: runMain graft.KnnProbe [sfDir] [mult]. */
 object KnnProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -36,8 +36,5 @@ object KnnProbe {
     }
     run("warm")
     run("default")
-    spark.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
-    run("hash4m")
   }
 }

@@ -105,12 +105,6 @@ object VectorOps {
       * The accumulator is an unsigned 128-bit (hi, lo) pair; terms are
       * squares (non-negative), bounded like the distKey DECIMAL(38,0)
       * contract, so no wraparound below ~1e9 rows/cell. */
-    /** Seq delegate (spec parity hooks); the hot UDFs take primitive
-      * arrays — a `Seq[Long]` erases `apply` to Object, boxing every
-      * element access in the inner loop. */
-    def cellKey(iv: Seq[Long], csum: Array[Long], cn: Long): Double =
-      cellKey(iv.toArray, csum, cn)
-
     def cellKey(iv: Array[Long], csum: Array[Long], cn: Long): Double = {
       var hi = 0L
       var lo = 0L
@@ -1201,6 +1195,12 @@ object VectorOps {
     // correctly report the artifact stale
     val sources = sourceListing(s, genDir)
     val corpus = liveCorpus(s, genDir)
+    // fail the config error BEFORE paying for m codebook trainings;
+    // pqCodesCol re-checks per row for ragged corpora
+    corpus.select(size(col("iv"))).take(1).foreach { r =>
+      require(r.getInt(0) >= m * subDim,
+        s"PQ m*subDim = ${m * subDim} exceeds vector dim ${r.getInt(0)}")
+    }
     val books: Array[Codebook] = (0 until m).map { mi =>
       trainBook(corpus.select(col("vec_id"),
         slice(col("iv"), 1 + mi * subDim, subDim).as("siv")),
@@ -1216,11 +1216,18 @@ object VectorOps {
       .coalesce(1).write.parquet(s"$tmp/books")
     // codes carry — and are PARTITIONED BY — the coarse cell id, so the
     // IVFADC probe ([[probeIvfPqIndex]]) reads only its probed cells'
-    // code files (directory pruning), never the full codes table
-    corpus.select(col("vec_id"), col("cell"),
+    // code files (directory pruning), never the full codes table.
+    // Persist the coded rows BEFORE the range repartition: range
+    // partitioning runs its child once to sample boundary keys and
+    // again in the shuffle map tasks — uncached, the m·codewords·subDim
+    // argmin per row (and the corpus read) would execute twice per
+    // write, and the cache holds only slim (vec_id, cell, codes) rows
+    val coded = corpus.select(col("vec_id"), col("cell"),
         pqCodesCol(s, books, subDim)(col("iv")).as("codes"))
-      .repartitionByRange(col("cell"), col("vec_id"))
+      .persist()
+    try coded.repartitionByRange(col("cell"), col("vec_id"))
       .write.partitionBy("cell").parquet(s"$tmp/codes")
+    finally coded.unpersist()
     val sf = hfs.create(
       new org.apache.hadoop.fs.Path(s"$tmp/source_files"), true)
     try sf.write(sources.map(_ + "\n").mkString.getBytes(
@@ -1666,6 +1673,14 @@ object VectorOps {
     val bcBooks = s.sparkContext.broadcast(books)
     val u = udf((ivv: Array[Long]) => {
       val bs = bcBooks.value
+      // guard the slice contract loudly: copyOfRange zero-PADS (or
+      // throws) past the vector's end where trainBook's Catalyst
+      // slice() CLAMPS — an m·subDim larger than the vector dim would
+      // assign codes against keys the books were never trained on,
+      // silently corrupting every ADC score downstream
+      if (ivv.length < bs.length * subDim) throw new IllegalArgumentException(
+        s"PQ m*subDim = ${bs.length * subDim} exceeds vector dim ${ivv.length}: " +
+          "codes would diverge from the trained (clamped-slice) books")
       val out = new Array[Long](bs.length)
       var mi = 0
       while (mi < bs.length) {
