@@ -122,6 +122,35 @@ class PqSpec extends SparkSpecBase {
     assert(!fresh.contains(7L), "a tombstoned row surfaced after recompute")
   }
 
+  test("oversized m*subDim fails loudly, never zero-pads past the vector") {
+    // trainBook slices with Catalyst slice() (clamps); code assignment
+    // slices with copyOfRange (zero-pads/throws). A config whose
+    // m*subDim exceeds the vector dim must therefore fail loudly at
+    // BOTH entry points, not assign codes the books were never
+    // trained on.
+    val rnd = new scala.util.Random(47L)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    val e = rows.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("pq_dim").toString
+    VectorOps.writeIvfIndex(e, path, cells = 4)
+    // stored-artifact writer: fail-fast require BEFORE training
+    val ex = intercept[IllegalArgumentException] {
+      VectorOps.writePqCodes(spark, path, m = 8, subDim = 16, codewords = 16)
+    }
+    assert(ex.getMessage.contains("exceeds vector dim"))
+    // inline scorer: the shared assignment UDF guards per row
+    val ex2 = intercept[Exception] {
+      VectorOps.pqAdcRerankFrom(e, m = 8, subDim = 16,
+        codewords = 16, nQueries = 5, k = 5, shortlist = 10).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(ex2).exists(_.contains("exceeds vector dim")),
+      s"inline path must fail loudly, got: ${chain(ex2).mkString(" | ")}")
+  }
+
   test("q114 ivfadc: probe-all + wide shortlist degrades to exact brute force") {
     val rnd = new scala.util.Random(29L)
     val rows = (0 until 120).map(i =>
