@@ -7,12 +7,15 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.{CosineSimilarityExpr, ZOrderInterleaveExpr}
 
 /** Session extensions: registers the engine's native Catalyst expressions
-  * (SURVEY.md §7.4 tier (b) custom operators). Install with
+  * (SURVEY.md §7.4 tier (b) custom operators) and the whole-operator
+  * planner strategy for rank-only top-k per key (tier (c) — see
+  * [[graft.plans.TopKPerKeyNode]]). Install with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
   * `.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_fast"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_fast"),

@@ -4,10 +4,14 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** A/B timer for the k-NN join at an inflated corpus: one warm pass
-  * (codegen + file listing), then the measured pass. Used to decide
-  * the primitive-array UDF signatures and to reject the typed top-k
-  * Aggregator (slower than the row_number window — rationale at
-  * knnJoinAssigned). Usage: runMain graft.KnnProbe [sfDir] [mult]. */
+  * (codegen + file listing), then a measured pass per top-k form —
+  * the row_number window (default; Catalyst's WindowGroupLimit bounds
+  * the exchange) vs the hand-built TopKPerKey plan
+  * (-Dgraft.knn.topk=native). Decided the primitive-array UDF
+  * signatures, rejected the typed top-k Aggregator (185-189 s), and
+  * rejected native-by-default (window 21-26 s vs native 27-28 s,
+  * identical 384k-record exchanges — rationale at knnJoinAssigned).
+  * Usage: runMain graft.KnnProbe [sfDir] [mult]. */
 object KnnProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -35,6 +39,11 @@ object KnnProbe {
       spark.catalog.clearCache()
     }
     run("warm")
-    run("default")
+    run("window")
+    run("window2")
+    sys.props("graft.knn.topk") = "native"
+    run("native")
+    run("native2")
+    sys.props.remove("graft.knn.topk")
   }
 }

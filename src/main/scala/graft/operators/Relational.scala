@@ -110,6 +110,23 @@ object Relational {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // Top-5 lineitems per supplier through the NATIVE TopKPerKey plan
+    // (graft/plans/TopKPerKey.scala — custom LogicalPlan + Strategy +
+    // SparkPlan): same output contract as q07's row_number window, but
+    // the pre-exchange partial take-k bounds the shuffle at k rows per
+    // (supplier, task). Oracle is the plain window SQL — pins that the
+    // whole-operator plan is result-identical to the built-in form.
+    "q116_native_topk" -> ((s, d) => {
+      val slim = Tables.lineitem(s, d).select(col("l_suppkey"),
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      graft.plans.TopKPerKey(slim, Seq("l_suppkey"),
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+        k = 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("rn").cast("long").as("rn"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    }),
+
     // Running (prefix) aggregate per key — decimal-exact so the frame sum
     // is reproducible.
     "q08_running_total" -> ((s, d) => {
@@ -333,6 +350,14 @@ object Relational {
                ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) t
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q116_native_topk" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_suppkey
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+           FROM lineitem) t
+         WHERE rn <= 5 ORDER BY l_suppkey, rn""",
 
     "q08_running_total" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,

@@ -1,0 +1,188 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShims}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, AttributeReference, AttributeSet, Expression,
+  GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+
+/** Rank-only top-k per key as a WHOLE-OPERATOR plan (SURVEY §7.4 tier
+  * (c): custom LogicalPlan + SparkStrategy + SparkPlan, registered via
+  * GraftExtensions) — the engine's end-to-end demonstration of the
+  * extension tier reserved for semantics Spark genuinely lacks, kept
+  * deliberately on a semantic Spark HAS so every piece is pinned
+  * against a DuckDB oracle (q116) and a window-form equivalence spec.
+  *
+  * Measured honestly against the built-in: for `row_number <= k`
+  * Catalyst's own InferWindowGroupLimit (Spark 3.5+) already inserts a
+  * partial WindowGroupLimit below the key exchange, so this plan's
+  * map-side take-k matches — not beats — the built-in wire volume
+  * (identical 384k-record exchanges at the 64× k-NN corpus, ShufProbe)
+  * and loses 10-25% end-to-end to WindowGroupLimitExec's codegen-
+  * friendlier scan (graft.KnnProbe: window 21-26 s, native 27-28 s).
+  * Production paths therefore keep the window form; this operator is
+  * the mechanism proof + insurance where the rewrite can't fire. The
+  * plan shape: each task locally sorts (Spark's spillable SortExec, no
+  * per-key heap to size) and emits ≤ k rows per key it saw, the one
+  * hash exchange carries those survivors, the final phase re-limits
+  * and appends the 1-based rank. Output ≡ the window form whenever
+  * the ordering is total (unique trailing tie-break — the same
+  * determinism contract every oracle-checked top-n query obeys). */
+case class TopKPerKeyNode(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, s"top-k needs k >= 1, got $k")
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  // rankAttr is MINTED here, not read from the child (same contract as
+  // Generate's generatorOutput) — without this, missingInput flags it
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerKeyNode =
+    copy(child = c)
+}
+
+/** Physical take-k-per-key over a (key, order)-sorted input stream.
+  * `rankAttr = None` is the PARTIAL phase (any distribution, emits
+  * child columns only); `Some(attr)` is the FINAL phase (requires
+  * key-clustered input, appends the 1-based rank). EnsureRequirements
+  * inserts the local sorts and the single hash exchange from the
+  * declared requirements — the operator itself is a one-pass scan. */
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: Option[Attribute],
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  override def producedAttributes: AttributeSet =
+    AttributeSet(rankAttr.toSeq)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (rankAttr.isEmpty) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  // group-detection needs key-contiguous input; any consistent key
+  // direction works, so pin Ascending and keep the caller's order
+  // columns after it
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(keys.map(SortOrder(_, Ascending)) ++ order)
+
+  override def outputOrdering: Seq[SortOrder] =
+    keys.map(SortOrder(_, Ascending)) ++ order
+
+  override def outputPartitioning = child.outputPartitioning
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val ks = keys
+    val limit = k
+    val rank = rankAttr
+    val outAttrs = output
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(ks, childOutput)
+      val outProj = rank.map(a =>
+        UnsafeProjection.create(outAttrs, childOutput :+ a))
+      val rankRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      new Iterator[InternalRow] {
+        private var currentKey: org.apache.spark.sql.catalyst.expressions.UnsafeRow = _
+        private var seen = 0
+        private var nextRow: InternalRow = _
+        private def advance(): Unit = {
+          nextRow = null
+          while (nextRow == null && iter.hasNext) {
+            val r = iter.next()
+            val key = keyProj(r)
+            if (currentKey == null || key != currentKey) {
+              currentKey = key.copy()
+              seen = 0
+            }
+            if (seen < limit) {
+              seen += 1
+              nextRow = r
+            }
+            // else: sorted input ⇒ every further row of this key also
+            // ranks > k; keep scanning to the next key boundary
+          }
+        }
+        override def hasNext: Boolean = {
+          if (nextRow == null) advance()
+          nextRow != null
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = nextRow
+          nextRow = null
+          outProj match {
+            case Some(p) =>
+              rankRow.setInt(0, seen)
+              p(joined(r, rankRow))
+            case None => r
+          }
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
+    copy(child = c)
+}
+
+/** Plans [[TopKPerKeyNode]] as partial→final [[TopKPerKeyExec]]; the
+  * exchange between them comes from the final phase's distribution
+  * requirement, so AQE still owns partition-count decisions. */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, rankAttr, child) =>
+      val partial = TopKPerKeyExec(keys, order, k, None, planLater(child))
+      TopKPerKeyExec(keys, order, k, Some(rankAttr), partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** DataFrame-level entry: `topKPerKey(df, keys, order, k)` ≡ the
+  * row_number window form with `rn <= k`, planned natively. Order
+  * columns must make the ordering total within a key (unique trailing
+  * tie-break) for the two to be row-identical — the same contract the
+  * window form needs to be deterministic at all. */
+object TopKPerKey {
+  def apply(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
+      k: Int, rankName: String = "rn"): DataFrame = {
+    val child = df.queryExecution.analyzed
+    def attrOf(n: String): Attribute = child.output.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(
+        s"topKPerKey key '$n' not in ${child.output.map(_.name).mkString(", ")}"))
+    val keys = keyCols.map(attrOf)
+    val order = orderCols.map { c =>
+      GraftSqlShims.expr(c) match {
+        case so: SortOrder => so.copy(child = resolve(so.child, child))
+        case e => SortOrder(resolve(e, child), Ascending)
+      }
+    }
+    val rankAttr = AttributeReference(rankName, IntegerType, nullable = false)()
+    GraftSqlShims.ofRows(df.sparkSession,
+      TopKPerKeyNode(keys, order, k, rankAttr, child))
+  }
+
+  // Column exprs arrive unresolved (col("x") is an UnresolvedAttribute);
+  // bind them against the analyzed child by name so the node is born
+  // resolved and skips the analyzer's resolution passes
+  private def resolve(e: Expression, child: LogicalPlan): Expression =
+    e.transformUp {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        child.output.find(_.name == u.name).getOrElse(
+          throw new IllegalArgumentException(
+            s"topKPerKey order column '${u.name}' not in " +
+              child.output.map(_.name).mkString(", ")))
+    }
+}

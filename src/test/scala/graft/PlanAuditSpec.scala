@@ -29,6 +29,25 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("q105: the candidate top-k is group-limited BEFORE the qid exchange") {
+    // the k-NN join's wire volume stands on InferWindowGroupLimit
+    // rewriting `row_number <= k` into a partial WindowGroupLimit below
+    // the exchange (measured: k·N = 384k records on the wire at the 64×
+    // corpus instead of the ≈45M candidates). A conf/optimizer
+    // regression that loses the rewrite silently restores the
+    // full-candidate shuffle — pin the operator's presence.
+    val p = plan(q("q105_ann_knn_join"))
+    assert(p.contains("WindowGroupLimit"),
+      s"q105 lost the pre-exchange group limit:\n$p")
+  }
+
+  test("q116: the native whole-operator top-k plans partial+final") {
+    // tier-(c) machinery pin: the injected strategy must actually fire
+    // (a lost registration means TopKPerKeyNode dies with "No plan for")
+    val p = plan(q("q116_native_topk"))
+    assert(p.contains("TopKPerKey"), s"q116 lost the native top-k plan:\n$p")
+  }
+
   test("q112: the exact re-rank fetch broadcasts the shortlist, not the corpus") {
     // the two-stage retrieval's whole point: only nQueries·shortlist ids
     // travel; the corpus vectors are fetched by a broadcast equijoin and
