@@ -16,6 +16,7 @@ import graft.functions.{CosineSimilarityExpr, ZOrderInterleaveExpr}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_fast"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_fast"),

@@ -267,6 +267,27 @@ object Ingest {
         .select(col("event_id"), col("user_id"), col("ts"),
           col("click_id"), col("click_ts"))
         .orderBy(col("event_id"))
+    }),
+
+    // q29's semantics through the NATIVE as-of join (graft/plans/
+    // AsofJoin.scala — tier-(c): Spark has no as-of join). Unlike the
+    // union+window form, each side shuffles its OWN narrow schema (no
+    // null-padding to the union schema) and the merge fetches the whole
+    // matched right row in one pass — here three click columns, where
+    // the window form replays one last(ignoreNulls) per fetched column.
+    "q117_native_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.plans.AsofJoin(purchases, clicks,
+        Seq("user_id"), Seq("c_user"), "ts", "click_ts",
+        rightTie = Seq(col("click_id")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("click_id"), col("click_ts"), col("click_value"))
+        .orderBy(col("event_id"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -431,5 +452,19 @@ object Ingest {
            WINDOW win AS (PARTITION BY user_id ORDER BY ts, kind, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          SELECT event_id, user_id, ts, click_id, click_ts FROM w
-         WHERE kind = 1 ORDER BY event_id""")
+         WHERE kind = 1 ORDER BY event_id""",
+
+    "q117_native_asof" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+           c.click_id, c.click_ts, c.click_value
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase') p
+         LEFT JOIN LATERAL (
+           SELECT event_id AS click_id, ts AS click_ts,
+             value AS click_value
+           FROM events c
+           WHERE c.event_type = 'click' AND c.user_id = p.user_id
+             AND c.ts <= p.ts
+           ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON true
+         ORDER BY p.event_id""")
 }

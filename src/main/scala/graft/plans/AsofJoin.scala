@@ -1,0 +1,236 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShims}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, AttributeSet, Expression, GenericInternalRow,
+  JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Keyed backward as-of join as a WHOLE-OPERATOR plan — the canonical
+  * tier-(c) case (SURVEY §7.4): Spark has NO native as-of join, so
+  * every composition pays somewhere. The union+window form (q29) must
+  * squeeze both sides into ONE schema — every shuffled row is
+  * null-padded to |L|+|R| columns — and replays a last(ignoreNulls)
+  * window per fetched right column; the range-join form explodes
+  * candidates quadratically per key. This plan is the pandas
+  * merge_asof / kdb aj shape, distributed: both sides hash-cluster by
+  * key (co-partitioned by EnsureRequirements, each side keeping its
+  * OWN narrow schema on the wire), each partition locally sorts by
+  * (key, ts), and a single forward two-pointer merge emits, for every
+  * left row, the LAST right row with r.ts <= l.ts per key — O(|L|+|R|)
+  * per partition, no window state, no candidate explosion, and the
+  * right pointer never rewinds. Join semantics are SQL-standard: a
+  * null key or null ts never matches ("inner" drops such left rows,
+  * "left_outer" null-extends them).
+  *
+  * Ties on equal right ts resolve by the trailing `rightTie` sort
+  * columns (last wins = greatest tie) — supply a unique tie-break for
+  * deterministic output, the same contract the window form needs. */
+case class AsofJoinNode(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression,
+    rightTie: Seq[SortOrder],
+    isOuter: Boolean,
+    left: LogicalPlan,
+    right: LogicalPlan) extends BinaryNode {
+  require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
+    "as-of join needs matching, non-empty key lists")
+  override def output: Seq[Attribute] =
+    if (isOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      l: LogicalPlan, r: LogicalPlan): AsofJoinNode = copy(left = l, right = r)
+}
+
+case class AsofJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression,
+    rightTie: Seq[SortOrder],
+    isOuter: Boolean,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    if (isOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
+
+  // co-partition both sides on the join keys; EnsureRequirements makes
+  // the two exchanges compatible exactly as it does for a shuffled join
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
+    (rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, Ascending))
+      ++ rightTie)
+
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending)
+
+  override def outputPartitioning = left.outputPartitioning
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val outAttrs = output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTs = leftTs
+    val rTs = rightTs
+    val outer = isOuter
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val lTsProj = UnsafeProjection.create(Seq(lTs), lOut)
+      val rTsProj = UnsafeProjection.create(Seq(rTs), rOut)
+      val keyOrd: Ordering[InternalRow] =
+        RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
+      val tsOrd: Ordering[InternalRow] =
+        RowOrdering.createNaturalAscendingOrdering(Seq(lTs.dataType))
+      // bind against the OUTER-adjusted right schema: with the child's
+      // non-nullable attrs the projection would skip null checks and
+      // read garbage (0, "") from the null-extension row
+      val outProj = UnsafeProjection.create(outAttrs,
+        lOut ++ (if (outer) rOut.map(_.withNullability(true)) else rOut))
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // the right cursor: current un-consumed row (reused buffer) and
+        // its projected key/ts; `matched*` hold the COPIED best match
+        // for the key the merge is currently inside
+        private var rRow: InternalRow = _
+        private var rKey: InternalRow = _
+        private var rTsRow: InternalRow = _
+        private def advanceRight(): Unit = {
+          if (rIter.hasNext) {
+            rRow = rIter.next()
+            rKey = rKeyProj(rRow)
+            rTsRow = rTsProj(rRow)
+          } else { rRow = null; rKey = null; rTsRow = null }
+        }
+        advanceRight()
+        private var matchedKey: InternalRow = _
+        private var matchedRow: InternalRow = _
+        private var nextOut: InternalRow = _
+
+        private def findFor(lRow: InternalRow): InternalRow = {
+          val lKey = lKeyProj(lRow)
+          if (lKey.anyNull) return null // SQL equi-key semantics
+          val lTsR = lTsProj(lRow)
+          if (lTsR.anyNull) return null // nothing is <= null
+          if (matchedKey != null && keyOrd.compare(matchedKey, lKey) != 0) {
+            matchedKey = null; matchedRow = null
+          }
+          // advance the right cursor while it still qualifies for this
+          // left row: smaller key, or same key with ts <= left ts (null
+          // right key/ts rows sort first and are skipped, never saved)
+          var advancing = true
+          while (advancing && rRow != null) {
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0) advanceRight()
+            else if (c > 0) advancing = false
+            else if (rKey.anyNull) advanceRight()
+            else if (rTsRow.anyNull) advanceRight()
+            else if (tsOrd.compare(rTsRow, lTsR) <= 0) {
+              // later qualifying rows overwrite: sorted (ts, tie) order
+              // makes "last wins" = greatest (ts, tie)
+              matchedKey = rKey.copy()
+              matchedRow = rRow.copy()
+              advanceRight()
+            } else advancing = false
+          }
+          if (matchedKey != null && keyOrd.compare(matchedKey, lKey) == 0)
+            matchedRow
+          else null
+        }
+
+        private def computeNext(): Unit = {
+          nextOut = null
+          while (nextOut == null && lIter.hasNext) {
+            val lRow = lIter.next()
+            val m = findFor(lRow)
+            if (m != null) nextOut = outProj(joined(lRow, m))
+            else if (outer) nextOut = outProj(joined(lRow, nullRight))
+          }
+        }
+
+        override def hasNext: Boolean = {
+          if (nextOut == null) computeNext()
+          nextOut != null
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = nextOut
+          nextOut = null
+          r
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      l: SparkPlan, r: SparkPlan): AsofJoinExec = copy(left = l, right = r)
+}
+
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinNode(lk, rk, lts, rts, tie, outer, l, r) =>
+      AsofJoinExec(lk, rk, lts, rts, tie, outer,
+        planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** DataFrame entry: for each left row, append the most recent right
+  * row (by `rightTsCol`, per key) at or before the left row's
+  * `leftTsCol`. `joinType` is "inner" or "left_outer". Rename clashing
+  * right columns BEFORE joining — the output carries both schemas. */
+object AsofJoin {
+  def apply(left: DataFrame, right: DataFrame,
+      leftKeyCols: Seq[String], rightKeyCols: Seq[String],
+      leftTsCol: String, rightTsCol: String,
+      rightTie: Seq[Column] = Nil,
+      joinType: String = "left_outer"): DataFrame = {
+    val isOuter = joinType match {
+      case "left_outer" => true
+      case "inner" => false
+      case t => throw new IllegalArgumentException(
+        s"as-of join supports inner | left_outer, got $t")
+    }
+    val l = left.queryExecution.analyzed
+    val r = right.queryExecution.analyzed
+    def attrsOf(p: LogicalPlan, names: Seq[String], side: String): Seq[Attribute] =
+      names.map(n => p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"as-of $side column '$n' not in ${p.output.map(_.name).mkString(", ")}")))
+    val tie = rightTie.map { c =>
+      GraftSqlShims.expr(c) match {
+        case so: SortOrder => so.copy(child = bind(so.child, r))
+        case e => SortOrder(bind(e, r), Ascending)
+      }
+    }
+    GraftSqlShims.ofRows(left.sparkSession, AsofJoinNode(
+      attrsOf(l, leftKeyCols, "left key"), attrsOf(r, rightKeyCols, "right key"),
+      attrsOf(l, Seq(leftTsCol), "left ts").head,
+      attrsOf(r, Seq(rightTsCol), "right ts").head,
+      tie, isOuter, l, r))
+  }
+
+  private def bind(e: Expression, p: LogicalPlan): Expression =
+    e.transformUp {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        p.output.find(_.name == u.name).getOrElse(
+          throw new IllegalArgumentException(
+            s"as-of tie column '${u.name}' not in ${p.output.map(_.name).mkString(", ")}"))
+    }
+}

@@ -41,6 +41,16 @@ class PlanAuditSpec extends SparkSpecBase {
       s"q105 lost the pre-exchange group limit:\n$p")
   }
 
+  test("q117: the as-of join plans the native merge, not a window or range join") {
+    // the whole point of the operator: one forward merge over two
+    // narrow co-clustered sides — no union-schema window replay, no
+    // per-key candidate explosion
+    val p = plan(q("q117_native_asof"))
+    assert(p.contains("AsofJoin"), s"q117 lost the native as-of plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"range-join fallback:\n$p")
+  }
+
   test("q116: the native whole-operator top-k plans partial+final") {
     // tier-(c) machinery pin: the injected strategy must actually fire
     // (a lost registration means TopKPerKeyNode dies with "No plan for")
