@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.{
   JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
-  ClusteredDistribution, Distribution}
+  BroadcastDistribution, ClusteredDistribution, Distribution,
+  IdentityBroadcastMode, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** Keyed backward as-of join as a WHOLE-OPERATOR plan — the canonical
@@ -182,11 +183,133 @@ case class AsofJoinExec(
       l: SparkPlan, r: SparkPlan): AsofJoinExec = copy(left = l, right = r)
 }
 
+/** Broadcast variant — the 100 TB fast path when the right side is a
+  * small dimension timeline (rates, configs, slowly-changing state):
+  * the LEFT side never shuffles OR sorts. The broadcast right is
+  * indexed once per task into key → time-sorted array, and each left
+  * row binary-searches the last entry at or before its ts. Same
+  * output contract and null semantics as [[AsofJoinExec]]; selection
+  * between the two is stats-driven in [[AsofJoinStrategy]], so
+  * `spark.sql.autoBroadcastJoinThreshold` (and the broadcast-off
+  * hostile sweep) governs it exactly like Spark's own JoinSelection. */
+case class BroadcastAsofJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression,
+    rightTie: Seq[SortOrder],
+    isOuter: Boolean,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    if (isOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution ::
+      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  // the left side flows through untouched — no exchange, no sort
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val outAttrs = output
+    val lKeys = leftKeys
+    val rKeysB = rightKeys
+    val lTs = leftTs
+    val rTs = rightTs
+    val tie = rightTie
+    val outer = isOuter
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions({ lIter =>
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
+      val lTsProj = UnsafeProjection.create(Seq(lTs), lOut)
+      val rTsProj = UnsafeProjection.create(Seq(rTs), rOut)
+      val tsOrd: Ordering[InternalRow] =
+        RowOrdering.createNaturalAscendingOrdering(Seq(lTs.dataType))
+      val timeOrd = RowOrdering.create(
+        SortOrder(rTs, Ascending) +: tie, rOut)
+      val outProj = UnsafeProjection.create(outAttrs,
+        lOut ++ (if (outer) rOut.map(_.withNullability(true)) else rOut))
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+      // task-local index over the broadcast rows: key → rows sorted by
+      // (ts, tie); null-key/null-ts rows can never match, so they are
+      // dropped at build. Entries pair each row with its projected ts
+      // for allocation-free binary-search compares.
+      val index = new java.util.HashMap[InternalRow, Array[(InternalRow, InternalRow)]]
+      locally {
+        val groups = new java.util.HashMap[InternalRow,
+          scala.collection.mutable.ArrayBuffer[InternalRow]]
+        bcast.value.foreach { row =>
+          val k = rKeyProj(row)
+          if (!k.anyNull && !rTsProj(row).anyNull) {
+            var buf = groups.get(k)
+            if (buf == null) {
+              buf = new scala.collection.mutable.ArrayBuffer[InternalRow]
+              groups.put(k.copy(), buf)
+            }
+            buf += row.copy()
+          }
+        }
+        groups.forEach { (k, buf) =>
+          val sorted = buf.sortWith((a, b) => timeOrd.compare(a, b) < 0)
+          index.put(k, sorted.map(r => (r, rTsProj(r).copy())).toArray)
+        }
+      }
+      lIter.flatMap { lRow =>
+        val lKey = lKeyProj(lRow)
+        var m: InternalRow = null
+        if (!lKey.anyNull) {
+          val lTsR = lTsProj(lRow)
+          if (!lTsR.anyNull) {
+            val arr = index.get(lKey)
+            if (arr != null) {
+              // last entry with ts <= left ts
+              var lo = 0
+              var hi = arr.length - 1
+              var best = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (tsOrd.compare(arr(mid)._2, lTsR) <= 0) { best = mid; lo = mid + 1 }
+                else hi = mid - 1
+              }
+              if (best >= 0) m = arr(best)._1
+            }
+          }
+        }
+        if (m != null) Iterator.single(outProj(joined(lRow, m)))
+        else if (outer) Iterator.single(outProj(joined(lRow, nullRight)))
+        else Iterator.empty
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: SparkPlan, r: SparkPlan): BroadcastAsofJoinExec =
+    copy(left = l, right = r)
+}
+
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsofJoinNode(lk, rk, lts, rts, tie, outer, l, r) =>
-      AsofJoinExec(lk, rk, lts, rts, tie, outer,
-        planLater(l), planLater(r)) :: Nil
+      // stats-driven selection, the JoinSelection discipline: a right
+      // side under the broadcast threshold skips the left's exchange
+      // and sort entirely; -1 (the broadcast-off sweep) forces the
+      // shuffled merge
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+        BroadcastAsofJoinExec(lk, rk, lts, rts, tie, outer,
+          planLater(l), planLater(r)) :: Nil
+      else
+        AsofJoinExec(lk, rk, lts, rts, tie, outer,
+          planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }

@@ -1,10 +1,8 @@
 package graft
 
-import org.apache.spark.sql.Row
-import org.apache.spark.sql.types._
 import org.apache.spark.sql.functions._
 
-import graft.plans.{AsofJoin, AsofJoinExec}
+import graft.plans.{AsofJoin, AsofJoinExec, BroadcastAsofJoinExec}
 
 /** The native as-of join (graft/plans/AsofJoin.scala): checked against
   * a driver-side brute-force reference over hostile data — null keys,
@@ -12,16 +10,6 @@ import graft.plans.{AsofJoin, AsofJoinExec}
   * only — in both join modes, across multiple partitions. */
 class AsofJoinSpec extends SparkSpecBase {
   import spark.implicits._
-
-  private val leftSchema = StructType(Seq(
-    StructField("k", LongType, nullable = true),
-    StructField("lts", LongType, nullable = true),
-    StructField("lid", LongType, nullable = false)))
-  private val rightSchema = StructType(Seq(
-    StructField("rk", LongType, nullable = true),
-    StructField("rts", LongType, nullable = true),
-    StructField("rid", LongType, nullable = false),
-    StructField("payload", StringType, nullable = true)))
 
   /** brute force: the right row with max (rts, rid) among rts <= lts. */
   private def expected(lefts: Seq[(Option[Long], Option[Long], Long)],
@@ -43,27 +31,44 @@ class AsofJoinSpec extends SparkSpecBase {
       }
     }.toSet
 
+  // LocalRelation-backed (toDF) so stats are COMPUTABLE: the default
+  // threshold then really broadcasts the small right side (an
+  // RDD-backed side reports defaultSizeInBytes and silently stays on
+  // the merge path); the repartitions spread both sides across tasks
+  // for the merge path
   private def dfs(lefts: Seq[(Option[Long], Option[Long], Long)],
       rights: Seq[(Option[Long], Option[Long], Long, String)]) = {
-    val l = spark.createDataFrame(
-      spark.sparkContext.parallelize(lefts.map(t =>
-        Row(t._1.orNull, t._2.orNull, t._3)), 5), leftSchema)
-    val r = spark.createDataFrame(
-      spark.sparkContext.parallelize(rights.map(t =>
-        Row(t._1.orNull, t._2.orNull, t._3, t._4)), 3), rightSchema)
+    val l = lefts.toDF("k", "lts", "lid").repartition(5)
+    val r = rights.toDF("rk", "rts", "rid", "payload").repartition(3)
     (l, r)
+  }
+
+  /** toggle the stats-driven physical path: default threshold
+    * broadcasts these tiny right sides; -1 forces the shuffled merge. */
+  private def withPath[T](path: String)(body: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, if (path == "merge") "-1" else prev)
+    try body finally spark.conf.set(key, prev)
   }
 
   private def run(lefts: Seq[(Option[Long], Option[Long], Long)],
       rights: Seq[(Option[Long], Option[Long], Long, String)],
-      mode: String): Set[Seq[Any]] = {
+      mode: String, wantBroadcast: Option[Boolean] = None): Set[Seq[Any]] = {
     val (l, r) = dfs(lefts, rights)
-    AsofJoin(l, r, Seq("k"), Seq("rk"), "lts", "rts",
+    val df = AsofJoin(l, r, Seq("k"), Seq("rk"), "lts", "rts",
       rightTie = Seq(col("rid")), joinType = mode)
-      .collect().map(_.toSeq).toSet
+    val out = df.collect().map(_.toSeq).toSet
+    // guard against silently exercising the same physical path twice
+    wantBroadcast.foreach { want =>
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("BroadcastAsofJoin") == want,
+        s"wrong physical path (wantBroadcast=$want):\n$s")
+    }
+    out
   }
 
-  test("matches brute force on hostile random data, both modes") {
+  test("matches brute force on hostile random data, both modes, both physical paths") {
     val rnd = new scala.util.Random(83L)
     def optKey(): Option[Long] =
       if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(12).toLong)
@@ -74,26 +79,29 @@ class AsofJoinSpec extends SparkSpecBase {
     // tie-break must decide them; key 99 exists on the right only
     val rights = (0 until 400).map(i =>
       (if (i % 37 == 0) Some(99L) else optKey(), optTs(), i.toLong, s"p$i"))
-    for (mode <- Seq("left_outer", "inner")) {
-      val got = run(lefts, rights, mode)
+    for (path <- Seq("broadcast", "merge"); mode <- Seq("left_outer", "inner")) {
+      val got = withPath(path) {
+        run(lefts, rights, mode, Some(path == "broadcast")) }
       val want = expected(lefts, rights, mode == "left_outer")
-      assert(got == want, s"diverged in $mode: " +
+      assert(got == want, s"diverged in $mode/$path: " +
         s"extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
     }
   }
 
-  test("empty sides and all-null keys degrade cleanly") {
-    val lefts = Seq((Some(1L), Some(5L), 1L), (None, Some(5L), 2L))
-    val rights = Seq.empty[(Option[Long], Option[Long], Long, String)]
-    assert(run(lefts, rights, "left_outer").size == 2)
-    assert(run(lefts, rights, "inner").isEmpty)
-    val rOnly = Seq((Some(1L), Some(1L), 1L, "x"))
-    assert(run(Seq.empty, rOnly, "left_outer").isEmpty)
+  test("empty sides and all-null keys degrade cleanly (both physical paths)") {
+    for (path <- Seq("broadcast", "merge")) withPath(path) {
+      val lefts = Seq((Some(1L), Some(5L), 1L), (None, Some(5L), 2L))
+      val rights = Seq.empty[(Option[Long], Option[Long], Long, String)]
+      assert(run(lefts, rights, "left_outer").size == 2)
+      assert(run(lefts, rights, "inner").isEmpty)
+      val rOnly = Seq((Some(1L), Some(1L), 1L, "x"))
+      assert(run(Seq.empty, rOnly, "left_outer").isEmpty)
+    }
   }
 
-  test("plan: one AsofJoinExec, co-clustered exchanges, no window, no cartesian") {
+  test("plan: merge path co-clusters both sides; no window, no cartesian") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    try withPath("merge") {
       val (l, r) = dfs(Seq((Some(1L), Some(1L), 1L)),
         Seq((Some(1L), Some(1L), 1L, "x")))
       val qe = AsofJoin(l, r, Seq("k"), Seq("rk"), "lts", "rts",
@@ -106,6 +114,26 @@ class AsofJoinSpec extends SparkSpecBase {
       assert(s.contains("hashpartitioning(k#") &&
         s.contains("hashpartitioning(rk#"),
         s"both sides must hash-cluster on their keys:\n$s")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("plan: small right broadcasts and the left side never shuffles or sorts") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // LocalRelation inputs: the stats-driven choice needs a computable
+      // right size (an RDD-backed side reports defaultSizeInBytes and
+      // correctly stays on the merge path)
+      val l = Seq((1L, 1L, 1L)).toDF("k", "lts", "lid")
+      val r = Seq((1L, 1L, 1L, "x")).toDF("rk", "rts", "rid", "payload")
+      val qe = AsofJoin(l, r, Seq("k"), Seq("rk"), "lts", "rts",
+        rightTie = Seq(col("rid"))).queryExecution
+      val p = qe.executedPlan
+      assert(p.collect { case b: BroadcastAsofJoinExec => b }.length == 1,
+        s"expected the broadcast variant under the default threshold:\n$p")
+      val s = p.toString
+      assert(!s.contains("hashpartitioning") && !s.contains("Sort"),
+        s"the broadcast path must leave the left side untouched:\n$s")
+      assert(s.contains("BroadcastExchange"), s"no broadcast exchange:\n$s")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
