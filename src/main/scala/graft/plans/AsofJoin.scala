@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlShims}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, AttributeSet, Expression, GenericInternalRow,
+  Alias, Ascending, Attribute, AttributeSet, Expression, GenericInternalRow,
   JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
@@ -239,9 +239,12 @@ case class BroadcastAsofJoinExec(
       val nullRight = new GenericInternalRow(rOut.length)
       val joined = new JoinedRow
       // task-local index over the broadcast rows: key → rows sorted by
-      // (ts, tie); null-key/null-ts rows can never match, so they are
-      // dropped at build. Entries pair each row with its projected ts
-      // for allocation-free binary-search compares.
+      // (ts, tie). The broadcast array's rows are already materialized
+      // and immutable, so the index stores REFERENCES into it — only
+      // the map keys and the per-row ts probes (single-field rows for
+      // allocation-free binary-search compares) are copied; duplicating
+      // whole rows per task would multiply the right side by the task
+      // count. Null-key/null-ts rows can never match — dropped at build.
       val index = new java.util.HashMap[InternalRow, Array[(InternalRow, InternalRow)]]
       locally {
         val groups = new java.util.HashMap[InternalRow,
@@ -254,7 +257,7 @@ case class BroadcastAsofJoinExec(
               buf = new scala.collection.mutable.ArrayBuffer[InternalRow]
               groups.put(k.copy(), buf)
             }
-            buf += row.copy()
+            buf += row
           }
         }
         groups.forEach { (k, buf) =>
@@ -331,29 +334,45 @@ object AsofJoin {
         s"as-of join supports inner | left_outer, got $t")
     }
     val l = left.queryExecution.analyzed
-    val r = right.queryExecution.analyzed
-    def attrsOf(p: LogicalPlan, names: Seq[String], side: String): Seq[Attribute] =
-      names.map(n => p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"as-of $side column '$n' not in ${p.output.map(_.name).mkString(", ")}")))
+    val r0 = right.queryExecution.analyzed
+    // self-join safety: if the two sides share ANY exprIds (e.g. both
+    // derive from one parent DataFrame), the output projection — which
+    // binds by exprId — would silently resolve both sides' columns to
+    // the same ordinals and emit corrupted rows. Re-alias the whole
+    // right side to fresh exprIds, the Dataset.join dedupRight move.
+    val r: LogicalPlan =
+      if (l.outputSet.intersect(r0.outputSet).isEmpty) r0
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        r0.output.map(a => Alias(a, a.name)()), r0)
     val tie = rightTie.map { c =>
       GraftSqlShims.expr(c) match {
-        case so: SortOrder => so.copy(child = bind(so.child, r))
-        case e => SortOrder(bind(e, r), Ascending)
+        case so: SortOrder =>
+          so.copy(child = Resolve.bind(so.child, r, "as-of tie"))
+        case e => SortOrder(Resolve.bind(e, r, "as-of tie"), Ascending)
       }
     }
+    val lKeys = leftKeyCols.map(Resolve.attr(l, _, "as-of left key"))
+    val rKeys = rightKeyCols.map(Resolve.attr(r, _, "as-of right key"))
+    val lTs = Resolve.attr(l, leftTsCol, "as-of left ts")
+    val rTs = Resolve.attr(r, rightTsCol, "as-of right ts")
+    // fail type drift loudly: the merge orderings and the broadcast
+    // index both read RIGHT rows through LEFT-typed comparators — a
+    // silent Int-vs-Long or Timestamp-vs-Long mismatch would
+    // mis-compare, not error. (Spark's analyzer inserts casts for
+    // built-in joins; this node is born resolved, so no coercion runs.)
+    lKeys.zip(rKeys).zipWithIndex.foreach { case ((a, b), i) =>
+      require(a.dataType == b.dataType,
+        s"as-of key $i type mismatch: ${a.dataType} vs ${b.dataType} — cast one side first")
+    }
+    require(lTs.dataType == rTs.dataType,
+      s"as-of ts type mismatch: ${lTs.dataType} vs ${rTs.dataType} — cast one side first")
+    // normalize float/double keys so the hash distribution, the merge
+    // ordering, and the broadcast index's byte-equality HashMap all
+    // agree on -0.0/NaN (see the TopKPerKey note; without this the two
+    // physical paths can return DIFFERENT results for the same query)
     GraftSqlShims.ofRows(left.sparkSession, AsofJoinNode(
-      attrsOf(l, leftKeyCols, "left key"), attrsOf(r, rightKeyCols, "right key"),
-      attrsOf(l, Seq(leftTsCol), "left ts").head,
-      attrsOf(r, Seq(rightTsCol), "right ts").head,
+      lKeys.map(GraftSqlShims.normalizeFloats),
+      rKeys.map(GraftSqlShims.normalizeFloats), lTs, rTs,
       tie, isOuter, l, r))
   }
-
-  private def bind(e: Expression, p: LogicalPlan): Expression =
-    e.transformUp {
-      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        p.output.find(_.name == u.name).getOrElse(
-          throw new IllegalArgumentException(
-            s"as-of tie column '${u.name}' not in ${p.output.map(_.name).mkString(", ")}"))
-    }
 }

@@ -159,30 +159,22 @@ object TopKPerKey {
   def apply(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
       k: Int, rankName: String = "rn"): DataFrame = {
     val child = df.queryExecution.analyzed
-    def attrOf(n: String): Attribute = child.output.find(_.name == n)
-      .getOrElse(throw new IllegalArgumentException(
-        s"topKPerKey key '$n' not in ${child.output.map(_.name).mkString(", ")}"))
-    val keys = keyCols.map(attrOf)
+    // normalize float/double keys (-0.0 → 0.0, canonical NaN) the way
+    // Spark's NormalizeFloatingNumbers rule does for built-in Window/
+    // Join/Aggregate keys — a custom node is invisible to that rule,
+    // and without it the hash distribution and the exec's byte-equality
+    // group detection would both split ordering-equal keys
+    val keys = keyCols.map(n =>
+      GraftSqlShims.normalizeFloats(Resolve.attr(child, n, "topKPerKey key")))
     val order = orderCols.map { c =>
       GraftSqlShims.expr(c) match {
-        case so: SortOrder => so.copy(child = resolve(so.child, child))
-        case e => SortOrder(resolve(e, child), Ascending)
+        case so: SortOrder =>
+          so.copy(child = Resolve.bind(so.child, child, "topKPerKey order"))
+        case e => SortOrder(Resolve.bind(e, child, "topKPerKey order"), Ascending)
       }
     }
     val rankAttr = AttributeReference(rankName, IntegerType, nullable = false)()
     GraftSqlShims.ofRows(df.sparkSession,
       TopKPerKeyNode(keys, order, k, rankAttr, child))
   }
-
-  // Column exprs arrive unresolved (col("x") is an UnresolvedAttribute);
-  // bind them against the analyzed child by name so the node is born
-  // resolved and skips the analyzer's resolution passes
-  private def resolve(e: Expression, child: LogicalPlan): Expression =
-    e.transformUp {
-      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        child.output.find(_.name == u.name).getOrElse(
-          throw new IllegalArgumentException(
-            s"topKPerKey order column '${u.name}' not in " +
-              child.output.map(_.name).mkString(", ")))
-    }
 }

@@ -21,4 +21,10 @@ object GraftSqlShims {
     * a catalyst [[catalyst.expressions.SortOrder]]. */
   def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** -0.0 → 0.0 / canonical-NaN rewrite for float-typed grouping keys
+    * (the NormalizeFloatingNumbers treatment Spark applies to built-in
+    * Join/Window/Aggregate keys; custom plan nodes must opt in). */
+  def normalizeFloats(e: catalyst.expressions.Expression): catalyst.expressions.Expression =
+    catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

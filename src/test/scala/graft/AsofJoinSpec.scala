@@ -88,6 +88,53 @@ class AsofJoinSpec extends SparkSpecBase {
     }
   }
 
+  test("float keys, self-join exprIds, and type drift (round-12c review regressions)") {
+    // -0.0/0.0 keys must match identically on BOTH physical paths
+    // (broadcast indexes by byte-equality HashMap, merge compares by
+    // ordering — normalization at the entry point reconciles them)
+    val l = Seq((0.0, 10L, 1L), (-0.0, 20L, 2L), (1.5, 10L, 3L))
+      .toDF("k", "lts", "lid")
+    val r = Seq((-0.0, 5L, 7L, "a"), (0.0, 15L, 8L, "b"))
+      .toDF("rk", "rts", "rid", "payload")
+    val want = Set(
+      Seq[Any](0.0, 10L, 1L, 0.0, 5L, 7L, "a"),
+      Seq[Any](-0.0, 20L, 2L, 0.0, 15L, 8L, "b"),
+      Seq[Any](1.5, 10L, 3L, null, null, null, null))
+    for (path <- Seq("broadcast", "merge")) withPath(path) {
+      val df = AsofJoin(l, r, Seq("k"), Seq("rk"), "lts", "rts",
+        rightTie = Seq(col("rid")))
+      val got = df.collect().map(_.toSeq).toSet
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("BroadcastAsofJoin") == (path == "broadcast"),
+        s"wrong physical path:\n$s")
+      // compare on normalized key bytes: the engine (like Spark's own
+      // normalized joins) is free to emit 0.0 for a -0.0 key
+      def norm(x: Seq[Any]) = x.map {
+        case d: java.lang.Double => java.lang.Double.valueOf(d + 0.0)
+        case v => v }
+      assert(got.map(norm) == want.map(norm), s"float keys diverged on $path: $got")
+    }
+    // a self-derived right side shares the LEFT's exprIds (no rename —
+    // toDF would mint fresh ids and mask the hazard): the entry point
+    // must re-alias it, not silently project right columns onto the
+    // left's ordinals
+    val base = Seq((1L, 10L, 100L), (1L, 5L, 200L)).toDF("k", "ts", "v")
+    val selfJoined = AsofJoin(
+      base.filter(col("v") === 100L),
+      base.filter(col("v") === 200L),
+      Seq("k"), Seq("k"), "ts", "ts").collect()
+    assert(selfJoined.map(_.toSeq).toSet ==
+      Set(Seq[Any](1L, 10L, 100L, 1L, 5L, 200L)),
+      s"self-join emitted corrupted rows: ${selfJoined.toSeq}")
+    // mismatched key/ts types fail loudly instead of mis-comparing
+    val rInt = Seq((1, 5L, 7L, "a")).toDF("rk", "rts", "rid", "payload")
+    val ex = intercept[IllegalArgumentException] {
+      AsofJoin(Seq((1L, 10L, 1L)).toDF("k", "lts", "lid"), rInt,
+        Seq("k"), Seq("rk"), "lts", "rts")
+    }
+    assert(ex.getMessage.contains("type mismatch"))
+  }
+
   test("empty sides and all-null keys degrade cleanly (both physical paths)") {
     for (path <- Seq("broadcast", "merge")) withPath(path) {
       val lefts = Seq((Some(1L), Some(5L), 1L), (None, Some(5L), 2L))
@@ -100,6 +147,7 @@ class AsofJoinSpec extends SparkSpecBase {
   }
 
   test("plan: merge path co-clusters both sides; no window, no cartesian") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try withPath("merge") {
       val (l, r) = dfs(Seq((Some(1L), Some(1L), 1L)),
@@ -114,10 +162,11 @@ class AsofJoinSpec extends SparkSpecBase {
       assert(s.contains("hashpartitioning(k#") &&
         s.contains("hashpartitioning(rk#"),
         s"both sides must hash-cluster on their keys:\n$s")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("plan: small right broadcasts and the left side never shuffles or sorts") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       // LocalRelation inputs: the stats-driven choice needs a computable
@@ -134,6 +183,6 @@ class AsofJoinSpec extends SparkSpecBase {
       assert(!s.contains("hashpartitioning") && !s.contains("Sort"),
         s"the broadcast path must leave the left side untouched:\n$s")
       assert(s.contains("BroadcastExchange"), s"no broadcast exchange:\n$s")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }

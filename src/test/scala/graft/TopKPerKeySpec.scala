@@ -39,15 +39,39 @@ class TopKPerKeySpec extends SparkSpecBase {
     }
   }
 
+  test("float keys: -0.0/0.0 and NaN group exactly like the window form") {
+    // NormalizeFloatingNumbers only rewrites BUILT-IN nodes' keys; the
+    // entry point must normalize explicitly or byte-compare splits
+    // ordering-equal keys (regression for the round-12c review finding)
+    val rows = Seq(
+      (0.0, 5, 1L), (-0.0, 9, 2L), (0.0, 7, 3L), (-0.0, 3, 4L),
+      (Double.NaN, 8, 5L), (Double.NaN, 6, 6L), (1.5, 4, 7L))
+    val df = rows.toDF("key", "score", "id").repartition(4)
+    // canonicalize for the comparison only — Scala's == on boxed
+    // doubles keeps NaN != NaN
+    def canon(s: Set[Seq[Any]]): Set[Seq[Any]] = s.map(_.map {
+      case d: java.lang.Double =>
+        java.lang.Long.valueOf(java.lang.Double.doubleToLongBits(d + 0.0))
+      case v => v })
+    for (k <- Seq(1, 2)) {
+      assert(canon(nativeForm(df, k)) == canon(windowForm(df, k)),
+        s"float keys diverged from the window form at k=$k")
+    }
+  }
+
   test("k past the group size emits whole groups with dense ranks") {
     val df = Seq((1L, 5, 1L), (1L, 5, 2L), (2L, 9, 3L)).toDF("key", "score", "id")
     assert(nativeForm(df, 10) == windowForm(df, 10))
     assert(TopKPerKey(df.filter($"key" < 0), Seq("key"), Seq($"id"), 2).count() == 0)
+    // name resolution honors spark.sql.caseSensitive=false like the
+    // rest of the DataFrame API
+    assert(TopKPerKey(df, Seq("KEY"), Seq($"id"), 1).count() == 2)
   }
 
   test("plan shape: partial and final execs around exactly one exchange") {
     // AQE off: the adaptive wrapper is a leaf to collect(), hiding the
     // plan until execution
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val df = Seq((1L, 1, 1L)).toDF("key", "score", "id")
@@ -59,7 +83,7 @@ class TopKPerKeySpec extends SparkSpecBase {
       val exchanges = qe.executedPlan.collect { case e: ShuffleExchangeLike => e }
       assert(exchanges.length == 1,
         s"expected one exchange between the phases:\n${qe.executedPlan}")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("the partial phase bounds the exchange: shuffle rows <= k * keys * tasks, < input") {
@@ -68,6 +92,7 @@ class TopKPerKeySpec extends SparkSpecBase {
     // put at most k*keys*tasks = 160 on the wire. AQE off so the
     // exchange is a plain plan node with readable metrics (query
     // stages are leaves to collect()).
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val rnd = new scala.util.Random(7L)
@@ -86,6 +111,6 @@ class TopKPerKeySpec extends SparkSpecBase {
       val rows = ex.head.metrics("shuffleRecordsWritten").value
       assert(rows > 0 && rows <= 2L * 10 * 8,
         s"partial did not bound the shuffle: $rows rows on the wire")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }
