@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
 import graft.functions.{EmailFns => E}
-import graft.operators.{Analytic, EventOps, Ingest, LangModelOps, Multimodal, PipelineOps, Quality, Relational, SketchOps, Temporal, TextOps, VectorOps}
+import graft.operators.{Analytic, EventOps, Ingest, IntervalJoin, LangModelOps, Multimodal, PipelineOps, Quality, Relational, SketchOps, Temporal, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -49,12 +49,14 @@ object SparkEntry {
     Relational.queries ++ Ingest.queries ++ TextOps.queries ++
       VectorOps.queries ++ Multimodal.queries ++ PipelineOps.queries ++
       SketchOps.queries ++ Analytic.queries ++ EventOps.queries ++
-      Quality.queries ++ Temporal.queries ++ LangModelOps.queries
+      Quality.queries ++ Temporal.queries ++ LangModelOps.queries ++
+      IntervalJoin.queries
 
   /** DuckDB-equivalent SQL for every SQL-expressible query above. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Ingest.oracle ++ TextOps.oracle ++
       VectorOps.oracle ++ Multimodal.oracle ++ PipelineOps.oracle ++
       SketchOps.oracle ++ Analytic.oracle ++ EventOps.oracle ++
-      Quality.oracle ++ Temporal.oracle ++ LangModelOps.oracle
+      Quality.oracle ++ Temporal.oracle ++ LangModelOps.oracle ++
+      IntervalJoin.oracle
 }

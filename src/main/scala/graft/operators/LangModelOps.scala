@@ -202,6 +202,55 @@ object LangModelOps {
       .orderBy(col("doc_id"))
   }
 
+  // ─── LM fluency scoring (q119) ───
+
+  /** Corpus-trained char-trigram LM fluency score — the engine's
+    * CCNet-style perplexity gate. Real perplexity filtering scores each
+    * document's negative log-likelihood under an n-gram LM and drops the
+    * worst tail; floating-point `ln` is not reproducible across engines,
+    * so this scorer QUANTIZES the log-probability to integer frequency
+    * bits: each trigram contributes `floor(log2(corpus count))` (the
+    * bin-length trick the q75 histogram uses), a doc's fluency is the
+    * bit-sum normalized per trigram in exact integer parts-per-million,
+    * and the gate flags the bottom decile. Common trigrams ⇒ high
+    * fluency; junk whose trigrams are corpus-rare ⇒ low. Integer-exact
+    * end-to-end, so the DuckDB oracle retrains the identical model.
+    *
+    * Scale shape: the model is ≤ |charset|³ rows — broadcast; train and
+    * score are the standard stats+apply two passes (a real pipeline
+    * persists the trained counts — see q107's profile argument); both
+    * groupBys partial-aggregate map-side; the decile cut comes from the
+    * distributed exact percentile over the per-doc score table (never a
+    * global ntile window, which would funnel every row through one
+    * partition). Docs too short to score (< 3 chars) flag low — the
+    * conservative curation default (q115's tie rule).
+    */
+  def fluencyScore(docs: DataFrame): DataFrame = {
+    import graft.functions.Exact.percentileDisc
+    val tri = docs.select(col("doc_id"),
+      explode(charNgrams(col("text"), 3)).as("g"))
+    val model = tri.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .select(col("g"),
+        expr("CAST(length(bin(cnt)) - 1 AS BIGINT)").as("bw"))
+    val scored = tri.join(broadcast(model), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"), sum(col("bw")).as("sum_bw"))
+      .withColumn("fluency_ppm", expr("(sum_bw * 1000000) div n_tri"))
+      .withColumn("g1", lit(1))
+    val cut = percentileDisc(scored, col("g1"), col("fluency_ppm"),
+      Map("p10" -> 0.10))
+    docs.select(col("doc_id")).withColumn("g1", lit(1))
+      .join(scored.drop("g1"), Seq("doc_id"), "left")
+      .join(broadcast(cut), "g1")
+      .select(col("doc_id"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("sum_bw"), lit(0L)).as("sum_bw"),
+        coalesce(col("fluency_ppm"), lit(0L)).as("fluency_ppm"),
+        coalesce(col("fluency_ppm") <= col("p10"), lit(true))
+          .as("low_fluency"))
+      .orderBy(col("doc_id"))
+  }
+
   // ─── true BPE (merge loop) ───
 
   /** The merge table, rank-ordered. WELL-FORMED by construction: each
@@ -279,6 +328,13 @@ object LangModelOps {
           col("b._2").as("n_bpe_tokens"))
         .orderBy(col("doc_id"))
     }),
+
+    // corpus-trained trigram-LM fluency gate (quantized perplexity):
+    // model trained from the same table the oracle reads, bottom decile
+    // flagged via the distributed exact percentile
+    "q119_lm_fluency" -> ((s, d) =>
+      fluencyScore(Tables.spread(
+        Tables.documents(s, d).select(col("doc_id"), col("text"))))),
 
     // trained quality classifier over corpus + held-out sentences:
     // integer token weights learned from the labeled table, never from
@@ -378,6 +434,36 @@ object LangModelOps {
          SELECT d.doc_id, CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
            CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
          FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
+
+    // the full train→score mirror: identical trigram counts, identical
+    // integer bit-quantized weights, identical ppm normalization and
+    // decile cut (quantile_disc ≡ the distributed percentileDisc —
+    // SQL-standard percentile_disc semantics on both sides)
+    "q119_lm_fluency" ->
+      """WITH tri AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, length(text) - 1),
+               i -> substring(text, i, 3))) AS g
+           FROM documents),
+         model AS (
+           SELECT g, CAST(length(bin(count(*))) - 1 AS BIGINT) AS bw
+           FROM tri GROUP BY g),
+         sc AS (
+           SELECT t.doc_id, count(*) AS n_tri,
+             CAST(sum(m.bw) AS BIGINT) AS sum_bw
+           FROM tri t JOIN model m USING (g) GROUP BY t.doc_id),
+         f AS (
+           SELECT doc_id, n_tri, sum_bw,
+             (sum_bw * 1000000) // n_tri AS fluency_ppm
+           FROM sc),
+         cut AS (SELECT quantile_disc(fluency_ppm, 0.10) AS p10 FROM f)
+         SELECT d.doc_id,
+           CAST(coalesce(f.n_tri, 0) AS BIGINT) AS n_tri,
+           CAST(coalesce(f.sum_bw, 0) AS BIGINT) AS sum_bw,
+           CAST(coalesce(f.fluency_ppm, 0) AS BIGINT) AS fluency_ppm,
+           coalesce(f.fluency_ppm <= c.p10, TRUE) AS low_fluency
+         FROM documents d LEFT JOIN f USING (doc_id) CROSS JOIN cut c
          ORDER BY d.doc_id""",
 
     // the full train→classify mirror: identical integer token weights,

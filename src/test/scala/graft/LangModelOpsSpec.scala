@@ -80,6 +80,35 @@ class LangModelOpsSpec extends SparkSpecBase {
     assert(free.getLong(1) == 0L && free.getLong(2) > 0L)
   }
 
+  test("q119: fluency bits are integer-exact on a hand-computed micro corpus") {
+    // corpus trigram counts: "aaaa"→{aaa,aaa}, "aaab"→{aaa,aab}, "xy"→{}
+    //   cnt(aaa)=3 → bw = len(bin(3))-1 = 1;  cnt(aab)=1 → bw = 0
+    // doc1: n_tri=2 sum_bw=2 → ppm=1_000_000; doc2: 2,1 → 500_000;
+    // doc3 unscorable → zeros + flagged. p10 over {1_000_000, 500_000}
+    // is 500_000 (smallest value with cdf ≥ 0.1) → doc2 flags, doc1 not.
+    val docs = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "xy"))
+      .toDF("doc_id", "text")
+    val out = LangModelOps.fluencyScore(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((2L, 2L, 1000000L, false)))
+    assert(out(2L) == ((2L, 1L, 500000L, true)))
+    assert(out(3L) == ((0L, 0L, 0L, true)),
+      "a doc too short to score must flag low (conservative default)")
+  }
+
+  test("q119 full pipeline: every doc scored, flags are a fluency threshold") {
+    val rows = LangModelOps.queries("q119_lm_fluency")(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs.toInt, "one verdict per corpus doc")
+    val (low, high) = rows.partition(_.getBoolean(4))
+    assert(low.nonEmpty && low.length <= rows.length / 4,
+      s"bottom-decile flag count off: ${low.length}/${rows.length}")
+    // the flag is a pure threshold on fluency: every flagged score must
+    // sit at or below every unflagged score
+    assert(low.map(_.getLong(3)).max <= high.map(_.getLong(3)).min)
+  }
+
   test("true BPE merge loop: greedy min-rank merging, well-formed chains") {
     assert(LangModelOps.bpeTokenize("table") == List("table"),
       "the t+able chain must fully merge")

@@ -70,6 +70,30 @@ class PlanAuditSpec extends SparkSpecBase {
       s"corpus shuffled for the re-rank fetch:\n$p")
   }
 
+  test("q118/q120: interval joins are bin equijoins, never nested loops") {
+    // the bin-bucketed rewrite's whole point: a pure band predicate
+    // (no equi key) must NOT fall back to the O(|P|·|I|) nested loop
+    // Spark plans for the naive form (IntervalJoinSpec pins that the
+    // naive form does nested-loop, and that both forms agree row-wise)
+    Seq("q118_interval_join", "q120_overlap_join").foreach { name =>
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct"),
+        s"$name planned a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name planned a nested-loop join:\n$p")
+    }
+  }
+
+  test("q119: trigram model and decile cut ride broadcast joins") {
+    // stats+apply discipline: the ≤|charset|³ model and the 1-row cut
+    // broadcast back onto the corpus — the corpus shuffles only for the
+    // per-doc partial+final aggregate
+    val p = plan(q("q119_lm_fluency"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast model:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final score aggregate:\n$p")
+  }
+
   test("q02: predicate and column pruning reach the parquet scan") {
     val p = q("q02_filter_pushdown").queryExecution.toString
     assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
