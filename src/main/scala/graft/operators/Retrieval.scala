@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Positional-postings phrase search (SURVEY.md §2.11 extension).
+  *
+  * The retrieval primitive the text stack lacked: exact phrase match
+  * ("these k tokens, consecutively") over a tokenized corpus. BM25 (q89)
+  * ranks bags of words; decontamination (q53) gates on n-gram overlap;
+  * neither can answer "which documents contain THIS exact phrase, and
+  * where" — the query every eval-leak audit and quote-tracing pass runs.
+  *
+  * Shape: ONE pass over the postings — never k self-joins of the corpus.
+  * Each posting row (doc, pos, term) joins the BROADCAST phrase table
+  * (term, idx) — the join both filters (terms outside the phrase drop;
+  * at 100 TB this is the partition-pruned read of a persisted posting
+  * table, the same artifact discipline as the IVF index) and tags each
+  * hit with every phrase slot its term fills (a phrase with repeated
+  * terms tags one posting several times — correct, they anchor different
+  * candidate starts). A candidate start is `anchor = pos - idx`; a true
+  * match is an anchor covered by ALL k slots. Since (doc, pos) is unique,
+  * (doc, anchor, idx) is unique, so `count(*) = k` per (doc, anchor) is
+  * exactly "all k slots present" — no distinct needed. Both groupBys
+  * partial-aggregate map-side; nothing wider than the tagged hits (≈ the
+  * phrase terms' posting lists) ever shuffles.
+  *
+  * Tokenization: whitespace split, empties dropped, positions indexed in
+  * the FILTERED token stream — identical on the oracle side
+  * (`list_filter(string_split(...))` + pairwise unnest).
+  */
+object Retrieval {
+
+  /** Positional postings (doc_id, pos, term) — pos is the 0-based index
+    * in the empty-filtered whitespace token stream, LongType. */
+  def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), w => w =!= lit(""))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("term"))
+
+  /** Docs containing `phrase` as consecutive tokens: one row per matching
+    * doc with the occurrence count and first match position. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "Retrieval: empty phrase")
+    require(phrase.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"Retrieval: phrase tokens must be non-empty and whitespace-free, " +
+        s"got ${phrase.mkString("[", ", ", "]")}")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = phrase.length
+    val slots = phrase.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+      .toDF("term", "idx")
+    postings(docs)
+      .join(broadcast(slots), "term")
+      .select(col("doc_id"), (col("pos") - col("idx")).as("anchor"))
+      .groupBy(col("doc_id"), col("anchor"))
+      .agg(count(lit(1)).as("n_slots"))
+      .filter(col("n_slots") === lit(k.toLong))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("anchor")).as("first_pos"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact-phrase audit over the corpus: a trigram phrase present at
+    // every test SF (sf0.001/0.01/0.1 alike; the multi-occurrence law is
+    // pinned by RetrievalSpec's micro corpus). Oracle = the naive k-way
+    // positional self-join — the SEMANTIC spec of "consecutive tokens";
+    // the operator's single-scan anchor aggregation must reproduce it
+    // exactly.
+    "q121_phrase_search" -> ((s, d) =>
+      phraseSearch(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        Seq("query", "big", "part"))
+        .orderBy(col("doc_id"))))
+
+  def oracle: Map[String, String] = Map(
+    "q121_phrase_search" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+           FROM documents),
+         toks AS (
+           SELECT doc_id, unnest(ws) AS term,
+             CAST(unnest(range(len(ws))) AS BIGINT) AS pos
+           FROM d)
+         SELECT t0.doc_id, count(*) AS n_hits, min(t0.pos) AS first_pos
+         FROM toks t0
+         JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+         JOIN toks t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+         WHERE t0.term = 'query' AND t1.term = 'big' AND t2.term = 'part'
+         GROUP BY t0.doc_id ORDER BY t0.doc_id""")
+}

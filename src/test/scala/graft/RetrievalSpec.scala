@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+/** Positional phrase search (operators/Retrieval.scala): the single-scan
+  * anchor aggregation must reproduce the naive k-way positional self-join
+  * (the semantic spec of "these tokens, consecutively") on hostile data —
+  * repeated phrase terms, overlapping occurrences, phrase at doc edges,
+  * docs shorter than the phrase, runs of whitespace — and must plan one
+  * broadcast join, never a nested loop. */
+class RetrievalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs: DataFrame = Seq(
+    (1L, "a b a b a"),        // overlapping "a b a" at 0 and 2
+    (2L, "a b"),              // shorter than the phrase
+    (3L, "x a b a y a b a"),  // hits at 1 and 5
+    (4L, "a  b   a"),         // runs of spaces: empties filtered, still a hit
+    (5L, "b a b"),            // phrase nowhere (a b a ⊄)
+    (6L, ""),                 // empty doc
+    (7L, "a b a")             // exact-doc phrase
+  ).toDF("doc_id", "text")
+
+  /** The naive form: k filtered posting streams self-joined on
+    * (doc, pos - i) — quadratic in posting density, the plan the
+    * operator exists to avoid, kept here as the semantic oracle. */
+  private def naive(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    val post = Retrieval.postings(docs)
+    val streams = phrase.zipWithIndex.map { case (t, i) =>
+      post.filter(col("term") === lit(t))
+        .select(col("doc_id").as(s"d$i"), (col("pos") - lit(i.toLong)).as(s"a$i"))
+    }
+    val joined = streams.reduceLeft { (acc, s) =>
+      val i = s.columns.head.stripPrefix("d")
+      acc.join(s, col("d0") === col(s"d$i") && col("a0") === col(s"a$i"))
+    }
+    joined.groupBy(col("d0").as("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("a0")).as("first_pos"))
+  }
+
+  private def asMap(df: DataFrame): Map[Long, (Long, Long)] =
+    df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("phrase with repeated terms: hand-computed overlapping matches") {
+    val out = asMap(Retrieval.phraseSearch(docs, Seq("a", "b", "a")))
+    assert(out == Map(
+      1L -> ((2L, 0L)), // "a b a b a": anchors 0 and 2 overlap — both count
+      3L -> ((2L, 1L)),
+      4L -> ((1L, 0L)), // whitespace runs collapse: positions index tokens
+      7L -> ((1L, 0L))))
+  }
+
+  test("single-token and full-doc edge phrases") {
+    assert(asMap(Retrieval.phraseSearch(docs, Seq("y"))) == Map(3L -> ((1L, 4L))))
+    assert(Retrieval.phraseSearch(docs, Seq("a", "b", "a", "b", "a", "x"))
+      .collect().isEmpty, "over-long phrase must match nothing")
+  }
+
+  test("anchor aggregation ≡ naive k-way positional join on hostile data") {
+    for (phrase <- Seq(Seq("a"), Seq("a", "b"), Seq("a", "b", "a"),
+        Seq("b", "a"), Seq("missing", "term"))) {
+      val got = asMap(Retrieval.phraseSearch(docs, phrase))
+      val exp = asMap(naive(docs, phrase))
+      assert(got == exp, s"phrase $phrase diverged from the naive join")
+    }
+  }
+
+  test("loud guards: empty phrase, whitespace in a token") {
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseSearch(docs, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseSearch(docs, Seq("two words"))
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseSearch(docs, Seq(""))
+    }
+  }
+
+  test("q121 plan: one broadcast slot join, no nested loop, partial aggs") {
+    val df = SparkEntry.queries("q121_phrase_search")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"slots must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"nested loop crept in:\n$p")
+    assert(df.collect().nonEmpty, "q121 found no docs at the test SF")
+  }
+}
