@@ -44,10 +44,20 @@ object ExportOps {
   /** (idCol, pos, shard): `pos` = exact rank of md5(id) over the whole
     * input (a deterministic global shuffle), `shard` = pos div shardSize.
     * `nBuckets` bounds per-window memory at ≈ N/nBuckets rows; it only
-    * changes parallelism, never the output. */
+    * changes parallelism, never the output. `idCol` is assumed unique
+    * (a primary key): duplicate ids still yield a valid permutation,
+    * but WHICH duplicate gets which of their adjacent positions is
+    * tie-arbitrary — don't feed a non-key column and expect replay
+    * determinism row-for-row. */
   def shuffleShards(df: DataFrame, idCol: String, shardSize: Long,
       nBuckets: Int = 0): DataFrame = {
     require(shardSize > 0, s"ExportOps: shardSize must be > 0, got $shardSize")
+    require(df.columns.contains(idCol),
+      s"ExportOps: id column `$idCol` not found in " +
+        df.columns.mkString("[", ", ", "]"))
+    require(!Set("_k", "_b", "_off", "pos", "shard").contains(idCol),
+      s"ExportOps: id column `$idCol` collides with a work/output column " +
+        "name — rename it first")
     val spark = df.sparkSession
     val nb =
       if (nBuckets > 0) nBuckets

@@ -63,6 +63,74 @@ object Retrieval {
       .agg(count(lit(1)).as("n_hits"), min(col("anchor")).as("first_pos"))
   }
 
+  // ─── persisted posting-table artifact ───
+
+  private val MetaName = "_graft_postings_nbuckets"
+
+  /** Persist the postings as a term-hash-bucketed parquet artifact: the
+    * production home of phrase search at 100 TB — built once, probed by
+    * every query, and a probe READS ONLY its phrase terms' buckets
+    * (partition pruning on `bucket=` dirs; the IVF-index discipline
+    * applied to text). `repartitionByRange(bucket, term)` keeps the
+    * layout at ~nBuckets + tasks part-files instead of
+    * nBuckets × tasks (the q12b index-layout lesson). The bucket count
+    * travels WITH the artifact (meta sidecar written last, so its
+    * presence is the write-completeness marker) — a probe can never
+    * silently prune with the wrong modulus. */
+  def writePostings(docs: DataFrame, dir: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0 && nBuckets <= (1 << 20),
+      s"Retrieval: bad nBuckets $nBuckets")
+    val s = docs.sparkSession
+    postings(docs)
+      .withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .repartitionByRange(col("bucket"), col("term"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val meta = new org.apache.hadoop.fs.Path(dir, MetaName)
+    val hfs = meta.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = hfs.create(meta, true)
+    try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** [[phraseSearch]] against a written postings artifact: reads only
+    * the buckets the phrase's terms hash to (≤ k of nBuckets — the scan
+    * carries partition filters, spec-pinned), then runs the same
+    * broadcast-slot anchor aggregation. */
+  def phraseSearchStored(spark: SparkSession, dir: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "Retrieval: empty phrase")
+    require(phrase.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"Retrieval: phrase tokens must be non-empty and whitespace-free, " +
+        s"got ${phrase.mkString("[", ", ", "]")}")
+    import spark.implicits._
+    val meta = new org.apache.hadoop.fs.Path(dir, MetaName)
+    val hfs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(hfs.exists(meta),
+      s"Retrieval: no complete postings artifact at $dir (missing " +
+        s"$MetaName — build one with writePostings)")
+    val in = hfs.open(meta)
+    val nBuckets =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    val k = phrase.length
+    val slots = phrase.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+      .toDF("term", "idx")
+      .withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+    // bounded collect: ≤ k bucket ids — becomes the partition filter
+    val buckets = slots.select(col("bucket")).distinct()
+      .as[Long].collect().toSeq
+    spark.read.parquet(dir)
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(slots), Seq("term", "bucket"))
+      .select(col("doc_id"), (col("pos") - col("idx")).as("anchor"))
+      .groupBy(col("doc_id"), col("anchor"))
+      .agg(count(lit(1)).as("n_slots"))
+      .filter(col("n_slots") === lit(k.toLong))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("anchor")).as("first_pos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact-phrase audit over the corpus: a trigram phrase present at
     // every test SF (sf0.001/0.01/0.1 alike; the multi-occurrence law is
@@ -74,7 +142,21 @@ object Retrieval {
       phraseSearch(
         Tables.documents(s, d).select(col("doc_id"), col("text")),
         Seq("query", "big", "part"))
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    // The stored-artifact path: build the bucketed posting table, then
+    // probe it — the probe's scan reads only the 3 terms' buckets of 64
+    // (partition filters, pinned by RetrievalSpec). Same result law as
+    // q121; the artifact is invisible in the output, so the oracle is
+    // the same naive positional join on a second all-SF phrase.
+    "q123_phrase_stored" -> ((s, d) => {
+      val dir = s"/tmp/graft_postings_${new java.io.File(d).getName}"
+      writePostings(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        dir, nBuckets = 64)
+      phraseSearchStored(s, dir, Seq("join", "part", "filter"))
+        .orderBy(col("doc_id"))
+    }))
 
   def oracle: Map[String, String] = Map(
     "q121_phrase_search" ->
@@ -91,5 +173,21 @@ object Retrieval {
          JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
          JOIN toks t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
          WHERE t0.term = 'query' AND t1.term = 'big' AND t2.term = 'part'
+         GROUP BY t0.doc_id ORDER BY t0.doc_id""",
+
+    "q123_phrase_stored" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+           FROM documents),
+         toks AS (
+           SELECT doc_id, unnest(ws) AS term,
+             CAST(unnest(range(len(ws))) AS BIGINT) AS pos
+           FROM d)
+         SELECT t0.doc_id, count(*) AS n_hits, min(t0.pos) AS first_pos
+         FROM toks t0
+         JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+         JOIN toks t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+         WHERE t0.term = 'join' AND t1.term = 'part' AND t2.term = 'filter'
          GROUP BY t0.doc_id ORDER BY t0.doc_id""")
 }

@@ -58,12 +58,18 @@ class ExportOpsSpec extends SparkSpecBase {
     assert(a == b, "input partitioning leaked into the output permutation")
   }
 
-  test("loud guards: bad shardSize / nBuckets") {
+  test("loud guards: bad shardSize / nBuckets / id column") {
     intercept[IllegalArgumentException] {
       ExportOps.shuffleShards(ids, "id", 0L)
     }
     intercept[IllegalArgumentException] {
       ExportOps.shuffleShards(ids, "id", 10L, nBuckets = 1 << 25)
+    }
+    intercept[IllegalArgumentException] { // missing id column
+      ExportOps.shuffleShards(ids, "nope", 10L)
+    }
+    intercept[IllegalArgumentException] { // reserved-name collision
+      ExportOps.shuffleShards(ids.withColumnRenamed("id", "pos"), "pos", 10L)
     }
   }
 

@@ -163,6 +163,34 @@ class IntervalJoinSpec extends SparkSpecBase {
       s"expected the span guard to fire, got: $chain")
   }
 
+  test("streaming composition: a point STREAM bin-joins a static interval table") {
+    // the rewrite's join is a plain equijoin + filters, so a streaming
+    // points side composes as a stateless stream-static join — no
+    // watermark, no state store, per-batch output = the batch operator
+    // on the batch's rows (which is exactly what this pins)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s = spark
+    val input = MemoryStream[(Long, Long)](spark)
+    val pts = input.toDF().toDF("p_id", "x")
+    val q = IntervalJoin.pointInInterval(pts, "x", intervals, "lo", "hi",
+        10L, maxBinsPerInterval = 500000)
+      .writeStream.format("memory").queryName("ij_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 0L), (2L, 55L), (3L, -11L))
+      q.processAllAvailable()
+      input.addData((4L, 999L), (5L, 12345L))
+      q.processAllAvailable()
+      val got = multiset(spark.table("ij_stream"))
+      val batch = multiset(IntervalJoin.pointInInterval(
+        Seq((1L, 0L), (2L, 55L), (3L, -11L), (4L, 999L), (5L, 12345L))
+          .toDF("p_id", "x"),
+        "x", intervals, "lo", "hi", 10L, maxBinsPerInterval = 500000))
+      assert(got == batch, "streamed bin join diverged from the batch form")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("q118/q120 run end-to-end on the test tables and agree with naive forms") {
     val q118 = SparkEntry.queries("q118_interval_join")(spark, sf)
     val rows = q118.collect()

@@ -80,6 +80,43 @@ class RetrievalSpec extends SparkSpecBase {
     }
   }
 
+  test("stored postings ≡ in-memory search; probe scan is bucket-pruned") {
+    val dir = s"/tmp/graft_test_postings_${System.nanoTime()}"
+    try {
+      Retrieval.writePostings(docs, dir, nBuckets = 64)
+      for (phrase <- Seq(Seq("a"), Seq("a", "b", "a"), Seq("b", "a"),
+          Seq("missing", "term"))) {
+        val got = asMap(Retrieval.phraseSearchStored(spark, dir, phrase))
+        assert(got == asMap(Retrieval.phraseSearch(docs, phrase)),
+          s"stored probe diverged for $phrase")
+      }
+      // the probe must carry a partition filter on the bucket column —
+      // reading every bucket would be the full-postings scan the
+      // artifact exists to avoid
+      val probe = Retrieval.phraseSearchStored(spark, dir, Seq("a", "b"))
+      val p = probe.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+        s"no bucket partition filter on the postings scan:\n$p")
+      // rebuild over the same dir is idempotent (overwrite + fresh meta)
+      Retrieval.writePostings(docs, dir, nBuckets = 8)
+      assert(asMap(Retrieval.phraseSearchStored(spark, dir, Seq("a", "b")))
+        == asMap(Retrieval.phraseSearch(docs, Seq("a", "b"))),
+        "rebuild with a different bucket count broke the probe")
+    } finally {
+      val hp = new org.apache.hadoop.fs.Path(dir)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+    }
+  }
+
+  test("probing a dir with no complete artifact fails loudly") {
+    val dir = s"/tmp/graft_test_postings_bad_${System.nanoTime()}"
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.phraseSearchStored(spark, dir, Seq("a"))
+    }
+    assert(e.getMessage.contains("no complete postings artifact"))
+  }
+
   test("q121 plan: one broadcast slot join, no nested loop, partial aggs") {
     val df = SparkEntry.queries("q121_phrase_search")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
