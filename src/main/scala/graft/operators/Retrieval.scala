@@ -71,31 +71,86 @@ object Retrieval {
     * production home of phrase search at 100 TB — built once, probed by
     * every query, and a probe READS ONLY its phrase terms' buckets
     * (partition pruning on `bucket=` dirs; the IVF-index discipline
-    * applied to text). `repartitionByRange(bucket, term)` keeps the
-    * layout at ~nBuckets + tasks part-files instead of
-    * nBuckets × tasks (the q12b index-layout lesson). The bucket count
-    * travels WITH the artifact (meta sidecar written last, so its
-    * presence is the write-completeness marker) — a probe can never
-    * silently prune with the wrong modulus. */
+    * applied to text). Layout: `base/bucket=N/` for the build,
+    * `appends/<tag>/bucket=N/` per committed [[appendPostings]] batch.
+    * `repartitionByRange(bucket, term)` keeps each layout at
+    * ~nBuckets + tasks part-files instead of nBuckets × tasks (the q12b
+    * index-layout lesson). The bucket count travels WITH the artifact
+    * (meta sidecar written last, so its presence is the
+    * write-completeness marker) — a probe can never silently prune with
+    * the wrong modulus. Compaction = rebuild: `writePostings` from the
+    * source corpus resets the artifact (and clears stale appends),
+    * which is the honest batch answer while the append count stays a
+    * bounded driver listing. */
   def writePostings(docs: DataFrame, dir: String, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0 && nBuckets <= (1 << 20),
       s"Retrieval: bad nBuckets $nBuckets")
     val s = docs.sparkSession
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val hfs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // a full rebuild owns the whole artifact: stale appends from a prior
+    // build must not haunt the new base
+    if (hfs.exists(root)) hfs.delete(root, true)
+    bucketedPostings(docs, nBuckets)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/base")
+    val out = hfs.create(new org.apache.hadoop.fs.Path(dir, MetaName), true)
+    try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def bucketedPostings(docs: DataFrame, nBuckets: Int): DataFrame =
     postings(docs)
       .withColumn("bucket",
         pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
       .repartitionByRange(col("bucket"), col("term"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  private def readNBuckets(s: SparkSession, dir: String): Int = {
     val meta = new org.apache.hadoop.fs.Path(dir, MetaName)
     val hfs = meta.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = hfs.create(meta, true)
-    try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+    require(hfs.exists(meta),
+      s"Retrieval: no complete postings artifact at $dir (missing " +
+        s"$MetaName — build one with writePostings)")
+    val in = hfs.open(meta)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    finally in.close()
+  }
+
+  /** Exactly-once append of `docs`' postings to a written artifact:
+    * stage under a hidden tmp dir, publish by ONE atomic rename to
+    * `appends/<tag>/` — the tag dir's existence IS the committed marker,
+    * so a replayed attempt (driver retry, workflow re-run) skips instead
+    * of double-counting (returns false). The rename's return value is
+    * enforced (HDFS-style filesystems report failure by returning false,
+    * not throwing); torn tmp debris from a crashed attempt is cleared on
+    * retry. Caller contract: a tag names ONE batch of docs, and appended
+    * doc_ids are new (re-posting an existing doc duplicates its rows —
+    * rebuild with writePostings to reset). */
+  def appendPostings(docs: DataFrame, dir: String, tag: String): Boolean = {
+    require(tag.nonEmpty && tag.matches("[A-Za-z0-9_\\-]+"),
+      s"Retrieval: append tag must be [A-Za-z0-9_-]+, got `$tag`")
+    val s = docs.sparkSession
+    val nBuckets = readNBuckets(s, dir)
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val committed = new org.apache.hadoop.fs.Path(dir, s"appends/$tag")
+    if (hfs.exists(committed)) return false // replay: already published
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".append_tmp_$tag")
+    if (hfs.exists(tmp)) hfs.delete(tmp, true) // torn-attempt debris
+    bucketedPostings(docs, nBuckets)
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+    hfs.mkdirs(committed.getParent)
+    require(hfs.rename(tmp, committed),
+      s"Retrieval: atomic publish rename failed for append `$tag` at " +
+        s"$dir — the ledger contract (existence = completeness) would " +
+        "be violated by continuing")
+    true
   }
 
   /** [[phraseSearch]] against a written postings artifact: reads only
-    * the buckets the phrase's terms hash to (≤ k of nBuckets — the scan
-    * carries partition filters, spec-pinned), then runs the same
-    * broadcast-slot anchor aggregation. */
+    * the buckets the phrase's terms hash to (≤ k of nBuckets — every
+    * scan carries partition filters, spec-pinned) across the base layout
+    * plus every COMMITTED append, then runs the same broadcast-slot
+    * anchor aggregation. The appends listing is a driver directory list
+    * bounded by the append count, never data. */
   def phraseSearchStored(spark: SparkSession, dir: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "Retrieval: empty phrase")
@@ -103,15 +158,9 @@ object Retrieval {
       s"Retrieval: phrase tokens must be non-empty and whitespace-free, " +
         s"got ${phrase.mkString("[", ", ", "]")}")
     import spark.implicits._
-    val meta = new org.apache.hadoop.fs.Path(dir, MetaName)
-    val hfs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(hfs.exists(meta),
-      s"Retrieval: no complete postings artifact at $dir (missing " +
-        s"$MetaName — build one with writePostings)")
-    val in = hfs.open(meta)
-    val nBuckets =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-      finally in.close()
+    val nBuckets = readNBuckets(spark, dir)
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val k = phrase.length
     val slots = phrase.zipWithIndex.map { case (t, i) => (t, i.toLong) }
       .toDF("term", "idx")
@@ -120,7 +169,26 @@ object Retrieval {
     // bounded collect: ≤ k bucket ids — becomes the partition filter
     val buckets = slots.select(col("bucket")).distinct()
       .as[Long].collect().toSeq
-    spark.read.parquet(dir)
+    // explicit schema so an empty append (no files at all) reads as an
+    // empty relation instead of failing schema inference
+    val postingSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType)))
+    val appendsRoot = new org.apache.hadoop.fs.Path(dir, "appends")
+    val appendDirs =
+      if (hfs.exists(appendsRoot))
+        hfs.listStatus(appendsRoot).filter(_.isDirectory)
+          .map(_.getPath.toString).toSeq.sorted
+      else Seq.empty[String]
+    (s"$dir/base" +: appendDirs)
+      .map(p => spark.read.schema(postingSchema).parquet(p))
+      .reduce(_ unionByName _)
       .filter(col("bucket").isin(buckets: _*))
       .join(broadcast(slots), Seq("term", "bucket"))
       .select(col("doc_id"), (col("pos") - col("idx")).as("anchor"))

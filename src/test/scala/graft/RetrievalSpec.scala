@@ -109,6 +109,48 @@ class RetrievalSpec extends SparkSpecBase {
     }
   }
 
+  test("append lifecycle: exactly-once publish, replay skip, torn debris") {
+    val dir = s"/tmp/graft_test_postings_app_${System.nanoTime()}"
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val batch1 = docs.filter(col("doc_id") <= 4L)
+      val batch2 = docs.filter(col("doc_id") > 4L)
+      Retrieval.writePostings(batch1, dir, nBuckets = 16)
+      assert(Retrieval.appendPostings(batch2, dir, "b2"),
+        "first append must publish")
+      // probe over base+append ≡ in-memory search over the full corpus
+      for (phrase <- Seq(Seq("a", "b", "a"), Seq("b", "a")))
+        assert(asMap(Retrieval.phraseSearchStored(spark, dir, phrase))
+          == asMap(Retrieval.phraseSearch(docs, phrase)),
+          s"append probe diverged for $phrase")
+      // replayed tag: skip, and counts must NOT double
+      assert(!Retrieval.appendPostings(batch2, dir, "b2"),
+        "replayed append must skip")
+      assert(asMap(Retrieval.phraseSearchStored(spark, dir, Seq("a", "b")))
+        == asMap(Retrieval.phraseSearch(docs, Seq("a", "b"))),
+        "replayed append double-counted")
+      // torn debris: a junk tmp dir from a crashed attempt is cleared
+      val tmp = new org.apache.hadoop.fs.Path(dir, ".append_tmp_b3")
+      hfs.mkdirs(tmp)
+      val junk = hfs.create(new org.apache.hadoop.fs.Path(tmp, "junk"), true)
+      try junk.write("x".getBytes) finally junk.close()
+      assert(Retrieval.appendPostings(
+        docs.limit(0), dir, "b3"), "empty append over debris must publish")
+      assert(asMap(Retrieval.phraseSearchStored(spark, dir, Seq("a", "b")))
+        == asMap(Retrieval.phraseSearch(docs, Seq("a", "b"))),
+        "empty append changed results")
+      // a full rebuild clears committed appends (no haunting)
+      Retrieval.writePostings(batch1, dir, nBuckets = 16)
+      assert(asMap(Retrieval.phraseSearchStored(spark, dir, Seq("a", "b")))
+        == asMap(Retrieval.phraseSearch(batch1, Seq("a", "b"))),
+        "rebuild served stale append rows")
+      intercept[IllegalArgumentException] { // tag hygiene
+        Retrieval.appendPostings(batch2, dir, "bad tag!")
+      }
+    } finally hfs.delete(hp, true)
+  }
+
   test("probing a dir with no complete artifact fails loudly") {
     val dir = s"/tmp/graft_test_postings_bad_${System.nanoTime()}"
     val e = intercept[IllegalArgumentException] {
