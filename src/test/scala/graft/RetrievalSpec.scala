@@ -124,6 +124,15 @@ class RetrievalSpec extends SparkSpecBase {
         assert(asMap(Retrieval.phraseSearchStored(spark, dir, phrase))
           == asMap(Retrieval.phraseSearch(docs, phrase)),
           s"append probe diverged for $phrase")
+      // EVERY scan of the unioned artifact (base + append) must carry
+      // the bucket partition filter — pruning that survives only on one
+      // side of the union would re-grow to a full scan as appends land
+      val up = Retrieval.phraseSearchStored(spark, dir, Seq("a", "b"))
+        .queryExecution.executedPlan.toString
+      val scans = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(up).toList
+      assert(scans.length >= 2, s"expected >= 2 scans after an append:\n$up")
+      assert(scans.forall(_.contains("bucket")),
+        s"a union side lost its bucket partition filter:\n$up")
       // replayed tag: skip, and counts must NOT double
       assert(!Retrieval.appendPostings(batch2, dir, "b2"),
         "replayed append must skip")
