@@ -251,6 +251,88 @@ object LangModelOps {
       .orderBy(col("doc_id"))
   }
 
+  // ─── BPE TRAINING (q124) ───
+
+  /** Symbol separator for the training fold — a control char absent from
+    * text corpora (loudly guarded below, never assumed). */
+  private val BpeSep = "\u001f"
+
+  /** Merge application as a left fold over the symbol array: if the
+    * accumulated string's LAST symbol is exactly `a` and the next symbol
+    * is `b`, append `b` with no separator (the two symbols fuse);
+    * otherwise append `SEP + x`. This is exactly one non-overlapping
+    * left-to-right merge pass — the fused symbol ends `a+b`, which can
+    * never re-match "last symbol = a" in the same pass (b is non-empty),
+    * and `endsWith(SEP + a)` cannot false-match a longer symbol ending
+    * in `a`'s characters because SEP never occurs inside symbols. The
+    * DuckDB oracle runs the IDENTICAL fold via list_reduce, so both
+    * engines merge bit-identically. */
+  private def bpeApplyMerge(sym: Column, a: String, b: String): Column = {
+    val arr = split(sym, BpeSep)
+    aggregate(
+      slice(arr, lit(2), size(arr) - 1), element_at(arr, 1),
+      (acc, x) =>
+        when(x === lit(b) &&
+            (acc === lit(a) || acc.endsWith(lit(BpeSep + a))),
+          concat(acc, lit(b)))
+        .otherwise(concat(acc, lit(BpeSep), x)))
+  }
+
+  /** Distributed BPE TRAINING — learn the first `k` merges from the
+    * corpus (q108 APPLIES a given table; this is where such a table
+    * comes from). The scalable shape is the one real tokenizer trainers
+    * use: the corpus is touched ONCE to build the word-frequency dict
+    * (distributed groupBy, map-side partial), and every training
+    * iteration runs over the vocab-bounded dict — pair counts are an
+    * explode + partial-aggregating groupBy weighted by word frequency,
+    * the winning pair is ONE collected row per iteration (bounded ×k),
+    * and the merge applies as the fold above. `localCheckpoint` per
+    * iteration truncates the k-deep lineage (the q58 CC-loop lesson).
+    * Ties break on (count DESC, lhs ASC, rhs ASC) — lowercase-ASCII
+    * corpora compare identically in Spark UTF8 and DuckDB default
+    * collation, so the oracle retrains the identical table. Training
+    * that runs dry (no adjacent pairs left) before k merges throws
+    * loudly rather than padding. */
+  def trainBpeMerges(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"LangModelOps: bad merge count $k")
+    val s = docs.sparkSession
+    import s.implicits._
+    val words = docs
+      .select(explode(filter(split(col("text"), " "),
+        w => w =!= lit(""))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    require(words.filter(col("w").contains(BpeSep)).limit(1).isEmpty,
+      "LangModelOps: corpus contains the reserved separator \\u001f — " +
+        "BPE training symbols would be ambiguous")
+    var dict = words.withColumn("sym",
+      expr("array_join(transform(sequence(1, length(w)), " +
+        "i -> substring(w, i, 1)), chr(31))"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 1 to k) {
+      val arr = split(col("sym"), BpeSep)
+      val top = dict.filter(size(arr) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), size(arr) - 1),
+            j => struct(element_at(arr, j).as("l"),
+              element_at(arr, j + 1).as("r")))).as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"LangModelOps: BPE training ran dry after ${rank - 1} merges " +
+          s"(k=$k exceeds this corpus's pair supply)")
+      val (a, b, c) =
+        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((rank, a, b, c))
+      dict = dict
+        .withColumn("sym", bpeApplyMerge(col("sym"), a, b))
+        .localCheckpoint()
+    }
+    merges.result().toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
   // ─── true BPE (merge loop) ───
 
   /** The merge table, rank-ordered. WELL-FORMED by construction: each
@@ -320,6 +402,14 @@ object LangModelOps {
       langIdTrained(Tables.spread(docs), profiles)
     }),
 
+    // BPE TRAINING: learn the first 6 merges from the corpus — the
+    // word-freq dict is the only corpus pass; each iteration is a
+    // vocab-bounded pair count + one collected argmax row; the oracle
+    // retrains the identical table through 6 unrolled fold stages
+    "q124_bpe_train" -> ((s, d) =>
+      trainBpeMerges(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), 6)),
+
     // true BPE token accounting per doc from the rank-ordered merge table
     "q108_bpe_merge" -> ((s, d) => {
       Tables.spread(Tables.documents(s, d))
@@ -375,6 +465,48 @@ object LangModelOps {
     s"len(list_filter(string_split($merged, ' '), x -> x <> ''))"
   }
 
+  /** The q124 oracle, generated: k unrolled train stages (DuckDB has no
+    * iterative driver, so the loop is written out — each stage's pair
+    * count, argmax, and merge fold are textually identical modulo the
+    * stage index). chr(31) is [[BpeSep]]. */
+  private def bpeTrainOracle(k: Int): String = {
+    def stage(i: Int): String = {
+      val prev = s"d${i - 1}"
+      s"""p$i AS (
+           SELECT pr.l AS l, pr.r AS r, sum(freq) AS cnt
+           FROM (
+             SELECT freq, unnest(list_transform(range(1, len(arr)),
+               j -> struct_pack(l := arr[j], r := arr[j+1]))) AS pr
+             FROM (SELECT freq, string_split(sym, chr(31)) AS arr FROM $prev)
+             WHERE len(arr) >= 2)
+           GROUP BY pr.l, pr.r),
+         m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         d$i AS (
+           SELECT w, freq,
+             list_reduce(string_split(sym, chr(31)),
+               (acc, x) -> CASE WHEN x = m.r AND (acc = m.l OR
+                   ends_with(acc, chr(31) || m.l))
+                 THEN acc || x ELSE acc || chr(31) || x END) AS sym
+           FROM $prev CROSS JOIN m$i m)"""
+    }
+    val unions = (1 to k).map(i =>
+      s"SELECT $i AS merge_rank, l AS lhs, r AS rhs, " +
+        s"CAST(cnt AS BIGINT) AS pair_count FROM m$i").mkString(
+      " UNION ALL ")
+    s"""WITH words AS (
+           SELECT w, count(*) AS freq FROM (
+             SELECT unnest(list_filter(string_split(text, ' '),
+               x -> x <> '')) AS w
+             FROM documents) GROUP BY w),
+         d0 AS (
+           SELECT w, freq,
+             array_to_string(list_transform(range(1, len(w) + 1),
+               i -> substr(w, i, 1)), chr(31)) AS sym
+           FROM words),
+         ${(1 to k).map(stage).mkString(",\n         ")}
+         SELECT * FROM ($unions) ORDER BY merge_rank"""
+  }
+
   def oracle: Map[String, String] = Map(
     // the full train→predict mirror: identical profiles (top-64 per lang
     // by (cnt DESC, gram ASC)), identical counted-overlap scores,
@@ -418,6 +550,12 @@ object LangModelOps {
            CAST(coalesce(b.score, 0) AS BIGINT) AS score
          FROM corpus c LEFT JOIN best b USING (doc_id)
          ORDER BY c.doc_id""",
+
+    // the full retrain mirror: identical word-freq dict, identical
+    // adjacent-pair counts, identical (count DESC, lhs, rhs) argmax,
+    // and the IDENTICAL merge fold (list_reduce ≡ Spark's aggregate
+    // HOF) — 6 unrolled stages, each building on the previous dict
+    "q124_bpe_train" -> bpeTrainOracle(6),
 
     "q108_bpe_merge" ->
       s"""WITH words AS (

@@ -109,6 +109,62 @@ class LangModelOpsSpec extends SparkSpecBase {
     assert(low.map(_.getLong(3)).max <= high.map(_.getLong(3)).min)
   }
 
+  test("q124: BPE training learns hand-computed merges, chained") {
+    // words: "aaab" x3, "ab" x2
+    //   pass 1 pairs: (a,a) 2x3=6, (a,b) 3+2=5 -> merge 1 = (a,a,6)
+    //   apply: aaab -> [aa,a,b] (greedy left-to-right, no same-pass
+    //   re-merge), ab -> [a,b]
+    //   pass 2: (aa,a)=3, (a,b)=3+2=5 -> merge 2 = (a,b,5)
+    //   apply: [aa,a,b] -> [aa,ab], [a,b] -> [ab]
+    //   pass 3: (aa,ab)=3 -> merge 3 = (aa,ab,3) — builds on BOTH
+    //   earlier merges
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab ab ab"))
+      .toDF("doc_id", "text")
+    val got = LangModelOps.trainBpeMerges(docs, 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "a", "a", 6L), (2, "a", "b", 5L), (3, "aa", "ab", 3L)))
+  }
+
+  test("q124: ties break lexicographically; dry corpus throws loudly") {
+    val tied = Seq((1L, "cd ab"), (2L, "ab cd")).toDF("doc_id", "text")
+    val m1 = LangModelOps.trainBpeMerges(tied, 1).collect()(0)
+    assert((m1.getString(1), m1.getString(2), m1.getLong(3)) == (("a", "b", 2L)),
+      "equal-count pairs must pick the lexicographically smallest")
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      LangModelOps.trainBpeMerges(tiny, 3) // merge 1 = (a,b); then dry
+    }
+    assert(e.getMessage.contains("ran dry after 1"))
+  }
+
+  test("q124: the reserved separator in a corpus fails loudly") {
+    val bad = Seq((1L, "ok", "x"), (2L, ("bad" + "\u001f" + "word"), "x"))
+      .toDF("doc_id", "text", "pad").drop("pad")
+    intercept[IllegalArgumentException] {
+      LangModelOps.trainBpeMerges(bad, 1)
+    }
+  }
+
+  test("q124 full query: 6 well-formed chained merges on the corpus") {
+    val rows = LangModelOps.queries("q124_bpe_train")(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 6))
+    // well-formed: every lhs/rhs is a single char or an earlier merge's
+    // output — the property that makes the table usable by bpeTokenize
+    val produced = scala.collection.mutable.Set.empty[String]
+    rows.foreach { r =>
+      val (l, rr) = (r.getString(1), r.getString(2))
+      assert(l.length == 1 || produced.contains(l), s"orphan lhs `$l`")
+      assert(rr.length == 1 || produced.contains(rr), s"orphan rhs `$rr`")
+      produced += (l + rr)
+    }
+    // counts are non-increasing in rank on a fixed corpus? NOT in
+    // general (a merge can create a new high-frequency pair), so pin
+    // only positivity
+    assert(rows.forall(_.getLong(3) > 0L))
+  }
+
   test("true BPE merge loop: greedy min-rank merging, well-formed chains") {
     assert(LangModelOps.bpeTokenize("table") == List("table"),
       "the t+able chain must fully merge")
