@@ -353,20 +353,28 @@ object LangModelOps {
   /** True BPE encode (the HF algorithm): repeatedly find the LOWEST-rank
     * adjacent symbol pair present and merge every occurrence of it,
     * left to right, until no mergeable pair remains. */
-  def bpeTokenize(word: String): List[String] = {
+  def bpeTokenize(word: String): List[String] =
+    bpeTokenizeWith(bpeMerges.toIndexedSeq, bpeRanks)(word)
+
+  /** [[bpeTokenize]] parameterized by ANY rank-ordered merge table —
+    * in particular one LEARNED by [[trainBpeMerges]] (train → collect
+    * the ≤ k-row table → encode; the closure ships to executors like a
+    * broadcast lookup, exactly as the static table does). */
+  def bpeTokenizeWith(merges: IndexedSeq[(String, String)],
+      ranks: Map[(String, String), Int])(word: String): List[String] = {
     var syms: Array[String] = word.map(_.toString).toArray
     var done = syms.length < 2
     while (!done) {
       var best = Int.MaxValue
       var i = 0
       while (i < syms.length - 1) {
-        val r = bpeRanks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
         if (r < best) best = r
         i += 1
       }
       if (best == Int.MaxValue) done = true
       else {
-        val (a, b) = bpeMerges(best)
+        val (a, b) = merges(best)
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
         var j = 0
         while (j < syms.length) {

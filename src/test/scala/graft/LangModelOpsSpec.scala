@@ -126,6 +126,27 @@ class LangModelOpsSpec extends SparkSpecBase {
       (1, "a", "a", 6L), (2, "a", "b", 5L), (3, "aa", "ab", 3L)))
   }
 
+  test("q124 -> q108 loop closure: a LEARNED table drives the encoder") {
+    // train on the micro corpus, hand the learned table to the
+    // parameterized encoder: the most frequent training word must fully
+    // compress (merges chain: (a,a) -> (a,b) -> (aa,ab) == "aaab"),
+    // while unseen structure stays unmerged
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab ab ab"))
+      .toDF("doc_id", "text")
+    val learned = LangModelOps.trainBpeMerges(docs, 3).collect()
+      .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+    val ranks = learned.zipWithIndex.toMap
+    val enc = LangModelOps.bpeTokenizeWith(learned, ranks) _
+    assert(enc("aaab") == List("aaab"),
+      "the trained table must fully compress the dominant word")
+    assert(enc("ab") == List("ab"))
+    assert(enc("ba") == List("b", "a"), "no learned merge applies to ba")
+    // greedy min-rank on partially covered structure: (a,a) merges both
+    // non-overlapping occurrences first -> [aa, aa, b]; neither (a,b)
+    // nor (aa,ab) is then present as an adjacent pair, so it stops
+    assert(enc("aaaab") == List("aa", "aa", "b"))
+  }
+
   test("q124: ties break lexicographically; dry corpus throws loudly") {
     val tied = Seq((1L, "cd ab"), (2L, "ab cd")).toDF("doc_id", "text")
     val m1 = LangModelOps.trainBpeMerges(tied, 1).collect()(0)
