@@ -1,7 +1,9 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.sources.Tables
 
@@ -44,57 +46,169 @@ object Retrieval {
   /** Docs containing `phrase` as consecutive tokens: one row per matching
     * doc with the occurrence count and first match position. */
   def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
-    require(phrase.nonEmpty, "Retrieval: empty phrase")
-    require(phrase.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
-      s"Retrieval: phrase tokens must be non-empty and whitespace-free, " +
-        s"got ${phrase.mkString("[", ", ", "]")}")
+    requirePhrase(phrase)
     val spark = docs.sparkSession
     import spark.implicits._
     val k = phrase.length
     val slots = phrase.zipWithIndex.map { case (t, i) => (t, i.toLong) }
       .toDF("term", "idx")
-    postings(docs)
-      .join(broadcast(slots), "term")
+    anchorAgg(postings(docs).join(broadcast(slots), "term"), k)
+  }
+
+  private def requirePhrase(phrase: Seq[String]): Unit = {
+    require(phrase.nonEmpty, "Retrieval: empty phrase")
+    require(phrase.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"Retrieval: phrase tokens must be non-empty and whitespace-free, " +
+        s"got ${phrase.mkString("[", ", ", "]")}")
+  }
+
+  /** The shared tail of both search paths: slot-tagged hits → per-anchor
+    * coverage count → per-doc hits. Input must carry (doc_id, pos, idx). */
+  private def anchorAgg(tagged: DataFrame, k: Int): DataFrame =
+    tagged
       .select(col("doc_id"), (col("pos") - col("idx")).as("anchor"))
       .groupBy(col("doc_id"), col("anchor"))
       .agg(count(lit(1)).as("n_slots"))
       .filter(col("n_slots") === lit(k.toLong))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"), min(col("anchor")).as("first_pos"))
-  }
 
   // ─── persisted posting-table artifact ───
+  //
+  // Versioned-generation layout (the IVF-index discipline,
+  // VectorOps.scala `gen=`/CURRENT, applied to text — closing the
+  // round-12d "no generation scheme" caveat): a generation directory
+  // `gen=N/` holds the bucketed base postings, its committed appends,
+  // and the bucket-count meta TOGETHER; `CURRENT` is a one-line pointer
+  // file naming the live generation. A rebuild writes the next
+  // `gen=N+1/` fully — its meta sidecar last, so the meta IS the
+  // completeness manifest — then publishes by atomically renaming a
+  // fresh pointer over `CURRENT`. Readers resolve the pointer first, so
+  // a probe concurrent with a rebuild sees either the old generation or
+  // the new one COMPLETE — never a torn mix, and never the
+  // missing-meta crash the delete-then-write layout could produce. The
+  // superseded generation gets a deletion grace of one publish cycle
+  // (a reader that resolved the pointer just before the flip may still
+  // be opening its files — at cluster scale that window is a whole
+  // probe job); [[expirePostingsGenerations]] is the explicit
+  // drain-time end of the grace. Crashed partial builds are
+  // unreferenced (max+1 numbering never reuses a name) and GC'd by the
+  // next successful publish.
 
   private val MetaName = "_graft_postings_nbuckets"
+  private val Pointer = "CURRENT"
+
+  private def hfsOf(s: SparkSession, path: String) =
+    new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Directory of the CURRENT postings generation (public: specs and
+    * probes inspect the physical layout through it). Fails loudly on a
+    * missing pointer (not an artifact) or a torn generation (pointer
+    * names a dir whose meta manifest never landed). */
+  def postingsGenDir(s: SparkSession, dir: String): String = {
+    val hfs = hfsOf(s, dir)
+    val ptr = new Path(dir, Pointer)
+    require(hfs.exists(ptr),
+      s"Retrieval: no complete postings artifact at $dir (missing " +
+        s"$Pointer pointer — build one with writePostings)")
+    val in = hfs.open(ptr)
+    val gen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    val genDir = s"$dir/$gen"
+    if (!hfs.exists(new Path(genDir, MetaName)))
+      throw new IllegalStateException(
+        s"torn postings artifact at $dir: $Pointer names $gen but its " +
+          s"$MetaName manifest is missing — refusing to serve a partial " +
+          "generation")
+    genDir
+  }
+
+  private def nextGenName(s: SparkSession, dir: String): String = {
+    val hfs = hfsOf(s, dir)
+    val base = new Path(dir)
+    val next =
+      if (!hfs.exists(base)) 0L
+      else hfs.listStatus(base).map(_.getPath.getName)
+        .collect { case g if g.startsWith("gen=") =>
+          g.stripPrefix("gen=").toLong }
+        .foldLeft(-1L)(math.max) + 1L
+    s"gen=$next"
+  }
+
+  /** Flip the pointer to `genName` (atomic rename-overwrite), then GC
+    * old generations — except the one just superseded (one-cycle reader
+    * grace; see the layout note). */
+  private def publishGen(s: SparkSession, dir: String, genName: String): Unit = {
+    val hfs = hfsOf(s, dir)
+    val ptr = new Path(dir, Pointer)
+    val prev: Option[String] =
+      if (!hfs.exists(ptr)) None
+      else {
+        val in = hfs.open(ptr)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    val tmp = new Path(dir, s".$Pointer.tmp")
+    val out = hfs.create(tmp, true)
+    try out.write(genName.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(dir).toUri, s.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    hfs.listStatus(new Path(dir)).map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("gen=") && p.getName != genName &&
+          !prev.contains(p.getName) }
+      .foreach(p => hfs.delete(p, true))
+    s.catalog.refreshByPath(dir)
+  }
+
+  /** Drop every generation except the CURRENT one — the explicit end of
+    * the one-cycle grace [[writePostings]]'s publish grants the
+    * generation it supersedes. Call when in-flight probes of the old
+    * generation have provably drained. Returns generations deleted. */
+  def expirePostingsGenerations(s: SparkSession, dir: String): Int = {
+    val current = new Path(postingsGenDir(s, dir)).getName
+    val hfs = hfsOf(s, dir)
+    val doomed = hfs.listStatus(new Path(dir)).map(_.getPath)
+      .filter(p => p.getName.startsWith("gen=") && p.getName != current)
+    doomed.foreach(p => hfs.delete(p, true))
+    doomed.length
+  }
 
   /** Persist the postings as a term-hash-bucketed parquet artifact: the
     * production home of phrase search at 100 TB — built once, probed by
     * every query, and a probe READS ONLY its phrase terms' buckets
     * (partition pruning on `bucket=` dirs; the IVF-index discipline
-    * applied to text). Layout: `base/bucket=N/` for the build,
-    * `appends/<tag>/bucket=N/` per committed [[appendPostings]] batch.
+    * applied to text). Layout inside the generation dir:
+    * `base/bucket=N/` for the build, `appends/<tag>/data/bucket=N/`
+    * (+ optional `deletes/`) per committed [[appendPostings]] batch.
     * `repartitionByRange(bucket, term)` keeps each layout at
     * ~nBuckets + tasks part-files instead of nBuckets × tasks (the q12b
-    * index-layout lesson). The bucket count travels WITH the artifact
-    * (meta sidecar written last, so its presence is the
-    * write-completeness marker) — a probe can never silently prune with
-    * the wrong modulus. Compaction = rebuild: `writePostings` from the
-    * source corpus resets the artifact (and clears stale appends),
-    * which is the honest batch answer while the append count stays a
-    * bounded driver listing. */
+    * index-layout lesson). The bucket count travels WITH the generation
+    * (meta sidecar written last = completeness manifest) — a probe can
+    * never silently prune with the wrong modulus. A rebuild writes a
+    * fresh generation and atomically flips the pointer — concurrent
+    * readers keep the old one for a grace cycle — which also makes
+    * rebuild the compaction story: it resets committed appends and
+    * deletes, while the append count stays a bounded driver listing. */
   def writePostings(docs: DataFrame, dir: String, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0 && nBuckets <= (1 << 20),
       s"Retrieval: bad nBuckets $nBuckets")
     val s = docs.sparkSession
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val hfs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // a full rebuild owns the whole artifact: stale appends from a prior
-    // build must not haunt the new base
-    if (hfs.exists(root)) hfs.delete(root, true)
+    val hfs = hfsOf(s, dir)
+    // migration: a pre-generation flat artifact (meta at the root, no
+    // pointer) has no gen-aware readers — clear it so the root holds
+    // only generation dirs + pointer from here on
+    if (!hfs.exists(new Path(dir, Pointer)) &&
+        hfs.exists(new Path(dir, MetaName)))
+      hfs.delete(new Path(dir), true)
+    val genName = nextGenName(s, dir)
+    val genDir = s"$dir/$genName"
     bucketedPostings(docs, nBuckets)
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/base")
-    val out = hfs.create(new org.apache.hadoop.fs.Path(dir, MetaName), true)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$genDir/base")
+    val out = hfs.create(new Path(genDir, MetaName), true)
     try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+    publishGen(s, dir, genName)
   }
 
   private def bucketedPostings(docs: DataFrame, nBuckets: Int): DataFrame =
@@ -103,40 +217,57 @@ object Retrieval {
         pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
       .repartitionByRange(col("bucket"), col("term"))
 
-  private def readNBuckets(s: SparkSession, dir: String): Int = {
-    val meta = new org.apache.hadoop.fs.Path(dir, MetaName)
+  private def readNBuckets(s: SparkSession, genDir: String): Int = {
+    val meta = new Path(genDir, MetaName)
     val hfs = meta.getFileSystem(s.sparkContext.hadoopConfiguration)
-    require(hfs.exists(meta),
-      s"Retrieval: no complete postings artifact at $dir (missing " +
-        s"$MetaName — build one with writePostings)")
     val in = hfs.open(meta)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
     finally in.close()
   }
 
-  /** Exactly-once append of `docs`' postings to a written artifact:
-    * stage under a hidden tmp dir, publish by ONE atomic rename to
-    * `appends/<tag>/` — the tag dir's existence IS the committed marker,
-    * so a replayed attempt (driver retry, workflow re-run) skips instead
-    * of double-counting (returns false). The rename's return value is
-    * enforced (HDFS-style filesystems report failure by returning false,
-    * not throwing); torn tmp debris from a crashed attempt is cleared on
-    * retry. Caller contract: a tag names ONE batch of docs, and appended
-    * doc_ids are new (re-posting an existing doc duplicates its rows —
-    * rebuild with writePostings to reset). */
-  def appendPostings(docs: DataFrame, dir: String, tag: String): Boolean = {
+  /** Exactly-once append of `docs`' postings — plus an optional
+    * tombstone set — to the CURRENT generation: stage under a hidden tmp
+    * dir, publish by ONE atomic rename to `appends/<tag>/` — the tag
+    * dir's existence IS the committed marker, so a replayed attempt
+    * (driver retry, workflow re-run) skips instead of double-counting
+    * (returns false). The rename's return value is enforced (HDFS-style
+    * filesystems report failure by returning false, not throwing); torn
+    * tmp debris from a crashed attempt is cleared on retry.
+    *
+    * `deletes` (a `doc_id` column, delta-sized) tombstones those docs'
+    * rows in all EARLIER layers — the base build and previously
+    * committed appends — while rows appended by THIS batch survive,
+    * which is exactly upsert when the batch re-posts the same ids (see
+    * [[upsertPostings]]). Tombstones are logical until the next rebuild
+    * compacts them away. Layer order is TAG sort order, so tags must
+    * sort in batch order — zero-padded batch ids, the streaming
+    * convention (a lexicographically-earlier tag committed later would
+    * invert who shadows whom). Appends are generation-scoped: one that
+    * resolves the pointer just before a rebuild flips it lands in the
+    * superseded generation, which the rebuild (by definition a fresh
+    * full corpus) already accounts for. */
+  def appendPostings(docs: DataFrame, dir: String, tag: String,
+      deletes: Option[DataFrame] = None): Boolean = {
     require(tag.nonEmpty && tag.matches("[A-Za-z0-9_\\-]+"),
       s"Retrieval: append tag must be [A-Za-z0-9_-]+, got `$tag`")
     val s = docs.sparkSession
-    val nBuckets = readNBuckets(s, dir)
-    val hfs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val committed = new org.apache.hadoop.fs.Path(dir, s"appends/$tag")
+    val genDir = postingsGenDir(s, dir)
+    val nBuckets = readNBuckets(s, genDir)
+    val hfs = hfsOf(s, dir)
+    val committed = new Path(genDir, s"appends/$tag")
     if (hfs.exists(committed)) return false // replay: already published
-    val tmp = new org.apache.hadoop.fs.Path(dir, s".append_tmp_$tag")
+    val tmp = new Path(genDir, s".append_tmp_$tag")
     if (hfs.exists(tmp)) hfs.delete(tmp, true) // torn-attempt debris
     bucketedPostings(docs, nBuckets)
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$tmp/data")
+    deletes.foreach { d =>
+      // written only when non-empty: the dir's existence is the probe's
+      // has-tombstones signal, so delete-free appends cost no join
+      val slim = d.select(col("doc_id").cast("long").as("doc_id"))
+      if (!slim.isEmpty)
+        slim.repartition(1).write.mode("overwrite").parquet(s"$tmp/deletes")
+    }
     hfs.mkdirs(committed.getParent)
     require(hfs.rename(tmp, committed),
       s"Retrieval: atomic publish rename failed for append `$tag` at " +
@@ -145,22 +276,36 @@ object Retrieval {
     true
   }
 
+  /** Re-post `docs` into a written artifact: appends their postings AND
+    * tombstones the same doc_ids in every earlier layer, so the new text
+    * wins — the safe entry for "this doc changed" (closing the round-12d
+    * re-post-duplicates caveat). One exactly-once append publish. */
+  def upsertPostings(docs: DataFrame, dir: String, tag: String): Boolean =
+    appendPostings(docs, dir, tag,
+      deletes = Some(docs.select(col("doc_id")).distinct()))
+
+  private val postingSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("pos", LongType),
+    StructField("term", StringType), StructField("bucket", LongType)))
+  private val deleteSchema = StructType(Seq(StructField("doc_id", LongType)))
+
   /** [[phraseSearch]] against a written postings artifact: reads only
     * the buckets the phrase's terms hash to (≤ k of nBuckets — every
     * scan carries partition filters, spec-pinned) across the base layout
-    * plus every COMMITTED append, then runs the same broadcast-slot
-    * anchor aggregation. The appends listing is a driver directory list
-    * bounded by the append count, never data. */
+    * plus every COMMITTED append of the CURRENT generation, applies the
+    * appends' tombstones (a delete in append layer j shadows the doc's
+    * rows in layers < j; layer = position in tag-sorted commit order),
+    * then runs the same broadcast-slot anchor aggregation. The appends
+    * listing is a driver directory list bounded by the append count,
+    * never data; the tombstone join reads only the delta-sized delete
+    * sets and is skipped entirely when no append carries one. */
   def phraseSearchStored(spark: SparkSession, dir: String,
       phrase: Seq[String]): DataFrame = {
-    require(phrase.nonEmpty, "Retrieval: empty phrase")
-    require(phrase.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
-      s"Retrieval: phrase tokens must be non-empty and whitespace-free, " +
-        s"got ${phrase.mkString("[", ", ", "]")}")
+    requirePhrase(phrase)
     import spark.implicits._
-    val nBuckets = readNBuckets(spark, dir)
-    val hfs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val genDir = postingsGenDir(spark, dir)
+    val nBuckets = readNBuckets(spark, genDir)
+    val hfs = hfsOf(spark, dir)
     val k = phrase.length
     val slots = phrase.zipWithIndex.map { case (t, i) => (t, i.toLong) }
       .toDF("term", "idx")
@@ -169,34 +314,44 @@ object Retrieval {
     // bounded collect: ≤ k bucket ids — becomes the partition filter
     val buckets = slots.select(col("bucket")).distinct()
       .as[Long].collect().toSeq
-    // explicit schema so an empty append (no files at all) reads as an
-    // empty relation instead of failing schema inference
-    val postingSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("pos",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("term",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("bucket",
-        org.apache.spark.sql.types.LongType)))
-    val appendsRoot = new org.apache.hadoop.fs.Path(dir, "appends")
+    val appendsRoot = new Path(genDir, "appends")
+    // tag-sorted commit order defines tombstone layering; the listing is
+    // bounded by the append count (driver metadata, never data)
     val appendDirs =
       if (hfs.exists(appendsRoot))
         hfs.listStatus(appendsRoot).filter(_.isDirectory)
-          .map(_.getPath.toString).toSeq.sorted
-      else Seq.empty[String]
-    (s"$dir/base" +: appendDirs)
-      .map(p => spark.read.schema(postingSchema).parquet(p))
+          .map(_.getPath).toSeq.sortBy(_.getName)
+      else Seq.empty[Path]
+    // explicit schema so an empty append (no files at all) reads as an
+    // empty relation instead of failing schema inference
+    val layers: Seq[(String, Long)] =
+      (s"$genDir/base", 0L) +:
+        appendDirs.zipWithIndex.map { case (p, i) =>
+          (s"$p/data", i + 1L) }
+    val rows = layers.map { case (p, l) =>
+      spark.read.schema(postingSchema).parquet(p)
+        .withColumn("layer", lit(l)) }
       .reduce(_ unionByName _)
       .filter(col("bucket").isin(buckets: _*))
-      .join(broadcast(slots), Seq("term", "bucket"))
-      .select(col("doc_id"), (col("pos") - col("idx")).as("anchor"))
-      .groupBy(col("doc_id"), col("anchor"))
-      .agg(count(lit(1)).as("n_slots"))
-      .filter(col("n_slots") === lit(k.toLong))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_hits"), min(col("anchor")).as("first_pos"))
+    val delDirs = appendDirs.zipWithIndex.collect {
+      case (p, i) if hfs.exists(new Path(p, "deletes")) =>
+        (s"$p/deletes", i + 1L) }
+    val live =
+      if (delDirs.isEmpty) rows
+      else {
+        // per-doc max tombstone layer (delta-sized, parquet-backed so
+        // stats drive a broadcast while it is small — the IVF tombstone
+        // convention); a row survives iff no LATER layer deleted its
+        // doc — its own layer's re-post wins
+        val dmax = delDirs.map { case (p, l) =>
+          spark.read.schema(deleteSchema).parquet(p)
+            .withColumn("dlayer", lit(l)) }
+          .reduce(_ unionByName _)
+          .groupBy(col("doc_id")).agg(max(col("dlayer")).as("dmax"))
+        rows.join(dmax, Seq("doc_id"), "left")
+          .filter(col("dmax").isNull || col("layer") >= col("dmax"))
+      }
+    anchorAgg(live.join(broadcast(slots), Seq("term", "bucket")), k)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

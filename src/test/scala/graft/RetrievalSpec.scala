@@ -140,7 +140,9 @@ class RetrievalSpec extends SparkSpecBase {
         == asMap(Retrieval.phraseSearch(docs, Seq("a", "b"))),
         "replayed append double-counted")
       // torn debris: a junk tmp dir from a crashed attempt is cleared
-      val tmp = new org.apache.hadoop.fs.Path(dir, ".append_tmp_b3")
+      // (staging lives INSIDE the current generation dir)
+      val tmp = new org.apache.hadoop.fs.Path(
+        Retrieval.postingsGenDir(spark, dir), ".append_tmp_b3")
       hfs.mkdirs(tmp)
       val junk = hfs.create(new org.apache.hadoop.fs.Path(tmp, "junk"), true)
       try junk.write("x".getBytes) finally junk.close()
@@ -157,6 +159,90 @@ class RetrievalSpec extends SparkSpecBase {
       intercept[IllegalArgumentException] { // tag hygiene
         Retrieval.appendPostings(batch2, dir, "bad tag!")
       }
+    } finally hfs.delete(hp, true)
+  }
+
+  test("rebuild under a concurrent reader: generations, grace, expire") {
+    val dir = s"/tmp/graft_test_postings_gen_${System.nanoTime()}"
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def gens(): Set[String] =
+      hfs.listStatus(hp).map(_.getPath.getName)
+        .filter(_.startsWith("gen=")).toSet
+    try {
+      val batch1 = docs.filter(col("doc_id") <= 4L)
+      Retrieval.writePostings(batch1, dir, nBuckets = 16)
+      assert(gens() == Set("gen=0"))
+      // a reader resolves the artifact BEFORE the rebuild flips it —
+      // its file listing is pinned to gen=0
+      val oldProbe = Retrieval.phraseSearchStored(spark, dir, Seq("a", "b"))
+      val oldExpected = asMap(Retrieval.phraseSearch(batch1, Seq("a", "b")))
+      // rebuild over the FULL corpus: writes gen=1, flips the pointer,
+      // and must keep gen=0 on disk for one grace cycle
+      Retrieval.writePostings(docs, dir, nBuckets = 16)
+      assert(gens() == Set("gen=0", "gen=1"),
+        "superseded generation lost its one-cycle deletion grace")
+      assert(asMap(oldProbe) == oldExpected,
+        "in-flight reader of the superseded generation broke mid-rebuild")
+      assert(asMap(Retrieval.phraseSearchStored(spark, dir, Seq("a", "b")))
+        == asMap(Retrieval.phraseSearch(docs, Seq("a", "b"))),
+        "fresh probe did not see the new generation")
+      // a SECOND rebuild retires gen=0 (its grace expired) but grants
+      // gen=1 the same grace
+      Retrieval.writePostings(batch1, dir, nBuckets = 16)
+      assert(gens() == Set("gen=1", "gen=2"),
+        "publish failed to GC the out-of-grace generation")
+      // explicit drain-time end of the grace
+      assert(Retrieval.expirePostingsGenerations(spark, dir) == 1)
+      assert(gens() == Set("gen=2"))
+      assert(asMap(Retrieval.phraseSearchStored(spark, dir, Seq("a", "b")))
+        == asMap(Retrieval.phraseSearch(batch1, Seq("a", "b"))))
+    } finally hfs.delete(hp, true)
+  }
+
+  test("upsert/tombstones: re-post wins, delete-only removes, layers order") {
+    val dir = s"/tmp/graft_test_postings_ups_${System.nanoTime()}"
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val base = Seq((1L, "a b a"), (2L, "c c"), (3L, "a b")).toDF("doc_id", "text")
+      Retrieval.writePostings(base, dir, nBuckets = 16)
+      // upsert doc 1 with new text: old rows shadowed, new rows live
+      val doc1v2 = Seq((1L, "z b z")).toDF("doc_id", "text")
+      assert(Retrieval.upsertPostings(doc1v2, dir, "t1"))
+      assert(asMap(Retrieval.phraseSearchStored(spark, dir, Seq("a", "b", "a")))
+        .isEmpty, "upsert left the doc's OLD postings visible")
+      assert(asMap(Retrieval.phraseSearchStored(spark, dir, Seq("z", "b", "z")))
+        == Map(1L -> ((1L, 0L))), "upsert's new postings missing")
+      assert(asMap(Retrieval.phraseSearchStored(spark, dir, Seq("a", "b")))
+        == Map(3L -> ((1L, 0L))), "upsert bled into an unrelated doc")
+      // delete-only append removes doc 2 everywhere
+      assert(Retrieval.appendPostings(base.limit(0), dir, "t2",
+        deletes = Some(Seq(Tuple1(2L)).toDF("doc_id"))))
+      assert(asMap(Retrieval.phraseSearchStored(spark, dir, Seq("c", "c")))
+        .isEmpty, "delete-only append left tombstoned rows visible")
+      // re-post AFTER a delete, in a later layer: the new rows survive
+      // (a delete shadows strictly earlier layers only)
+      assert(Retrieval.upsertPostings(
+        Seq((2L, "c c d")).toDF("doc_id", "text"), dir, "t3"))
+      assert(asMap(Retrieval.phraseSearchStored(spark, dir, Seq("c", "c")))
+        == Map(2L -> ((1L, 0L))), "re-posted doc stayed dead")
+      // equivalence law: stored probe ≡ in-memory search over the
+      // logical current corpus, for phrases spanning every layer
+      val current = Seq((1L, "z b z"), (2L, "c c d"), (3L, "a b"))
+        .toDF("doc_id", "text")
+      for (ph <- Seq(Seq("z", "b"), Seq("c", "d"), Seq("a", "b"), Seq("b")))
+        assert(asMap(Retrieval.phraseSearchStored(spark, dir, ph))
+          == asMap(Retrieval.phraseSearch(current, ph)),
+          s"layered probe diverged from the logical corpus for $ph")
+      // replayed upsert tag: skips, results unchanged (exactly-once)
+      assert(!Retrieval.upsertPostings(doc1v2, dir, "t1"))
+      assert(asMap(Retrieval.phraseSearchStored(spark, dir, Seq("z", "b", "z")))
+        == Map(1L -> ((1L, 0L))), "replayed upsert double-applied")
+      // rebuild compacts: tombstones and appends die with the generation
+      Retrieval.writePostings(current, dir, nBuckets = 16)
+      assert(asMap(Retrieval.phraseSearchStored(spark, dir, Seq("c", "d")))
+        == asMap(Retrieval.phraseSearch(current, Seq("c", "d"))))
     } finally hfs.delete(hp, true)
   }
 
