@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
 import graft.functions.{EmailFns => E}
-import graft.operators.{Analytic, EventOps, ExportOps, Ingest, IntervalJoin, LangModelOps, Multimodal, PipelineOps, Quality, Relational, Retrieval, SketchOps, Temporal, TextOps, VectorOps}
+import graft.operators.{Analytic, EventOps, ExportOps, GraphOps, Ingest, IntervalJoin, LangModelOps, Multimodal, PipelineOps, Quality, Relational, Retrieval, SketchOps, Temporal, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,7 +50,8 @@ object SparkEntry {
       VectorOps.queries ++ Multimodal.queries ++ PipelineOps.queries ++
       SketchOps.queries ++ Analytic.queries ++ EventOps.queries ++
       Quality.queries ++ Temporal.queries ++ LangModelOps.queries ++
-      IntervalJoin.queries ++ Retrieval.queries ++ ExportOps.queries
+      IntervalJoin.queries ++ Retrieval.queries ++ ExportOps.queries ++
+      GraphOps.queries
 
   /** DuckDB-equivalent SQL for every SQL-expressible query above. */
   def oracleSql: Map[String, String] =
@@ -58,5 +59,6 @@ object SparkEntry {
       VectorOps.oracle ++ Multimodal.oracle ++ PipelineOps.oracle ++
       SketchOps.oracle ++ Analytic.oracle ++ EventOps.oracle ++
       Quality.oracle ++ Temporal.oracle ++ LangModelOps.oracle ++
-      IntervalJoin.oracle ++ Retrieval.oracle ++ ExportOps.oracle
+      IntervalJoin.oracle ++ Retrieval.oracle ++ ExportOps.oracle ++
+      GraphOps.oracle
 }

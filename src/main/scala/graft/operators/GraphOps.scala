@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Graph centrality over derived entity graphs (SURVEY.md §2.11
+  * extension): the link-analysis leg of the curation stack. Web-scale
+  * pretraining pipelines rank hosts/documents by link centrality
+  * (PageRank-family signals) to weight or gate sources; the engine had
+  * connected components (q58/q113 via the shared CC machinery) but no
+  * centrality measure. This adds the canonical one.
+  *
+  * Determinism discipline (the q107/q124 rule — the oracle must replay
+  * the ALGORITHM, not approximate it): ranks are scaled integers and
+  * every step is integer arithmetic — `div` for divisions, exact BIGINT
+  * sums (order-independent, unlike float sums whose reduction order
+  * differs between engines) — so a fixed-iteration run is bit-identical
+  * in Spark and DuckDB. The classic double-precision formulation would
+  * hash-mismatch on summation order alone.
+  *
+  * Recurrence (damping fixed at d = 85/100; SCALE = 10⁶ so the average
+  * rank stays ≈ SCALE and total mass N·SCALE fits a BIGINT to N ≈ 9·10¹²
+  * nodes, 10⁴× the 10⁹-node design point):
+  * {{{
+  *   r₀(v)   = SCALE
+  *   D       = Σ r(u) over nodes with no out-edges (dangling mass)
+  *   S(v)    = Σ  r(u) div outdeg(u)  over in-edges u→v
+  *   r'(v)   = (15·SCALE) div 100  +  (85·(S(v) + D div N)) div 100
+  * }}}
+  * The divs leak sub-integer mass (total mass drifts below N·SCALE by
+  * < 1 per node per step) — the defined, deterministic cost of exact
+  * replay; rank ORDER is what the signal consumes.
+  *
+  * Scale posture: one iteration = one equi-join of ranks (N rows) with
+  * the out-degree-annotated edge list (E rows) plus one map-side-partial
+  * groupBy — the Pregel shuffle pattern. The edge list is repartitioned
+  * by `src` ONCE and persisted; ranks leave every iteration hash-
+  * partitioned on `node` by the aggregate, so successive joins reuse
+  * both partitionings instead of re-shuffling the (static, dominant)
+  * edge side. Driver-side state per iteration is two scalars (dangling
+  * mass, and N once up front) — never data. Lineage is truncated per
+  * iteration with an eager localCheckpoint (the q58 CC-loop
+  * discipline); plans stay constant-depth at any iteration count.
+  */
+object GraphOps {
+
+  /** Co-purchase item graph: part → next part within an order (by
+    * `l_linenumber`), self-loops dropped, deduplicated to a simple
+    * directed graph. The standard "item viewed-with" graph shape
+    * derived from the only sequence structure the TPC-H tables carry.
+    *
+    * Ordering is (l_linenumber, l_partkey) — the test generator does
+    * NOT keep linenumber unique per order (11k dup pairs at sf0.01), so
+    * ordering by linenumber alone leaves `lead` tie-order
+    * engine-arbitrary. Adding partkey makes the PROJECTED value
+    * sequence total: rows still tied under the full key carry the same
+    * partkey, so any tie permutation yields the same edge set. */
+  def copurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"))
+    lineitem.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("nxt", lead(col("l_partkey"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("l_partkey"))
+      .select(col("l_partkey").as("src"), col("nxt").as("dst"))
+      .distinct()
+  }
+
+  /** Fixed-iteration integer PageRank over `edges` (src, dst — BIGINT
+    * node ids; a simple graph by caller contract, [[copurchaseEdges]]
+    * dedups). Returns (node, rank) for every node that appears in any
+    * edge. See the object doc for the recurrence and scale posture. */
+  def pagerank(edges: DataFrame, iters: Int,
+      scale: Long = 1000000L): DataFrame =
+    pagerankImpl(edges, iters, scale, truncate = true)
+
+  /** `truncate = false` keeps the full iteration lineage in the returned
+    * plan — the seam GraphOpsSpec uses to pin the PER-ITERATION plan
+    * shape (equi-joins only, broadcast dangling scalar), which the
+    * production path's eager checkpoints hide from explain(). */
+  private[graft] def pagerankImpl(edges: DataFrame, iters: Int,
+      scale: Long, truncate: Boolean): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"GraphOps: bad iters $iters")
+    require(scale >= 100L, s"GraphOps: bad scale $scale")
+    val s = edges.sparkSession
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    // out-degree-annotated edges: the static join side of every
+    // iteration, partitioned by the join key once
+    val linksrc = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("od")), "src")
+      .repartition(col("src"))
+      .persist()
+    // dangling-ness is a STATIC node property — flag it once up front
+    // (one anti-join) instead of re-deriving it every iteration; the
+    // flag rides the rank table through each checkpoint, so the
+    // per-iteration dangling mass is a flat filter+sum over N rows
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(e.select(col("src").as("node")).distinct()
+        .withColumn("hasout", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("hasout"), lit(false)).as("hasout"))
+      .persist()
+    // driver scalars: node count once, dangling mass per iteration —
+    // each a one-row aggregate over the checkpointed rank table, never
+    // data. (Keeping the scalar IN the plan via a 1-row broadcast join
+    // was tried and measured: Catalyst constant-folds any literal join
+    // key into a BroadcastNestedLoopJoin — the anti-pattern the plan
+    // pins exist to exclude — for a wall-time delta within noise.)
+    val n = nodes.count()
+    val base = (15L * scale) / 100L
+    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val dang = ranks.filter(!col("hasout"))
+        .agg(coalesce(sum(col("rank")), lit(0L))).head.getLong(0)
+      val addD = dang / n
+      val sums = ranks.join(linksrc, ranks("node") === linksrc("src"))
+        .select(col("dst").as("node"),
+          expr("rank div od").as("contrib"))
+        .groupBy(col("node")).agg(sum(col("contrib")).as("s"))
+      val next = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"), col("hasout"),
+          expr(s"${base}L + (85L * (coalesce(s, 0L) + ${addD}L)) div 100L")
+            .as("rank"))
+      ranks = if (truncate) next.localCheckpoint(true) else next
+    }
+    nodes.unpersist()
+    linksrc.unpersist()
+    ranks.select(col("node"), col("rank"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Centrality signal over the co-purchase part graph: 5 exact-integer
+    // PageRank iterations, top-100 by rank (ties broken by node id so
+    // the limit is deterministic). The oracle unrolls the identical
+    // recurrence as 5 chained CTEs — same lead() edge derivation, same
+    // integer divs — and must match bit-for-bit.
+    "q125_pagerank" -> ((s, d) =>
+      pagerank(copurchaseEdges(Tables.lineitem(s, d)), iters = 5)
+        .orderBy(col("rank").desc, col("node")).limit(100)))
+
+  private def oracleIters(iters: Int): String = {
+    val head = """WITH seq AS (
+  SELECT l_orderkey, l_partkey,
+    lead(l_partkey) OVER (
+      PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS nxt
+  FROM lineitem),
+edges AS (
+  SELECT DISTINCT l_partkey AS src, nxt AS dst FROM seq
+  WHERE nxt IS NOT NULL AND nxt <> l_partkey),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""
+d$i AS (SELECT coalesce(sum(r.rank), 0) AS dang
+  FROM r$p r LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL),
+s$i AS (SELECT e.dst AS node, sum(r.rank // o.od) AS s
+  FROM r$p r JOIN outdeg o ON r.node = o.src JOIN edges e ON e.src = r.node
+  GROUP BY e.dst),
+r$i AS (SELECT n.node,
+    150000 + (85 * (coalesce(s.s, 0)
+      + (SELECT dang FROM d$i) // (SELECT n FROM nn))) // 100 AS rank
+  FROM nodes n LEFT JOIN s$i s ON n.node = s.node)"""
+    }
+    // DuckDB's sum() widens to HUGEINT; cast back so the compared
+    // column is BIGINT on both sides (values are exact either way)
+    (head +: steps).mkString(",") +
+      s"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters" +
+      "\nORDER BY rank DESC, node LIMIT 100"
+  }
+
+  def oracle: Map[String, String] = Map(
+    "q125_pagerank" -> oracleIters(5))
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphOps
+
+/** Integer-exact PageRank (operators/GraphOps.scala): the distributed
+  * recurrence must reproduce a straight-line single-threaded reference
+  * implementation EXACTLY (same scaled-integer divs, same dangling
+  * redistribution) on hand graphs with cycles, dangling nodes, and
+  * asymmetric in-degrees — and the q125 plan must stay equi-join-only. */
+class GraphOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** The recurrence, single-threaded: the semantic oracle the
+    * distributed operator (and the DuckDB SQL) must match bit-for-bit. */
+  private def ref(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long = 1000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = nodes.size.toLong
+    val base = 15L * scale / 100L
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(out.contains).map(r).sum
+      val addD = dang / n
+      val sums = edges.groupBy(_._2).view
+        .mapValues(_.map { case (u, _) => r(u) / out(u) }.sum).toMap
+      r = nodes.map(v =>
+        v -> (base + (85L * (sums.getOrElse(v, 0L) + addD)) / 100L)).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    GraphOps.pagerank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  // cycle 1→2→3→1, a dangling sink 4, a pure source 5
+  private val hand = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (5L, 1L))
+
+  test("distributed recurrence ≡ reference impl (cycle + dangling + source)") {
+    for (iters <- Seq(1, 2, 5)) {
+      val got = run(hand, iters)
+      assert(got == ref(hand, iters), s"diverged at iters=$iters")
+    }
+  }
+
+  test("dangling mass redistributes: a sink keeps a positive, bounded rank") {
+    val got = run(hand, 5)
+    val exp = ref(hand, 5)
+    assert(got(4L) == exp(4L) && got(4L) > 0L)
+    // total mass never exceeds N·SCALE (divs only leak downward)
+    assert(got.values.sum <= 5L * 1000000L)
+  }
+
+  test("hub with many in-links from spokes outranks everything") {
+    val star = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L), (5L, 1L))
+    val got = run(star, 5)
+    assert(got == ref(star, 5))
+    assert(got(5L) == got.values.max, s"hub not top-ranked: $got")
+    assert(got(1L) > got(2L), "the hub's sole out-link should outrank spokes")
+  }
+
+  test("deterministic across runs") {
+    assert(run(hand, 3) == run(hand, 3))
+  }
+
+  test("loud guards on iters/scale") {
+    intercept[IllegalArgumentException] {
+      GraphOps.pagerank(hand.toDF("src", "dst"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.pagerank(hand.toDF("src", "dst"), 5, scale = 10L)
+    }
+  }
+
+  test("co-purchase edges: lead-derived, self-loop-free, deduplicated") {
+    val li = Seq(
+      (1L, 1, 10L), (1L, 2, 20L), (1L, 3, 10L),  // 10→20→10
+      (2L, 1, 30L), (2L, 2, 30L),                 // self-loop dropped
+      (3L, 1, 10L), (3L, 2, 20L),                 // duplicate 10→20 dedups
+      // DUPLICATE linenumber (the generator does this): tie-broken by
+      // partkey, so the sequence is 40, 50, 60 deterministically
+      (4L, 1, 50L), (4L, 1, 40L), (4L, 2, 60L)
+    ).toDF("l_orderkey", "l_linenumber", "l_partkey")
+    val got = GraphOps.copurchaseEdges(li)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 20L), (20L, 10L), (40L, 50L), (50L, 60L)))
+  }
+
+  test("iteration plan: equi-joins only (no cartesian, no nested loop)") {
+    // the production path checkpoints each iteration (truncating the
+    // visible plan), so pin the un-truncated lineage through the seam;
+    // the dangling mass enters as a driver-scalar LITERAL, never a join
+    val df = GraphOps.pagerankImpl(hand.toDF("src", "dst"), 2,
+      1000000L, truncate = false)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"a non-equi join crept into the iteration plan:\n$p")
+    // and the un-truncated plan computes the same ranks
+    val got = df.select(col("node"), col("rank"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref(hand, 2))
+  }
+
+  test("q125 plan: equi-joins only, deterministic top-k, rows at test SF") {
+    val df = SparkEntry.queries("q125_pagerank")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join crept in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must plan as TakeOrderedAndProject, not a global sort:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // ranks are positive and the ordering is (rank desc, node asc)
+    assert(rows.forall(_.getLong(1) > 0L))
+    val pairs = rows.map(r => (r.getLong(1), r.getLong(0)))
+    assert(pairs.sameElements(pairs.sortBy { case (rk, nd) => (-rk, nd) }))
+  }
+}
