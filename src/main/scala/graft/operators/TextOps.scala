@@ -437,6 +437,29 @@ object TextOps {
         .orderBy(col("cluster"))
     }),
 
+    // Leakage-safe train/val/test split: the assignment unit is the
+    // NEAR-DUP CLUSTER, not the document. A doc-level 90/5/5 hash split
+    // leaks training text into eval whenever a near-duplicate pair
+    // straddles the boundary — the contamination q53 exists to detect,
+    // created by the splitter itself. Splitting on a hash of the
+    // CLUSTER id keeps every near-dup family in one split by
+    // construction. Split = md5 bucket of the cluster id (q55's
+    // content-stable convention: deterministic, RNG-free, identical at
+    // any scale and in the oracle). Scale shape: q58's LSH+CC pipeline
+    // plus ONE map-only projection — no new shuffles.
+    "q126_split_leakage_safe" -> ((s, d) => {
+      val bucket = conv(
+        substring(md5(col("cluster").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      clusterAssignments(Tables.spread(Tables.documents(s, d))
+          .select(col("doc_id"), col("text")))
+        .withColumn("split",
+          when(bucket < 90, lit("train"))
+            .when(bucket < 95, lit("val"))
+            .otherwise(lit("test")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Rolling-hash fingerprint profile: which sampled substring hashes are
     // shared by the most documents (containment/boilerplate detection —
     // a fingerprint shared by many docs marks copied spans). Map-only
@@ -976,6 +999,45 @@ object TextOps {
          SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster
          FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
          ORDER BY d.doc_id""",
+
+    // q58's cluster replay + the q55 md5-bucket idiom on the CLUSTER id:
+    // the split is a pure function of the cluster, so the leakage-safety
+    // invariant (one cluster, one split) holds by construction in both
+    // engines.
+    "q126_split_leakage_safe" ->
+      s"""WITH RECURSIVE toks AS (
+           SELECT doc_id, $duckTokens AS ws FROM documents),
+         sh AS (
+           SELECT doc_id, ${duckShingles("ws")} AS shingles FROM toks),
+         sig AS (
+           SELECT doc_id, ${duckSig("shingles")} AS sig FROM sh
+           WHERE len(shingles) > 0),
+         bands AS (
+           SELECT doc_id, b AS band,
+             md5(CAST(sig[2*b + 1] AS VARCHAR) || '#' || CAST(sig[2*b + 2] AS VARCHAR)) AS bkey
+           FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT a AS node, b AS peer FROM edges
+           UNION
+           SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.peer),
+         cc AS (
+           SELECT node, least(node, min(peer)) AS cluster
+           FROM reach GROUP BY node),
+         asg AS (
+           SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster
+           FROM documents d LEFT JOIN cc ON cc.node = d.doc_id)
+         SELECT doc_id, cluster,
+           CASE WHEN ('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+         FROM asg ORDER BY doc_id""",
 
     // q58's full reachability mirror + q32's quality metrics, composed:
     // rank members per cluster by (quality class, token count DESC,
