@@ -294,6 +294,61 @@ object TextOps {
         coalesce(col("label"), col("rep"), col("doc_id")).as("cluster"))
   }
 
+  /** Duplicated-span REMOVAL (the rewrite step q100's span detection
+    * feeds): cut every repeated fixed-width token chunk out of the
+    * corpus, keeping exactly the globally-first occurrence (by
+    * (doc_id, chunk_id)) — the paragraph-dedup rewrite of the CCNet /
+    * "Deduplicating Training Data" lineage, with deterministic
+    * `chunkTokens`-token chunks standing in for paragraph boundaries
+    * (the synthetic corpus has no newlines). Returns one row per input
+    * doc: the rewritten text, chunks kept, chunks dropped.
+    *
+    * Shape: chunking is MAP-ONLY (a `transform`/`slice` over the token
+    * array — the corpus is not exploded token-wise); one window keyed
+    * by chunk text picks first occurrences (the chunk must travel for
+    * reassembly anyway, so there is no q33-style digest-slimming win);
+    * one groupBy per doc reassembles. Per-chunk-key work is bounded by
+    * that chunk's duplication count. Empty docs survive as empty
+    * rewrites — the sequence() guard matters: Spark's `(0-1) div 10`
+    * truncates to 0 while DuckDB floors to -1, so the zero-token case
+    * must short-circuit before either engine builds a phantom chunk. */
+  def chunkDedupRewrite(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens >= 1 && chunkTokens <= 100000,
+      s"TextOps: bad chunkTokens $chunkTokens")
+    val n = chunkTokens
+    val withChunks = docs
+      .withColumn("ws", filter(split(col("text"), " "), w => w =!= lit("")))
+      .withColumn("chunks", expr(
+        s"""CASE WHEN size(ws) = 0 THEN CAST(array() AS array<string>)
+            ELSE transform(sequence(0, (size(ws)-1) div $n),
+                   i -> array_join(slice(ws, i*$n + 1, $n), ' ')) END"""))
+    val occ = withChunks
+      .select(col("doc_id"), col("chunks"),
+        posexplode(col("chunks")).as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk"))
+    val w = Window.partitionBy(col("chunk"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+    val kept = occ.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("text_dedup"),
+        count(lit(1)).as("n_kept"))
+    // total chunk count is map-side (size of the chunk array) — no
+    // second aggregation over the occurrences
+    withChunks
+      .select(col("doc_id"), size(col("chunks")).cast("long").as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting (whitespace tokenization).
     "q30_token_stats" -> ((s, d) => {
@@ -459,6 +514,14 @@ object TextOps {
             .otherwise(lit("test")))
         .orderBy(col("doc_id"))
     }),
+
+    // Duplicated-span removal (see [[chunkDedupRewrite]]): the REWRITE
+    // the detection passes (q51/q100) feed — emit the corpus with every
+    // repeated 10-token chunk cut, first global occurrence kept.
+    "q127_chunk_dedup_rewrite" -> ((s, d) =>
+      chunkDedupRewrite(Tables.spread(Tables.documents(s, d))
+          .select(col("doc_id"), col("text")), chunkTokens = 10)
+        .orderBy(col("doc_id"))),
 
     // Rolling-hash fingerprint profile: which sampled substring hashes are
     // shared by the most documents (containment/boilerplate detection —
@@ -1038,6 +1101,42 @@ object TextOps {
                 WHEN ('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 8))::BIGINT % 100 < 95 THEN 'val'
                 ELSE 'test' END AS split
          FROM asg ORDER BY doc_id""",
+
+    // chunkDedupRewrite mirror: same chunking (DuckDB's // floors, so
+    // the len=0 case is guarded identically), same first-occurrence
+    // window, same ordered reassembly.
+    "q127_chunk_dedup_rewrite" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+           FROM documents),
+         ch AS (
+           SELECT doc_id,
+             CASE WHEN len(ws) = 0 THEN []
+                  ELSE list_transform(range((len(ws)-1)//10 + 1),
+                         i -> array_to_string(
+                                list_slice(ws, i*10+1, i*10+10), ' '))
+             END AS chunks
+           FROM t),
+         occ AS (
+           SELECT doc_id, unnest(chunks) AS chunk,
+             CAST(unnest(range(len(chunks))) AS BIGINT) AS chunk_id
+           FROM ch),
+         ranked AS (
+           SELECT doc_id, chunk, chunk_id,
+             row_number() OVER (
+               PARTITION BY chunk ORDER BY doc_id, chunk_id) AS rn
+           FROM occ),
+         kept AS (
+           SELECT doc_id,
+             string_agg(chunk, ' ' ORDER BY chunk_id) AS text_dedup,
+             count(*) AS n_kept
+           FROM ranked WHERE rn = 1 GROUP BY doc_id)
+         SELECT c.doc_id, coalesce(k.text_dedup, '') AS text_dedup,
+           coalesce(k.n_kept, 0) AS n_kept,
+           len(c.chunks) - coalesce(k.n_kept, 0) AS n_dropped
+         FROM ch c LEFT JOIN kept k ON k.doc_id = c.doc_id
+         ORDER BY c.doc_id""",
 
     // q58's full reachability mirror + q32's quality metrics, composed:
     // rank members per cluster by (quality class, token count DESC,
