@@ -72,6 +72,39 @@ object PostingsProbe {
     timed("probe_post_append") {
       Retrieval.phraseSearchStored(spark, dir, phrase)
         .collect().length.toLong }
+
+    // (d) tombstoned upsert: re-post the appended slice with edited
+    // text — the probe must serve ONLY the new rows, and the tombstone
+    // join must stay priced by the delete delta, not the corpus
+    // (compare probe_post_upsert against probe_post_append above)
+    val edited = extra.withColumn("text",
+      concat(col("text"), lit(" probeeditmark")))
+    timed("upsert_slice") {
+      Retrieval.upsertPostings(edited, dir, "probe-upsert"); 0L }
+    timed("probe_post_upsert") {
+      Retrieval.phraseSearchStored(spark, dir, phrase)
+        .collect().length.toLong }
+    val logical = corpus.union(edited)
+    val bruteU = Retrieval.phraseSearch(logical, phrase)
+      .collect().map(_.toSeq).toSet
+    val storedU = Retrieval.phraseSearchStored(spark, dir, phrase)
+      .collect().map(_.toSeq).toSet
+    require(bruteU == storedU, s"post-upsert probe diverged: " +
+      s"extra=${(storedU -- bruteU).take(2)} missing=${(bruteU -- storedU).take(2)}")
+    println(s"post-upsert forms agree on ${bruteU.size} matching docs")
+
+    // (e) rebuild under an in-flight reader: the superseded generation's
+    // one-cycle grace must hold at scale — the old reader resolved its
+    // file listing pre-flip and drains intact while fresh probes see the
+    // new generation
+    val oldReader = Retrieval.phraseSearchStored(spark, dir, phrase)
+    timed("rebuild_gen") { Retrieval.writePostings(corpus, dir, nBuckets); 0L }
+    timed("old_reader_drain") { oldReader.collect().length.toLong }
+    timed("fresh_probe") {
+      Retrieval.phraseSearchStored(spark, dir, phrase)
+        .collect().length.toLong }
+    timed("expire_gens") {
+      Retrieval.expirePostingsGenerations(spark, dir).toLong }
     corpus.unpersist()
     spark.stop()
   }
