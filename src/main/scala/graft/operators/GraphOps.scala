@@ -74,14 +74,27 @@ object GraphOps {
     * edge. See the object doc for the recurrence and scale posture. */
   def pagerank(edges: DataFrame, iters: Int,
       scale: Long = 1000000L): DataFrame =
-    pagerankImpl(edges, iters, scale, truncate = true)
+    prImpl(edges, None, iters, scale, truncate = true)
+
+  /** Seed-personalized PageRank (the TrustRank family): teleport mass —
+    * and the dangling-mass return — flows ONLY to `seeds` (uniformly),
+    * so rank measures proximity to the trusted set instead of global
+    * centrality: the trusted-seed quality-propagation signal web-scale
+    * curation pipelines run beside plain PageRank. Same integer-exact
+    * recurrence; uniform PageRank is exactly the seeds = all-nodes
+    * case ((15·scale·N) div (100·N) ≡ (15·scale) div 100 as rationals,
+    * so the divs agree). Seeds outside the edge set are ignored; at
+    * least one seed must intersect the graph. */
+  def trustrank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      scale: Long = 1000000L): DataFrame =
+    prImpl(edges, Some(seeds), iters, scale, truncate = true)
 
   /** `truncate = false` keeps the full iteration lineage in the returned
     * plan — the seam GraphOpsSpec uses to pin the PER-ITERATION plan
     * shape (equi-joins only, broadcast dangling scalar), which the
     * production path's eager checkpoints hide from explain(). */
-  private[graft] def pagerankImpl(edges: DataFrame, iters: Int,
-      scale: Long, truncate: Boolean): DataFrame = {
+  private[graft] def prImpl(edges: DataFrame, seedsOpt: Option[DataFrame],
+      iters: Int, scale: Long, truncate: Boolean): DataFrame = {
     require(iters >= 1 && iters <= 100, s"GraphOps: bad iters $iters")
     require(scale >= 100L, s"GraphOps: bad scale $scale")
     val s = edges.sparkSession
@@ -93,36 +106,54 @@ object GraphOps {
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("od")), "src")
       .repartition(col("src"))
       .persist()
-    // dangling-ness is a STATIC node property — flag it once up front
-    // (one anti-join) instead of re-deriving it every iteration; the
-    // flag rides the rank table through each checkpoint, so the
+    // dangling-ness and seed-ness are STATIC node properties — flag
+    // them once up front instead of re-deriving per iteration; the
+    // flags ride the rank table through each checkpoint, so the
     // per-iteration dangling mass is a flat filter+sum over N rows
-    val nodes = e.select(col("src").as("node"))
+    val flagged = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .join(e.select(col("src").as("node")).distinct()
         .withColumn("hasout", lit(true)), Seq("node"), "left")
       .select(col("node"), coalesce(col("hasout"), lit(false)).as("hasout"))
-      .persist()
-    // driver scalars: node count once, dangling mass per iteration —
-    // each a one-row aggregate over the checkpointed rank table, never
-    // data. (Keeping the scalar IN the plan via a 1-row broadcast join
-    // was tried and measured: Catalyst constant-folds any literal join
-    // key into a BroadcastNestedLoopJoin — the anti-pattern the plan
-    // pins exist to exclude — for a wall-time delta within noise.)
+    val nodes = (seedsOpt match {
+      case None => flagged.withColumn("seed", lit(true))
+      case Some(sd) =>
+        flagged.join(
+            sd.select(col(sd.columns.head).cast("long").as("node"))
+              .distinct().withColumn("sd", lit(true)),
+            Seq("node"), "left")
+          .select(col("node"), col("hasout"),
+            coalesce(col("sd"), lit(false)).as("seed"))
+    }).persist()
+    // driver scalars: node + seed counts once, dangling mass per
+    // iteration — each a one-row aggregate over the checkpointed rank
+    // table, never data. (Keeping the scalar IN the plan via a 1-row
+    // broadcast join was tried and measured: Catalyst constant-folds
+    // any literal join key into a BroadcastNestedLoopJoin — the
+    // anti-pattern the plan pins exist to exclude — for a wall-time
+    // delta within noise.)
     val n = nodes.count()
-    val base = (15L * scale) / 100L
+    val nSeeds =
+      if (seedsOpt.isEmpty) n else nodes.filter(col("seed")).count()
+    require(nSeeds > 0, "GraphOps: no seed intersects the edge set")
+    // teleport mass 0.15·N·scale concentrated on the seeds; BigInt
+    // guards the driver-side product (overflows Long past ~6e11 nodes)
+    val seedBase = ((BigInt(15) * scale * n) / (BigInt(100) * nSeeds))
+      .toLong
     var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
     for (_ <- 1 to iters) {
       val dang = ranks.filter(!col("hasout"))
         .agg(coalesce(sum(col("rank")), lit(0L))).head.getLong(0)
-      val addD = dang / n
+      val addD = dang / nSeeds
       val sums = ranks.join(linksrc, ranks("node") === linksrc("src"))
         .select(col("dst").as("node"),
           expr("rank div od").as("contrib"))
         .groupBy(col("node")).agg(sum(col("contrib")).as("s"))
       val next = nodes.join(sums, Seq("node"), "left")
-        .select(col("node"), col("hasout"),
-          expr(s"${base}L + (85L * (coalesce(s, 0L) + ${addD}L)) div 100L")
+        .select(col("node"), col("hasout"), col("seed"),
+          (when(col("seed"), lit(seedBase)).otherwise(lit(0L)) +
+            expr(s"(85L * (coalesce(s, 0L) + " +
+              s"(CASE WHEN seed THEN ${addD}L ELSE 0L END))) div 100L"))
             .as("rank"))
       ranks = if (truncate) next.localCheckpoint(true) else next
     }
@@ -139,9 +170,20 @@ object GraphOps {
     // integer divs — and must match bit-for-bit.
     "q125_pagerank" -> ((s, d) =>
       pagerank(copurchaseEdges(Tables.lineitem(s, d)), iters = 5)
+        .orderBy(col("rank").desc, col("node")).limit(100)),
+
+    // Trusted-seed propagation: same graph, teleport confined to the
+    // 'Brand#1' parts — rank becomes proximity-to-trusted-inventory,
+    // the TrustRank-style signal curation stacks run beside q125's
+    // global centrality. Same exact-integer recurrence, oracle-unrolled.
+    "q128_trustrank" -> ((s, d) =>
+      trustrank(copurchaseEdges(Tables.lineitem(s, d)),
+          Tables.part(s, d).filter(col("p_brand") === "Brand#1")
+            .select(col("p_partkey").as("node")),
+          iters = 5)
         .orderBy(col("rank").desc, col("node")).limit(100)))
 
-  private def oracleIters(iters: Int): String = {
+  private def oracleIters(iters: Int, seeded: Boolean = false): String = {
     val head = """WITH seq AS (
   SELECT l_orderkey, l_partkey,
     lead(l_partkey) OVER (
@@ -154,8 +196,25 @@ nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
 outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
 nn AS (SELECT count(*) AS n FROM nodes),
 r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+    val seedCtes = """
+seedn AS (
+  SELECT DISTINCT n.node FROM nodes n
+  JOIN part p ON p.p_partkey = n.node WHERE p.p_brand = 'Brand#1'),
+ns AS (SELECT count(*) AS c FROM seedn),
+sb AS (SELECT (15 * 1000000 * (SELECT n FROM nn))
+  // (100 * (SELECT c FROM ns)) AS v)"""
     val steps = (1 to iters).map { i =>
       val p = i - 1
+      val (tele, dshare) =
+        if (!seeded)
+          ("150000",
+           s"(SELECT dang FROM d$i) // (SELECT n FROM nn)")
+        else
+          ("CASE WHEN sd.node IS NOT NULL THEN (SELECT v FROM sb) ELSE 0 END",
+           s"CASE WHEN sd.node IS NOT NULL THEN (SELECT dang FROM d$i) " +
+             "// (SELECT c FROM ns) ELSE 0 END")
+      val seedJoin =
+        if (seeded) "\n  LEFT JOIN seedn sd ON sd.node = n.node" else ""
       s"""
 d$i AS (SELECT coalesce(sum(r.rank), 0) AS dang
   FROM r$p r LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL),
@@ -163,17 +222,18 @@ s$i AS (SELECT e.dst AS node, sum(r.rank // o.od) AS s
   FROM r$p r JOIN outdeg o ON r.node = o.src JOIN edges e ON e.src = r.node
   GROUP BY e.dst),
 r$i AS (SELECT n.node,
-    150000 + (85 * (coalesce(s.s, 0)
-      + (SELECT dang FROM d$i) // (SELECT n FROM nn))) // 100 AS rank
-  FROM nodes n LEFT JOIN s$i s ON n.node = s.node)"""
+    $tele + (85 * (coalesce(s.s, 0)
+      + $dshare)) // 100 AS rank
+  FROM nodes n LEFT JOIN s$i s ON n.node = s.node$seedJoin)"""
     }
     // DuckDB's sum() widens to HUGEINT; cast back so the compared
     // column is BIGINT on both sides (values are exact either way)
-    (head +: steps).mkString(",") +
+    ((if (seeded) head + "," + seedCtes else head) +: steps).mkString(",") +
       s"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters" +
       "\nORDER BY rank DESC, node LIMIT 100"
   }
 
   def oracle: Map[String, String] = Map(
-    "q125_pagerank" -> oracleIters(5))
+    "q125_pagerank" -> oracleIters(5),
+    "q128_trustrank" -> oracleIters(5, seeded = true))
 }

@@ -13,27 +13,42 @@ class GraphOpsSpec extends SparkSpecBase {
   import spark.implicits._
 
   /** The recurrence, single-threaded: the semantic oracle the
-    * distributed operator (and the DuckDB SQL) must match bit-for-bit. */
+    * distributed operator (and the DuckDB SQL) must match bit-for-bit.
+    * `seeds = None` is uniform PageRank; `Some(s)` confines teleport
+    * and dangling return to the seed set (TrustRank). */
   private def ref(edges: Seq[(Long, Long)], iters: Int,
-      scale: Long = 1000000L): Map[Long, Long] = {
+      scale: Long = 1000000L,
+      seeds: Option[Set[Long]] = None): Map[Long, Long] = {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     val n = nodes.size.toLong
-    val base = 15L * scale / 100L
+    val seedSet = seeds.map(_.intersect(nodes.toSet)).getOrElse(nodes.toSet)
+    val ns = seedSet.size.toLong
+    val seedBase =
+      ((BigInt(15) * scale * n) / (BigInt(100) * ns)).toLong
     var r = nodes.map(_ -> scale).toMap
     for (_ <- 1 to iters) {
       val dang = nodes.filterNot(out.contains).map(r).sum
-      val addD = dang / n
+      val addD = dang / ns
       val sums = edges.groupBy(_._2).view
         .mapValues(_.map { case (u, _) => r(u) / out(u) }.sum).toMap
-      r = nodes.map(v =>
-        v -> (base + (85L * (sums.getOrElse(v, 0L) + addD)) / 100L)).toMap
+      r = nodes.map { v =>
+        val isSeed = seedSet(v)
+        v -> ((if (isSeed) seedBase else 0L) +
+          (85L * (sums.getOrElse(v, 0L) + (if (isSeed) addD else 0L))) / 100L)
+      }.toMap
     }
     r
   }
 
   private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
     GraphOps.pagerank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def runSeeded(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int): Map[Long, Long] =
+    GraphOps.trustrank(edges.toDF("src", "dst"),
+        seeds.toSeq.toDF("node"), iters)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   // cycle 1→2→3→1, a dangling sink 4, a pure source 5
@@ -66,6 +81,28 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(run(hand, 3) == run(hand, 3))
   }
 
+  test("trustrank ≡ seeded reference; teleport confined to seeds") {
+    for (seeds <- Seq(Set(5L), Set(1L, 4L)); iters <- Seq(1, 2, 5)) {
+      val got = runSeeded(hand, seeds, iters)
+      assert(got == ref(hand, iters, seeds = Some(seeds)),
+        s"diverged at seeds=$seeds iters=$iters")
+    }
+    // a node with no in-links and no seed status holds rank 0 after one
+    // step: teleport mass flows ONLY to seeds
+    val got1 = runSeeded(hand, Set(4L), 1)
+    assert(got1(5L) == 0L, "non-seed source kept teleport mass")
+    // seeds outside the graph are ignored (intersection semantics)
+    assert(runSeeded(hand, Set(4L, 999L), 2)
+      == ref(hand, 2, seeds = Some(Set(4L))))
+  }
+
+  test("trustrank with no seed in the graph fails loudly") {
+    intercept[IllegalArgumentException] {
+      GraphOps.trustrank(hand.toDF("src", "dst"),
+        Seq(999L).toDF("node"), 2).collect()
+    }
+  }
+
   test("loud guards on iters/scale") {
     intercept[IllegalArgumentException] {
       GraphOps.pagerank(hand.toDF("src", "dst"), 0)
@@ -93,7 +130,7 @@ class GraphOpsSpec extends SparkSpecBase {
     // the production path checkpoints each iteration (truncating the
     // visible plan), so pin the un-truncated lineage through the seam;
     // the dangling mass enters as a driver-scalar LITERAL, never a join
-    val df = GraphOps.pagerankImpl(hand.toDF("src", "dst"), 2,
+    val df = GraphOps.prImpl(hand.toDF("src", "dst"), None, 2,
       1000000L, truncate = false)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") &&
@@ -118,5 +155,20 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(rows.forall(_.getLong(1) > 0L))
     val pairs = rows.map(r => (r.getLong(1), r.getLong(0)))
     assert(pairs.sameElements(pairs.sortBy { case (rk, nd) => (-rk, nd) }))
+  }
+
+  test("q128 at test SF: rows, no cartesian, differs from q125's ranking") {
+    val df = SparkEntry.queries("q128_trustrank")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // the seeded signal must actually differ from global centrality
+    val pr = SparkEntry.queries("q125_pagerank")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tr = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tr != pr.view.filterKeys(tr.keySet).toMap,
+      "trustrank collapsed to plain pagerank at the test SF")
   }
 }
