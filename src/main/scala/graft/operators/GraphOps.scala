@@ -162,6 +162,54 @@ object GraphOps {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** Per-node triangle counts over the undirected simple graph induced
+    * by `edges` (direction dropped, self-loops and duplicates removed)
+    * — the clustering-signal precursor (a node's triangle count over
+    * its degree is its clustering coefficient).
+    *
+    * Algorithm: DEGREE ORIENTATION (the Suri–Vassilvitskii MapReduce
+    * shape). Each undirected edge is oriented from its (degree, id)-
+    * smaller endpoint to the larger; wedges are enumerated only at the
+    * orientation SOURCE, and a wedge (s→u, s→v) closes iff the oriented
+    * edge u→v exists (u before v in the same total order, so each
+    * triangle is found exactly once, at its smallest-order corner).
+    * Why this survives skew at 100 TB: a hub of degree D has out-degree
+    * O(√m) under this orientation — its D² wedge blowup lands on the
+    * edge ORIENTED AWAY from it, bounding total wedges at O(m^1.5)
+    * regardless of the degree distribution; the naive "join at every
+    * middle node" form is quadratic in the hub degree. Three
+    * equi-shuffles total (degree, wedge-by-source, close-by-pair). */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("degb")), "b")
+    val aFirst =
+      struct(col("dega"), col("a")) < struct(col("degb"), col("b"))
+    // tk = the target's (deg, id) order key, so wedge endpoints can be
+    // ordered without re-joining the degree table
+    val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("s"),
+        when(aFirst, col("b")).otherwise(col("a")).as("t"),
+        when(aFirst, struct(col("degb").as("d"), col("b").as("n")))
+          .otherwise(struct(col("dega").as("d"), col("a").as("n"))).as("tk"))
+      .localCheckpoint(true)
+    val wedges = oriented.select(col("s"), col("t").as("u"), col("tk").as("uk"))
+      .join(oriented.select(col("s"), col("t").as("v"), col("tk").as("vk")),
+        "s")
+      .filter(col("uk") < col("vk"))
+      .select(col("s"), col("u"), col("v"))
+    val tri = wedges.join(
+      oriented.select(col("s").as("u"), col("t").as("v")), Seq("u", "v"))
+    tri.select(explode(array(col("s"), col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Centrality signal over the co-purchase part graph: 5 exact-integer
     // PageRank iterations, top-100 by rank (ties broken by node id so
@@ -181,7 +229,15 @@ object GraphOps {
           Tables.part(s, d).filter(col("p_brand") === "Brand#1")
             .select(col("p_partkey").as("node")),
           iters = 5)
-        .orderBy(col("rank").desc, col("node")).limit(100)))
+        .orderBy(col("rank").desc, col("node")).limit(100)),
+
+    // Per-node triangle counts on the undirected co-purchase graph via
+    // degree orientation; the oracle is the naive canonical a<b<c
+    // triple self-join — the SEMANTIC spec the oriented form must
+    // reproduce exactly (counts are integers, so equality is bitwise).
+    "q129_triangles" -> ((s, d) =>
+      triangleCounts(copurchaseEdges(Tables.lineitem(s, d)))
+        .orderBy(col("node"))))
 
   private def oracleIters(iters: Int, seeded: Boolean = false): String = {
     val head = """WITH seq AS (
@@ -235,5 +291,29 @@ r$i AS (SELECT n.node,
 
   def oracle: Map[String, String] = Map(
     "q125_pagerank" -> oracleIters(5),
-    "q128_trustrank" -> oracleIters(5, seeded = true))
+    "q128_trustrank" -> oracleIters(5, seeded = true),
+
+    "q129_triangles" ->
+      """WITH seq AS (
+           SELECT l_orderkey, l_partkey,
+             lead(l_partkey) OVER (
+               PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS nxt
+           FROM lineitem),
+         dedges AS (
+           SELECT DISTINCT l_partkey AS src, nxt AS dst FROM seq
+           WHERE nxt IS NOT NULL AND nxt <> l_partkey),
+         und AS (
+           SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM dedges),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM und e1
+           JOIN und e2 ON e2.a = e1.b
+           JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         corners AS (
+           SELECT x AS node FROM tri
+           UNION ALL SELECT y FROM tri
+           UNION ALL SELECT z FROM tri)
+         SELECT node, count(*) AS n_tri FROM corners
+         GROUP BY node ORDER BY node""")
 }

@@ -157,6 +157,56 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(pairs.sameElements(pairs.sortBy { case (rk, nd) => (-rk, nd) }))
   }
 
+  /** Brute triangle reference: try every node triple of the
+    * symmetrized simple graph. */
+  private def refTri(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (e._1 min e._2, e._1 max e._2)).toSet
+    val nodes = und.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val cnt = scala.collection.mutable.Map[Long, Long]()
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      k <- (j + 1) until nodes.size
+      (x, y, z) = (nodes(i), nodes(j), nodes(k))
+      if und((x, y)) && und((y, z)) && und((x, z))
+      v <- Seq(x, y, z)
+    } cnt(v) = cnt.getOrElse(v, 0L) + 1L
+    cnt.toMap
+  }
+
+  private def runTri(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.triangleCounts(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("degree-oriented triangles ≡ brute triple enumeration") {
+    // K4 (every node in 3 triangles), with noisy direction duplicates
+    val k4 = for {
+      x <- 1L to 4L; y <- 1L to 4L if x != y
+    } yield (x, y)
+    assert(runTri(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(runTri(k4) == refTri(k4))
+    // star (no triangles at all) — the skew shape the orientation tames
+    val star = (2L to 9L).map(i => (1L, i))
+    assert(runTri(star).isEmpty && refTri(star).isEmpty)
+    // wheel: hub + cycle — every rim edge closes with the hub, plus
+    // self-loops and reversed duplicates that must not double-count
+    val rim = (2L to 7L).map(i => (i, if (i == 7L) 2L else i + 1))
+    val wheel = star.take(6) ++ rim ++ rim.map(_.swap) ++ Seq((3L, 3L))
+    assert(runTri(wheel) == refTri(wheel))
+    assert(runTri(wheel).nonEmpty)
+  }
+
+  test("q129 at test SF: rows, no cartesian, corner sum divisible by 3") {
+    val df = SparkEntry.queries("q129_triangles")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum % 3 == 0,
+      "every triangle must contribute exactly three corner counts")
+  }
+
   test("q128 at test SF: rows, no cartesian, differs from q125's ranking") {
     val df = SparkEntry.queries("q128_trustrank")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
