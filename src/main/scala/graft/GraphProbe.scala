@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the graph family (operators/GraphOps): inflate the
+  * co-purchase graph `mult`× as DISJOINT id-offset copies — which leaves
+  * every per-copy answer bit-identical to the 1× run (teleport and
+  * dangling shares are per-node constants, components don't interact) —
+  * then (a) gate the distributed results at scale against the 1× answers
+  * exactly, and (b) measure the degree-orientation wedge bound that makes
+  * triangle counting skew-safe.
+  *
+  * Usage: runMain graft.GraphProbe [sfDir] [mult] [triangles:on|off]
+  */
+object GraphProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(8)
+    val doTri = args.lift(2).forall(_ != "off")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.GraphOps
+
+    def timed[T](tag: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"GRAPH $tag%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val e1 = GraphOps.copurchaseEdges(
+      graft.sources.Tables.lineitem(spark, sfDir)).cache()
+    val off = 1000000000L
+    val eM = (0 until mult).map { i =>
+      e1.select((col("src") + lit(i * off)).as("src"),
+        (col("dst") + lit(i * off)).as("dst"))
+    }.reduce(_ union _).cache()
+    println(s"edges=${e1.count()} -> ${eM.count()} (${mult}x disjoint copies)")
+
+    def asMap(df: DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bounded collects: ranks/counts of the 1x component (~|parts| rows)
+    // — the probe's gate, not an operator pattern
+
+    val pr1 = timed("pagerank_1x")(asMap(GraphOps.pagerank(e1, 5)))
+    val prM = timed(s"pagerank_${mult}x")(
+      asMap(GraphOps.pagerank(eM, 5).filter(col("node") < off)))
+    require(pr1 == prM,
+      s"pagerank at ${mult}x diverged from 1x on the copy-0 component")
+    println(s"pagerank copy-0 ranks identical at ${mult}x (${pr1.size} nodes)")
+
+    if (doTri) {
+      val t1 = timed("triangles_1x")(asMap(GraphOps.triangleCounts(e1)))
+      val tM = timed(s"triangles_${mult}x")(
+        asMap(GraphOps.triangleCounts(eM).filter(col("node") < off)))
+      require(t1 == tM,
+        s"triangles at ${mult}x diverged from 1x on the copy-0 component")
+      println(s"triangle counts identical at ${mult}x (${t1.size} nodes)")
+      // the wedge bound, measured on the inflated graph: naive =
+      // sum C(deg,2) (what a middle-node join enumerates), oriented =
+      // sum C(outdeg,2) (what degree orientation enumerates)
+      val und = eM.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val withDeg = und
+        .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+      val ori = withDeg.select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("s"))
+      val naive = deg.agg(sum(expr("d * (d - 1) div 2"))).head.getLong(0)
+      val odeg = ori.groupBy(col("s")).agg(count(lit(1)).as("od"))
+      val oriented = odeg.agg(sum(expr("od * (od - 1) div 2"))).head.getLong(0)
+      val maxD = deg.agg(max(col("d"))).head.getLong(0)
+      val maxOd = odeg.agg(max(col("od"))).head.getLong(0)
+      println(f"wedges naive=$naive oriented=$oriented " +
+        f"(${naive.toDouble / oriented}%.1fx fewer) " +
+        f"maxdeg=$maxD -> maxoutdeg=$maxOd")
+    }
+    e1.unpersist(); eM.unpersist()
+    spark.stop()
+  }
+}
