@@ -118,6 +118,11 @@ object GraphOps {
     val nodes = (seedsOpt match {
       case None => flagged.withColumn("seed", lit(true))
       case Some(sd) =>
+        // a multi-column seed table would silently key on whatever
+        // happens to be first — refuse instead
+        require(sd.columns.length == 1,
+          s"GraphOps: seeds must be a single id column, got " +
+            s"${sd.columns.mkString("(", ", ", ")")}")
         flagged.join(
             sd.select(col(sd.columns.head).cast("long").as("node"))
               .distinct().withColumn("sd", lit(true)),

@@ -304,11 +304,16 @@ object TextOps {
     * doc: the rewritten text, chunks kept, chunks dropped.
     *
     * Shape: chunking is MAP-ONLY (a `transform`/`slice` over the token
-    * array — the corpus is not exploded token-wise); one window keyed
-    * by chunk text picks first occurrences (the chunk must travel for
-    * reassembly anyway, so there is no q33-style digest-slimming win);
-    * one groupBy per doc reassembles. Per-chunk-key work is bounded by
-    * that chunk's duplication count. Empty docs survive as empty
+    * array — the corpus is not exploded token-wise); first occurrences
+    * are picked by `min(struct(doc_id, chunk_id))` PER CHUNK — an
+    * aggregate, deliberately not a window: a boilerplate chunk shared
+    * by 10⁸ docs partial-combines map-side to one row per task before
+    * the shuffle, where a window would funnel all 10⁸ occurrences into
+    * a single partition (the skew q100's df-cap guards against, solved
+    * here structurally). The group key is the chunk text itself (it
+    * must travel for reassembly anyway, so there is no q33-style
+    * digest-slimming win); one groupBy per doc reassembles the
+    * survivors. Empty docs survive as empty
     * rewrites — the sequence() guard matters: Spark's `(0-1) div 10`
     * truncates to 0 while DuckDB floors to -1, so the zero-token case
     * must short-circuit before either engine builds a phantom chunk. */
@@ -327,10 +332,10 @@ object TextOps {
         posexplode(col("chunks")).as(Seq("chunk_id", "chunk")))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         col("chunk"))
-    val w = Window.partitionBy(col("chunk"))
-      .orderBy(col("doc_id"), col("chunk_id"))
-    val kept = occ.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val kept = occ.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"),
+        col("f.chunk_id").as("chunk_id"), col("chunk"))
       .groupBy(col("doc_id"))
       .agg(
         array_join(

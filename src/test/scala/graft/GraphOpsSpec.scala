@@ -103,6 +103,13 @@ class GraphOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("trustrank refuses a multi-column seed table") {
+    intercept[IllegalArgumentException] {
+      GraphOps.trustrank(hand.toDF("src", "dst"),
+        Seq(("x", 5L)).toDF("name", "node"), 2).collect()
+    }
+  }
+
   test("loud guards on iters/scale") {
     intercept[IllegalArgumentException] {
       GraphOps.pagerank(hand.toDF("src", "dst"), 0)
