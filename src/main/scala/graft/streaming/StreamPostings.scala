@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Retrieval
+
+/** Streaming maintenance of the positional posting-table artifact
+  * (operators/Retrieval): the streaming dual of q123's build-then-probe —
+  * an always-fresh phrase-search index over a document stream, the text
+  * analog of StreamSemanticDedup's persistent IVF maintenance.
+  *
+  * Each micro-batch UPSERTS its docs into the artifact
+  * ([[Retrieval.upsertPostings]]): new docs append their postings,
+  * re-posted docs tombstone their earlier rows, so a probe between any
+  * two batches serves exactly the latest version of every doc ever seen.
+  *
+  * Exactly-once comes from the append ledger, keyed by the ZERO-PADDED
+  * batch id: the tag dir's existence is the committed marker, so a
+  * replayed batch (kill-restart anywhere — staged-but-unpublished tmp
+  * debris is cleared, published-but-uncheckpointed batches skip) neither
+  * doubles rows nor re-tombstones; and because the artifact's tombstone
+  * LAYER order is tag sort order, zero-padding makes layer order ≡ batch
+  * order — the exact contract [[Retrieval.appendPostings]] documents,
+  * closed under streaming use by construction here. A batch that skips
+  * still processes its partitions (the HttpSignalSink state-commit
+  * lesson: Spark validates per-batch state-store commits when a stateful
+  * operator feeds the sink, and a skipped batch must not leave them
+  * uncommitted).
+  *
+  * Bootstrap: the first batch of a fresh `dir` creates the artifact
+  * (empty generation-0 base, meta = `nBuckets`) and then upserts into
+  * it; a crash between the two leaves either no pointer (recreated on
+  * replay — unreferenced partials are GC'd by the next publish) or an
+  * empty published artifact whose batch tag is absent (upsert replays).
+  * Rebuild-as-compaction applies unchanged: a maintenance window can
+  * `writePostings` the full corpus at any time — concurrent probes keep
+  * the superseded generation for the grace cycle — after which
+  * maintenance continues; earlier batch tags are gone with the old
+  * generation, so ONLY a full rebuild (never a partial one) is legal
+  * mid-stream, same as IncrementalDedup's compaction contract.
+  */
+object StreamPostings {
+
+  /** One micro-batch of maintenance; idempotent per (dir, batchId).
+    * Returns false iff this batch id was already committed (replay). */
+  def maintainBatch(batch: DataFrame, batchId: Long, dir: String,
+      nBuckets: Int = 64): Boolean = {
+    val s = batch.sparkSession
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(new org.apache.hadoop.fs.Path(dir, "CURRENT")))
+      Retrieval.writePostings(batch.limit(0), dir, nBuckets)
+    val slim = batch.select(batch("doc_id"), batch("text"))
+    val published =
+      Retrieval.upsertPostings(slim, dir, f"b$batchId%012d")
+    if (!published) batch.foreachPartition((_: Iterator[Row]) => ())
+    published
+  }
+
+  /** Wire a stream of (doc_id, text) rows into a maintained artifact.
+    * `nBuckets` only matters when the first batch creates a fresh dir —
+    * after that the bucket count travels with the generation. */
+  def maintain(docs: DataFrame, dir: String, checkpoint: String,
+      nBuckets: Int = 64): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        maintainBatch(batch.toDF(), batchId, dir, nBuckets); ()
+      }
+      .start()
+}
