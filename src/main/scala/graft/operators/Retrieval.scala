@@ -234,6 +234,14 @@ object Retrieval {
     * filesystems report failure by returning false, not throwing); torn
     * tmp debris from a crashed attempt is cleared on retry.
     *
+    * Batch contract: one posting set per doc_id — a batch that carries
+    * the same doc twice duplicates its posting rows, and duplicated
+    * (doc, pos) pairs break the anchor law (`count(*) = k` sees 2k
+    * slots), so a present phrase silently stops matching. The
+    * streaming entry (StreamPostings.maintainBatch) absorbs exact-row
+    * redeliveries and refuses same-id conflicts; batch callers own the
+    * same invariant.
+    *
     * `deletes` (a `doc_id` column, delta-sized) tombstones those docs'
     * rows in all EARLIER layers — the base build and previously
     * committed appends — while rows appended by THIS batch survive,

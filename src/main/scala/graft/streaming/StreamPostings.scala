@@ -43,7 +43,16 @@ import graft.operators.Retrieval
 object StreamPostings {
 
   /** One micro-batch of maintenance; idempotent per (dir, batchId).
-    * Returns false iff this batch id was already committed (replay). */
+    * Returns false iff this batch id was already committed (replay).
+    *
+    * Within-batch at-least-once redeliveries (the same row twice in one
+    * batch) are absorbed by an exact-row distinct — duplicated posting
+    * rows would otherwise break the anchor law (`count(*) = k` sees 2k
+    * slots) and a present phrase silently stops matching. The SAME id
+    * with DIFFERENT text inside one batch has no deterministic winner
+    * (no arrival order within a batch) and fails loudly BEFORE any
+    * publish — the StreamSemanticDedup conflict convention. Both
+    * checks are batch-sized (deltas), never corpus-sized. */
   def maintainBatch(batch: DataFrame, batchId: Long, dir: String,
       nBuckets: Int = 64): Boolean = {
     val s = batch.sparkSession
@@ -51,7 +60,18 @@ object StreamPostings {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!hfs.exists(new org.apache.hadoop.fs.Path(dir, "CURRENT")))
       Retrieval.writePostings(batch.limit(0), dir, nBuckets)
-    val slim = batch.select(batch("doc_id"), batch("text"))
+    val slim = batch.select(batch("doc_id"), batch("text")).distinct()
+    val conflicted = slim.groupBy(slim("doc_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .filter(org.apache.spark.sql.functions.col("n") > 1)
+      .limit(1).collect()
+    if (conflicted.nonEmpty)
+      throw new IllegalStateException(
+        s"StreamPostings: batch $batchId re-posts doc_id " +
+          s"${conflicted.head.get(0)} with conflicting texts — no " +
+          "deterministic winner exists within one batch; refusing " +
+          "before publish")
     val published =
       Retrieval.upsertPostings(slim, dir, f"b$batchId%012d")
     if (!published) batch.foreachPartition((_: Iterator[Row]) => ())

@@ -106,6 +106,36 @@ class StreamPostingsSpec extends SparkSpecBase {
     } finally hfs.delete(hp, true)
   }
 
+  test("within-batch redelivery dedupes; same-id conflict fails loudly") {
+    val dir = s"/tmp/graft_test_spost_dup_${System.nanoTime()}"
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      // the same row twice in one batch (at-least-once within a batch):
+      // served ONCE — duplicated posting rows would break the anchor
+      // law and the phrase would silently stop matching
+      assert(StreamPostings.maintainBatch(
+        Seq(1L -> "a b a", 1L -> "a b a", 2L -> "x y")
+          .toDF("doc_id", "text"), 0L, dir, nBuckets = 8))
+      assert(probe(dir, Seq("a", "b", "a")) ==
+        expect(Seq(1L -> "a b a", 2L -> "x y"), Seq("a", "b", "a")),
+        "a redelivered row double-posted and broke the anchor count")
+      // same id, DIFFERENT texts in one batch: no deterministic winner
+      val e = intercept[IllegalStateException] {
+        StreamPostings.maintainBatch(
+          Seq(3L -> "p q", 3L -> "q p").toDF("doc_id", "text"), 1L, dir)
+      }
+      assert(e.getMessage.contains("conflicting texts"))
+      // and the refused batch published NOTHING (tag absent → replayable)
+      assert(probe(dir, Seq("p", "q")).isEmpty)
+      assert(StreamPostings.maintainBatch(
+        Seq(3L -> "p q").toDF("doc_id", "text"), 1L, dir),
+        "the fixed batch must publish under the same id")
+      assert(probe(dir, Seq("p", "q")) ==
+        expect(Seq(3L -> "p q"), Seq("p", "q")))
+    } finally hfs.delete(hp, true)
+  }
+
   test("batch order wins over within-batch duplicates across updates") {
     // zero-padded tags: batch 10 must shadow batch 9 even though "b9"
     // sorts after "b10" unpadded
