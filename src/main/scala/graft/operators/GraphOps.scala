@@ -76,6 +76,17 @@ object GraphOps {
       scale: Long = 1000000L): DataFrame =
     prImpl(edges, None, iters, scale, truncate = true)
 
+  /** Weighted PageRank: `edges` carries a positive integer weight
+    * column `w`, and node u routes `(rank(u)·w(u,v)) div Σw(u,·)` along
+    * each out-edge — still all-integer, still oracle-replayable
+    * (unweighted is exactly the w = 1 case: (r·1) div Σ1 ≡ r div
+    * outdeg, same divs). Headroom: rank·w must fit a BIGINT —
+    * N·scale·wmax < 9.2·10¹⁸, e.g. 10⁹ nodes × 10⁶ scale × weights to
+    * ~9000. */
+  def pagerankWeighted(edges: DataFrame, iters: Int,
+      scale: Long = 1000000L): DataFrame =
+    prImpl(edges, None, iters, scale, truncate = true, weighted = true)
+
   /** Seed-personalized PageRank (the TrustRank family): teleport mass —
     * and the dangling-mass return — flows ONLY to `seeds` (uniformly),
     * so rank measures proximity to the trusted set instead of global
@@ -94,16 +105,27 @@ object GraphOps {
     * shape (equi-joins only, broadcast dangling scalar), which the
     * production path's eager checkpoints hide from explain(). */
   private[graft] def prImpl(edges: DataFrame, seedsOpt: Option[DataFrame],
-      iters: Int, scale: Long, truncate: Boolean): DataFrame = {
+      iters: Int, scale: Long, truncate: Boolean,
+      weighted: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 100, s"GraphOps: bad iters $iters")
     require(scale >= 100L, s"GraphOps: bad scale $scale")
     val s = edges.sparkSession
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
-    // out-degree-annotated edges: the static join side of every
-    // iteration, partitioned by the join key once
+      col("dst").cast("long").as("dst"),
+      (if (weighted) col("w").cast("long") else lit(1L)).as("w"))
+    // out-weight-annotated edges: the static join side of every
+    // iteration, partitioned by the join key once (unweighted: w = 1,
+    // tw = outdeg — the divs below are then identical to r div outdeg)
+    if (weighted) {
+      // zero/negative/null weights would silently corrupt the mass
+      // routing — one bounded validation scan up front, loud failure
+      val bad = e.agg(min(col("w"))).head
+      require(!bad.isNullAt(0) && bad.getLong(0) >= 1L,
+        s"GraphOps: weights must be positive integers, min = " +
+          s"${if (bad.isNullAt(0)) "null" else bad.getLong(0)}")
+    }
     val linksrc = e
-      .join(e.groupBy(col("src")).agg(count(lit(1)).as("od")), "src")
+      .join(e.groupBy(col("src")).agg(sum(col("w")).as("tw")), "src")
       .repartition(col("src"))
       .persist()
     // dangling-ness and seed-ness are STATIC node properties — flag
@@ -152,7 +174,7 @@ object GraphOps {
       val addD = dang / nSeeds
       val sums = ranks.join(linksrc, ranks("node") === linksrc("src"))
         .select(col("dst").as("node"),
-          expr("rank div od").as("contrib"))
+          expr("(rank * w) div tw").as("contrib"))
         .groupBy(col("node")).agg(sum(col("contrib")).as("s"))
       val next = nodes.join(sums, Seq("node"), "left")
         .select(col("node"), col("hasout"), col("seed"),
@@ -215,6 +237,35 @@ object GraphOps {
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Co-engagement projection: turn a bipartite engagement table
+    * (entity, item) into an item–item graph weighted by shared-entity
+    * count — the item-item co-occurrence construction every recsys /
+    * related-content pipeline runs, and the graph-CONSTRUCTION step
+    * that feeds the centrality/CC/triangle machinery above.
+    *
+    * The scale hazard is the hub entity: one entity engaging D items
+    * emits C(D,2) pairs — quadratic, and at web scale one hub can emit
+    * more pairs than the rest of the corpus combined. `maxPerEntity`
+    * applies the q100 winnowing discipline: entities over the cap are
+    * DROPPED ENTIRELY (not truncated — truncation would keep a biased,
+    * arbitrary subset of the hub's pairs), bounding per-entity work at
+    * C(cap,2) and making total pairs linear in entities at any skew.
+    * The cap travels to the oracle, so the semantics stay exact. */
+  def coengagementProjection(engagement: DataFrame,
+      maxPerEntity: Int = 64): DataFrame = {
+    require(maxPerEntity >= 2, s"GraphOps: bad maxPerEntity $maxPerEntity")
+    val eng = engagement.select(col("c").cast("long").as("c"),
+      col("s").cast("long").as("s")).distinct()
+    val keep = eng.groupBy(col("c")).agg(count(lit(1)).as("ns"))
+      .filter(col("ns") <= maxPerEntity).select(col("c"))
+    val capped = eng.join(keep, "c")
+    capped.select(col("c"), col("s").as("supp_a"))
+      .join(capped.select(col("c"), col("s").as("supp_b")), "c")
+      .filter(col("supp_a") < col("supp_b"))
+      .groupBy(col("supp_a"), col("supp_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Centrality signal over the co-purchase part graph: 5 exact-integer
     // PageRank iterations, top-100 by rank (ties broken by node id so
@@ -242,7 +293,40 @@ object GraphOps {
     // reproduce exactly (counts are integers, so equality is bitwise).
     "q129_triangles" -> ((s, d) =>
       triangleCounts(copurchaseEdges(Tables.lineitem(s, d)))
-        .orderBy(col("node"))))
+        .orderBy(col("node"))),
+
+    // Supplier–supplier co-engagement via shared customers (the
+    // customer→supplier bipartite table from orders⋈lineitem), hub
+    // customers capped at 64 distinct suppliers, top-100 pairs by
+    // shared-customer count (ties by pair — deterministic limit).
+    "q130_coengagement" -> ((s, d) =>
+      coengagementProjection(
+        Tables.orders(s, d)
+          .join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("s")))
+        .orderBy(col("n_shared").desc, col("supp_a"), col("supp_b"))
+        .limit(100)),
+
+    // Weighted PageRank over the symmetrized co-engagement projection
+    // (edge weight = shared-customer count): the graph-construction op
+    // (q130) feeding the centrality machinery (q125) with real weights
+    // — "which suppliers sit at the center of the co-engagement
+    // structure". Exact-integer throughout; oracle rebuilds the
+    // projection and unrolls the weighted recurrence.
+    "q131_weighted_pagerank" -> ((s, d) => {
+      val proj = coengagementProjection(
+        Tables.orders(s, d)
+          .join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("s")))
+      val wedges = proj.select(col("supp_a").as("src"),
+          col("supp_b").as("dst"), col("n_shared").as("w"))
+        .union(proj.select(col("supp_b").as("src"),
+          col("supp_a").as("dst"), col("n_shared").as("w")))
+      pagerankWeighted(wedges, iters = 5)
+        .orderBy(col("rank").desc, col("node")).limit(100)
+    }))
 
   private def oracleIters(iters: Int, seeded: Boolean = false): String = {
     val head = """WITH seq AS (
@@ -320,5 +404,53 @@ r$i AS (SELECT n.node,
            UNION ALL SELECT y FROM tri
            UNION ALL SELECT z FROM tri)
          SELECT node, count(*) AS n_tri FROM corners
-         GROUP BY node ORDER BY node""")
+         GROUP BY node ORDER BY node""",
+
+    "q130_coengagement" ->
+      """WITH eng AS (
+           SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         keep AS (
+           SELECT c FROM eng GROUP BY c HAVING count(*) <= 64),
+         ce AS (SELECT e.c, e.s FROM eng e JOIN keep k ON k.c = e.c),
+         p AS (
+           SELECT x.s AS supp_a, y.s AS supp_b, count(*) AS n_shared
+           FROM ce x JOIN ce y ON y.c = x.c AND x.s < y.s
+           GROUP BY x.s, y.s)
+         SELECT supp_a, supp_b, n_shared FROM p
+         ORDER BY n_shared DESC, supp_a, supp_b LIMIT 100""",
+
+    "q131_weighted_pagerank" -> {
+      val head = """WITH eng AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+keep AS (SELECT c FROM eng GROUP BY c HAVING count(*) <= 64),
+ce AS (SELECT e.c, e.s FROM eng e JOIN keep k ON k.c = e.c),
+p AS (
+  SELECT x.s AS a, y.s AS b, count(*) AS w
+  FROM ce x JOIN ce y ON y.c = x.c AND x.s < y.s GROUP BY x.s, y.s),
+edges AS (
+  SELECT a AS src, b AS dst, w FROM p
+  UNION ALL SELECT b AS src, a AS dst, w FROM p),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+outw AS (SELECT src, sum(w) AS tw FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+      val steps = (1 to 5).map { i =>
+        val p = i - 1
+        s"""
+d$i AS (SELECT coalesce(sum(r.rank), 0) AS dang
+  FROM r$p r LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL),
+s$i AS (SELECT e.dst AS node, sum((r.rank * e.w) // o.tw) AS s
+  FROM r$p r JOIN outw o ON r.node = o.src JOIN edges e ON e.src = r.node
+  GROUP BY e.dst),
+r$i AS (SELECT n.node,
+    150000 + (85 * (coalesce(s.s, 0)
+      + (SELECT dang FROM d$i) // (SELECT n FROM nn))) // 100 AS rank
+  FROM nodes n LEFT JOIN s$i s ON n.node = s.node)"""
+      }
+      (head +: steps).mkString(",") +
+        "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r5" +
+        "\nORDER BY rank DESC, node LIMIT 100"
+    })
 }

@@ -214,6 +214,96 @@ class GraphOpsSpec extends SparkSpecBase {
       "every triangle must contribute exactly three corner counts")
   }
 
+  /** Weighted reference: node u routes (r(u)·w) div Σw(u,·). */
+  private def refW(edges: Seq[(Long, Long, Long)], iters: Int,
+      scale: Long = 1000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val tw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val n = nodes.size.toLong
+    val base = 15L * scale / 100L
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(tw.contains).map(r).sum
+      val addD = dang / n
+      val sums = edges.groupBy(_._2).view
+        .mapValues(_.map { case (u, _, w) => r(u) * w / tw(u) }.sum).toMap
+      r = nodes.map(v =>
+        v -> (base + (85L * (sums.getOrElse(v, 0L) + addD)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("weighted pagerank ≡ weighted reference; heavy edges dominate") {
+    // 1 routes 9/10 of its mass to 2, 1/10 to 3; 4 is dangling
+    val w = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 4L, 5L))
+    for (iters <- Seq(1, 3, 5)) {
+      val got = GraphOps.pagerankWeighted(w.toDF("src", "dst", "w"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refW(w, iters), s"diverged at iters=$iters")
+    }
+    val got = GraphOps.pagerankWeighted(w.toDF("src", "dst", "w"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) > got(3L), "the heavy edge's target must outrank")
+  }
+
+  test("weighted with w = 1 is bit-identical to unweighted pagerank") {
+    val ones = hand.map { case (a, b) => (a, b, 1L) }
+    val gw = GraphOps.pagerankWeighted(ones.toDF("src", "dst", "w"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gw == run(hand, 4))
+  }
+
+  test("weighted pagerank refuses zero/negative/null weights") {
+    intercept[IllegalArgumentException] {
+      GraphOps.pagerankWeighted(
+        Seq((1L, 2L, 0L)).toDF("src", "dst", "w"), 2).collect()
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.pagerankWeighted(
+        Seq((1L, 2L, -3L)).toDF("src", "dst", "w"), 2).collect()
+    }
+  }
+
+  test("q131 at test SF: deterministic top-k, no cartesian, rows") {
+    val df = SparkEntry.queries("q131_weighted_pagerank")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.forall(_.getLong(1) > 0L))
+  }
+
+  test("co-engagement projection: hand counts, hub cap drops entirely") {
+    // entities: 1 shares {10,20,30}, 2 shares {10,20}, 3 is a HUB over
+    // the cap (engages 4 items with cap=3 → contributes NOTHING),
+    // 4 duplicates an engagement row (distinct-ed)
+    val eng = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 30L), (3L, 40L)
+    ).toDF("c", "s")
+    val got = GraphOps.coengagementProjection(eng, maxPerEntity = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (10L, 20L) -> 2L, (10L, 30L) -> 1L, (20L, 30L) -> 1L),
+      s"projection wrong: $got")
+    // the hub's pairs are absent — including (10,40) etc.
+    assert(!got.keySet.exists { case (a, b) => a == 40L || b == 40L })
+  }
+
+  test("q130 at test SF: deterministic top-k, no cartesian, rows") {
+    val df = SparkEntry.queries("q130_coengagement")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 not pushed:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)),
+      "pairs must be canonical (a < b)")
+  }
+
   test("q128 at test SF: rows, no cartesian, differs from q125's ranking") {
     val df = SparkEntry.queries("q128_trustrank")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
