@@ -1,0 +1,452 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The second half of the graph-analytics leg (SURVEY.md §2.11
+  * extension; [[GraphOps]] carries centrality + triangles + the
+  * co-engagement construction): cohesion (k-core), reachability (BFS
+  * hop layers), semi-supervised label propagation, and the
+  * hub/authority dual of PageRank (HITS). Together with connected
+  * components (q58/q113) this covers the graph-signal set a web-scale
+  * curation pipeline actually consumes — core-ness and centrality to
+  * weight sources, BFS proximity and spread labels to gate them.
+  *
+  * Same determinism discipline as [[GraphOps]] (the oracle replays the
+  * ALGORITHM): every recurrence is integer/set arithmetic — exact
+  * BIGINT sums, integer `div`, set-semantics distinct — so a
+  * fixed-iteration run is bit-identical in Spark and DuckDB, and every
+  * driver-side value is a scalar (a count, a max), never data.
+  *
+  * Same scale posture: each iteration is a constant number of
+  * equi-joins/aggregations over (N ∪ E)-sized tables; lineage is
+  * truncated per round with eager `localCheckpoint` (the q58/q125
+  * discipline) so plans stay constant-depth at any round count. The
+  * fixpoint loops (k-core) carry a LOUD bounded-round contract: the
+  * operator converges within `maxRounds` or throws — and the oracle
+  * unrolls exactly `maxRounds` rounds, which is safe because a
+  * converged round is a no-op (restricting a fixpoint edge set by its
+  * own degree filter returns it unchanged).
+  */
+object GraphAlgos {
+
+  /** The k-core of the undirected simple graph induced by `edges`:
+    * iteratively peel nodes of degree < k until none remain, return
+    * (node, core_deg) for the survivors — core_deg is the degree
+    * WITHIN the core subgraph (≥ k by the fixpoint). Core-ness is the
+    * classic cohesion gate: a document/host that survives a high-k
+    * peel sits in a densely interlinked region, not on a spray of
+    * incidental links.
+    *
+    * Peeling is the Matula–Beck cascade: each round = one degree
+    * aggregation + two semi-joins restricting the edge list to
+    * surviving endpoints. Convergence is detected by the survivor
+    * COUNT (node sets only shrink, so an unchanged count is a
+    * fixpoint); rounds past `maxRounds` throw — a graph that cascades
+    * deeper than expected is a data-shape change the caller must see,
+    * not silently pay for. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
+    require(k >= 2 && k <= 1000000, s"GraphAlgos: bad k $k")
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"GraphAlgos: bad maxRounds $maxRounds")
+    val und = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    var e = und.localCheckpoint(true)
+    var nPrev = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .distinct().count()
+    var rounds = 0
+    var done = nPrev == 0L
+    while (!done) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"GraphAlgos.kCore: no fixpoint after $maxRounds rounds " +
+            s"($nPrev nodes still shrinking) — the peel cascade is " +
+            s"deeper than the configured bound; raise maxRounds AND " +
+            s"the oracle's unroll depth together.")
+      val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
+      val nKeep = keep.count()
+      if (nKeep == nPrev) done = true
+      else {
+        e = e.join(keep.select(col("node").as("a")), "a")
+          .join(keep.select(col("node").as("b")), "b")
+          .select(col("a"), col("b")).localCheckpoint(true)
+        nPrev = nKeep
+        done = nKeep == 0L
+      }
+    }
+    e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** Exact hop-distance layers from `seeds` over the UNDIRECTED graph
+    * induced by `edges`, out to `maxHops`: returns (node, dist) with
+    * dist = shortest hop count, seeds at 0, unreached nodes absent —
+    * the proximity signal TrustRank approximates, exact and bounded.
+    * Seeds outside the edge set are ignored (the [[GraphOps]] seed
+    * convention); at least one must intersect the graph.
+    *
+    * Frontier expansion is one equi-join (frontier ⋈ adjacency) + one
+    * anti-join (drop already-visited) per hop — the textbook iterative
+    * BFS shape. An empty frontier short-circuits the remaining hops;
+    * the oracle unrolls all of them (expanding an empty frontier is a
+    * no-op, so early exit and full unroll agree). */
+  def bfsLayers(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 32,
+      s"GraphAlgos: bad maxHops $maxHops")
+    require(seeds.columns.length == 1,
+      s"GraphAlgos: seeds must be a single id column, got " +
+        s"${seeds.columns.mkString("(", ", ", ")")}")
+    val dir = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nbr = dir.union(dir.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src")).localCheckpoint(true)
+    val seed0 = nbr.select(col("src").as("node")).distinct()
+      .join(seeds.select(col(seeds.columns.head).cast("long").as("node"))
+        .distinct(), "node")
+      .localCheckpoint(true)
+    require(seed0.limit(1).count() > 0,
+      "GraphAlgos.bfsLayers: no seed intersects the edge set")
+    var visited = seed0.withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = seed0
+    var hop = 1
+    var exhausted = false
+    while (hop <= maxHops && !exhausted) {
+      val nxt = nbr
+        .join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      if (nxt.limit(1).count() == 0L) exhausted = true
+      else {
+        visited = visited
+          .union(nxt.withColumn("dist", lit(hop.toLong)))
+          .localCheckpoint(true)
+        frontier = nxt
+      }
+      hop += 1
+    }
+    visited
+  }
+
+  /** Semi-supervised label propagation over the UNDIRECTED graph
+    * induced by `edges`: `seeds` is (node, label) with frozen labels;
+    * each round, every NON-seed node takes the majority label among
+    * its neighbors' previous-round labels (ties broken by smallest
+    * label — the determinism the usual randomized LPA forfeits); nodes
+    * with no labeled neighbor stay unlabeled (absent). Fixed `iters`
+    * rounds. The label-a-corpus-from-a-small-trusted-set primitive:
+    * quality/domain labels audited on a seed set spread over the link
+    * structure to everything else.
+    *
+    * One round = one equi-join (adjacency ⋈ labels) + one
+    * map-side-combining count per (node, label) + a row_number over
+    * partitions bounded by the DISTINCT LABEL count (≤ |labels| rows
+    * per node after the count — a hub's fan-in collapses in the
+    * partial aggregate, so the window never sees the raw degree). */
+  def labelSpread(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"GraphAlgos: bad iters $iters")
+    require(seeds.columns.length == 2,
+      s"GraphAlgos: seeds must be (node, label), got " +
+        s"${seeds.columns.mkString("(", ", ", ")")}")
+    val dir = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nbr = dir.union(dir.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src")).localCheckpoint(true)
+    val Seq(nc, lc) = seeds.columns.toSeq
+    val seedL = nbr.select(col("src").as("node")).distinct()
+      .join(seeds.select(col(nc).cast("long").as("node"),
+        col(lc).cast("string").as("label")).distinct(), "node")
+      .localCheckpoint(true)
+    // two labels on one seed node would make "frozen" ambiguous — a
+    // data bug the spread must refuse, not arbitrate
+    require(seedL.groupBy(col("node")).count()
+        .filter(col("count") > 1).limit(1).count() == 0L,
+      "GraphAlgos.labelSpread: a seed node carries multiple labels")
+    var labels = seedL
+    for (_ <- 1 to iters) {
+      val votes = nbr
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("c").desc, col("label"))
+      val voted = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("node"), col("label"))
+      labels = seedL
+        .union(voted.join(seedL.select(col("node")), Seq("node"),
+          "left_anti"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Fixed-iteration integer HITS over the DIRECTED simple graph
+    * induced by `edges`: authority(v) accumulates the hub scores of
+    * its in-neighbors, hub(u) the authority scores of its
+    * out-neighbors (computed from the SAME round's authorities — the
+    * Kleinberg update order), each rescaled after every half-step.
+    * Returns (node, auth, hub) for every node in the edge set.
+    *
+    * Rescaling is `x div max(1, max(x) div scale)` — a pure-integer
+    * stand-in for the usual norm division chosen so NO intermediate
+    * ever needs more than 64 bits (the textbook `x·scale div max(x)`
+    * form overflows BIGINT once max-in-degree · scale² clears 2⁶³,
+    * which a 10⁹-node hub does). Post-rescale scores are bounded by
+    * 2·scale regardless of graph size, so the next round's sums are
+    * bounded by degree·2·scale — safe headroom to in-degrees of ~10¹².
+    * Deterministic: integer sums are order-independent, the max is a
+    * scalar. The per-round driver state is two scalars (the two
+    * maxima); the oracle unrolls the identical recurrence. */
+  def hits(edges: DataFrame, iters: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"GraphAlgos: bad iters $iters")
+    require(scale >= 100L, s"GraphAlgos: bad scale $scale")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var ah = nodes.withColumn("auth", lit(scale))
+      .withColumn("hub", lit(scale)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val a2 = e.join(ah.select(col("node").as("src"), col("hub")), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("v"))
+      val aAll = nodes.join(a2, Seq("node"), "left")
+        .select(col("node"), coalesce(col("v"), lit(0L)).as("v"))
+        .localCheckpoint(true)
+      val amax = aAll.agg(max(col("v"))).head.getLong(0)
+      val aq = math.max(1L, amax / scale)
+      val aNorm = aAll.select(col("node"),
+        expr(s"v div ${aq}L").as("auth"))
+      val h2 = e.join(aNorm.select(col("node").as("dst"), col("auth")),
+          "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("v"))
+      val hAll = nodes.join(h2, Seq("node"), "left")
+        .select(col("node"), coalesce(col("v"), lit(0L)).as("v"))
+        .localCheckpoint(true)
+      val hmax = hAll.agg(max(col("v"))).head.getLong(0)
+      val hq = math.max(1L, hmax / scale)
+      val hNorm = hAll.select(col("node"),
+        expr(s"v div ${hq}L").as("hub"))
+      ah = aNorm.join(hNorm, "node").localCheckpoint(true)
+    }
+    ah.select(col("node"), col("auth"), col("hub"))
+  }
+
+  // ------------------------------------------------------------------
+  // SparkEntry surface
+  // ------------------------------------------------------------------
+
+  /** Support-thresholded co-purchase graph (edge kept iff the ordered
+    * part pair co-occurs in ≥ minSupport orders): the SPARSE substrate
+    * for distance-flavored queries — the raw graph is dense enough
+    * (median degree ~45) that every node is one hop from everything,
+    * which makes hop layers trivial; support-2 edges leave the
+    * long-path structure visible. */
+  def copurchaseSupported(lineitem: DataFrame,
+      minSupport: Long): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"))
+    lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("nxt", lead(col("l_partkey"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("l_partkey"))
+      .select(least(col("l_partkey"), col("nxt")).as("a"),
+        greatest(col("l_partkey"), col("nxt")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minSupport)
+      .select(col("a").as("src"), col("b").as("dst"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Cohesion gate: the 30-core of the co-purchase graph (3-6 peel
+    // rounds at the test SFs, well under the 12-round bound). Output
+    // ordered by node; core_deg ≥ 30 for every survivor by fixpoint.
+    "q132_kcore" -> ((s, d) =>
+      kCore(GraphOps.copurchaseEdgesFor(s, d), k = 30)
+        .orderBy(col("node"))),
+
+    // Exact hop distances from the Brand#1 parts over the support-2
+    // co-purchase graph, out to 4 hops — the exact proximity signal
+    // beside q128's TrustRank approximation.
+    "q133_bfs_layers" -> ((s, d) =>
+      bfsLayers(copurchaseSupported(Tables.lineitem(s, d), 2),
+          Tables.part(s, d).filter(col("p_brand") === "Brand#1")
+            .select(col("p_partkey")),
+          maxHops = 4)
+        .orderBy(col("node"))),
+
+    // Label a corpus from a trusted subset: parts of size ≥ 40 carry
+    // their brand as a frozen seed label; 4 majority-vote rounds over
+    // the dense co-purchase graph spread labels to the rest (ties →
+    // smallest label, so every row is deterministic).
+    "q134_label_spread" -> ((s, d) =>
+      labelSpread(GraphOps.copurchaseEdgesFor(s, d),
+          Tables.part(s, d).filter(col("p_size") >= 40)
+            .select(col("p_partkey"), col("p_brand")),
+          iters = 4)
+        .orderBy(col("node"))),
+
+    // Hub/authority centrality: 5 integer HITS iterations on the
+    // directed co-purchase graph, top-100 authorities (ties by node).
+    "q135_hits" -> ((s, d) =>
+      hits(GraphOps.copurchaseEdgesFor(s, d), iters = 5)
+        .orderBy(col("auth").desc, col("node")).limit(100)))
+
+  // shared CTE head: the directed co-purchase edge derivation (the
+  // q125 convention — lead over the (l_linenumber, l_partkey) total
+  // order, self-loops dropped, distinct)
+  private val edgeHead = """WITH seq AS (
+  SELECT l_orderkey, l_partkey,
+    lead(l_partkey) OVER (
+      PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS nxt
+  FROM lineitem),
+edges AS (
+  SELECT DISTINCT l_partkey AS src, nxt AS dst FROM seq
+  WHERE nxt IS NOT NULL AND nxt <> l_partkey)"""
+
+  // The iterative CTEs are referenced 2-3× per round: without
+  // MATERIALIZED, DuckDB may inline each reference and re-expand the
+  // whole prefix EXPONENTIALLY (round 12 = thousands of parquet
+  // re-scans — observed as an fd-exhaustion failure, not just slowness)
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val head = edgeHead + """,
+u0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst)"""
+    val steps = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""
+d$i AS (SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM u$p UNION ALL SELECT b FROM u$p)
+  GROUP BY node),
+n$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $k),
+u$i AS MATERIALIZED (SELECT e.a, e.b FROM u$p e
+  JOIN n$i x ON x.node = e.a JOIN n$i y ON y.node = e.b)"""
+    }
+    (head +: steps).mkString(",") +
+      s"""
+SELECT node, count(*) AS core_deg FROM (
+  SELECT a AS node FROM u$rounds UNION ALL SELECT b FROM u$rounds)
+GROUP BY node ORDER BY node"""
+  }
+
+  private def bfsOracle(maxHops: Int): String = {
+    val head = """WITH seq AS (
+  SELECT l_orderkey, l_partkey,
+    lead(l_partkey) OVER (
+      PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS nxt
+  FROM lineitem),
+sup AS (
+  SELECT least(l_partkey, nxt) AS a, greatest(l_partkey, nxt) AS b
+  FROM seq WHERE nxt IS NOT NULL AND nxt <> l_partkey),
+se AS (SELECT a, b FROM sup GROUP BY a, b HAVING count(*) >= 2),
+nbr AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT a AS src, b AS dst FROM se
+    UNION ALL SELECT b, a FROM se) WHERE src <> dst),
+v0 AS MATERIALIZED (
+  SELECT DISTINCT n.src AS node, CAST(0 AS BIGINT) AS dist
+  FROM nbr n JOIN part p ON p.p_partkey = n.src
+  WHERE p.p_brand = 'Brand#1'),
+f0 AS (SELECT node FROM v0)"""
+    val steps = (1 to maxHops).map { i =>
+      val p = i - 1
+      s"""
+f$i AS MATERIALIZED (
+  SELECT DISTINCT n.dst AS node FROM nbr n
+  JOIN f$p f ON f.node = n.src
+  WHERE NOT EXISTS (SELECT 1 FROM v$p v WHERE v.node = n.dst)),
+v$i AS MATERIALIZED (SELECT node, dist FROM v$p
+  UNION ALL SELECT node, CAST($i AS BIGINT) FROM f$i)"""
+    }
+    (head +: steps).mkString(",") +
+      s"\nSELECT node, dist FROM v$maxHops ORDER BY node"
+  }
+
+  private def spreadOracle(iters: Int): String = {
+    val head = edgeHead + """,
+nbr AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges
+    UNION ALL SELECT dst, src FROM edges) WHERE src <> dst),
+seeds AS MATERIALIZED (
+  SELECT DISTINCT n.node, p.p_brand AS label
+  FROM (SELECT DISTINCT src AS node FROM nbr) n
+  JOIN part p ON p.p_partkey = n.node
+  WHERE p.p_size >= 40),
+l0 AS (SELECT node, label FROM seeds)"""
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""
+c$i AS (SELECT n.dst AS node, l.label, count(*) AS c
+  FROM nbr n JOIN l$p l ON l.node = n.src
+  GROUP BY n.dst, l.label),
+m$i AS (SELECT node, label FROM (
+    SELECT node, label,
+      row_number() OVER (PARTITION BY node
+        ORDER BY c DESC, label) AS rn
+    FROM c$i) WHERE rn = 1),
+l$i AS MATERIALIZED (SELECT node, label FROM seeds
+  UNION ALL
+  SELECT m.node, m.label FROM m$i m
+  WHERE NOT EXISTS (SELECT 1 FROM seeds s WHERE s.node = m.node))"""
+    }
+    (head +: steps).mkString(",") +
+      s"\nSELECT node, label FROM l$iters ORDER BY node"
+  }
+
+  private def hitsOracle(iters: Int, scale: Long): String = {
+    val head = edgeHead + """,
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+r0 AS MATERIALIZED (SELECT node, CAST(""" + scale + """ AS BIGINT) AS auth,
+  CAST(""" + scale + """ AS BIGINT) AS hub FROM nodes)"""
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""
+a2$i AS (SELECT e.dst AS node, sum(h.hub) AS v
+  FROM edges e JOIN r$p h ON h.node = e.src GROUP BY e.dst),
+aa$i AS MATERIALIZED (SELECT n.node, coalesce(a.v, 0) AS v
+  FROM nodes n LEFT JOIN a2$i a ON a.node = n.node),
+am$i AS (SELECT greatest(1, max(v) // $scale) AS q FROM aa$i),
+an$i AS MATERIALIZED (
+  SELECT node, v // (SELECT q FROM am$i) AS auth FROM aa$i),
+h2$i AS (SELECT e.src AS node, sum(a.auth) AS v
+  FROM edges e JOIN an$i a ON a.node = e.dst GROUP BY e.src),
+ha$i AS MATERIALIZED (SELECT n.node, coalesce(h.v, 0) AS v
+  FROM nodes n LEFT JOIN h2$i h ON h.node = n.node),
+hm$i AS (SELECT greatest(1, max(v) // $scale) AS q FROM ha$i),
+hn$i AS MATERIALIZED (
+  SELECT node, v // (SELECT q FROM hm$i) AS hub FROM ha$i),
+r$i AS MATERIALIZED (SELECT an.node, an.auth, hn.hub
+  FROM an$i an JOIN hn$i hn ON hn.node = an.node)"""
+    }
+    (head +: steps).mkString(",") +
+      s"""
+SELECT node, CAST(auth AS BIGINT) AS auth, CAST(hub AS BIGINT) AS hub
+FROM r$iters ORDER BY auth DESC, node LIMIT 100"""
+  }
+
+  def oracle: Map[String, String] = Map(
+    "q132_kcore" -> kcoreOracle(k = 30, rounds = 12),
+    "q133_bfs_layers" -> bfsOracle(maxHops = 4),
+    "q134_label_spread" -> spreadOracle(iters = 4),
+    "q135_hits" -> hitsOracle(iters = 5, scale = 1000000L))
+}
