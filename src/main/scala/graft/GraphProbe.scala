@@ -12,13 +12,21 @@ import org.apache.spark.sql.functions._
   * exactly, and (b) measure the degree-orientation wedge bound that makes
   * triangle counting skew-safe.
   *
+  * The q132-q135 leg rides the same invariance: k-core peels, BFS
+  * layers, and label votes never cross components, and HITS's rescale
+  * divisor is a GLOBAL max that equals every copy's local max because
+  * the copies are identical — so each copy-0 answer must be
+  * bit-identical at any mult.
+  *
   * Usage: runMain graft.GraphProbe [sfDir] [mult] [triangles:on|off]
+  *          [algos:on|off]
   */
 object GraphProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.lift(1).map(_.toInt).getOrElse(8)
     val doTri = args.lift(2).forall(_ != "off")
+    val doAlgos = args.lift(3).forall(_ != "off")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -85,6 +93,65 @@ object GraphProbe {
       println(f"wedges naive=$naive oriented=$oriented " +
         f"(${naive.toDouble / oriented}%.1fx fewer) " +
         f"maxdeg=$maxD -> maxoutdeg=$maxOd")
+    }
+    if (doAlgos) {
+      import graft.operators.GraphAlgos
+      val part = graft.sources.Tables.part(spark, sfDir)
+
+      val kc1 = timed("kcore_1x")(asMap(GraphAlgos.kCore(e1, 30)))
+      val kcM = timed(s"kcore_${mult}x")(
+        asMap(GraphAlgos.kCore(eM, 30).filter(col("node") < off)))
+      require(kc1 == kcM,
+        s"kcore at ${mult}x diverged from 1x on the copy-0 component")
+      println(s"kcore survivors identical at ${mult}x (${kc1.size} nodes)")
+
+      def asPair(df: DataFrame): Map[Long, (Long, Long)] =
+        df.collect().map(r =>
+          r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val h1 = timed("hits_1x")(asPair(GraphAlgos.hits(e1, 5)))
+      val hM = timed(s"hits_${mult}x")(
+        asPair(GraphAlgos.hits(eM, 5).filter(col("node") < off)))
+      require(h1 == hM,
+        s"hits at ${mult}x diverged from 1x on the copy-0 component")
+      println(s"hits auth/hub identical at ${mult}x (${h1.size} nodes)")
+
+      val seeds1 = part.filter(col("p_size") >= 40)
+        .select(col("p_partkey").as("node"), col("p_brand").as("label"))
+        .cache()
+      val seedsM = (0 until mult).map { i =>
+        seeds1.select((col("node") + lit(i * off)).as("node"), col("label"))
+      }.reduce(_ union _)
+      def asLabel(df: DataFrame): Map[Long, String] =
+        df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val s1 = timed("spread_1x")(
+        asLabel(GraphAlgos.labelSpread(e1, seeds1, 4)))
+      val sM = timed(s"spread_${mult}x")(
+        asLabel(GraphAlgos.labelSpread(eM, seedsM, 4)
+          .filter(col("node") < off)))
+      require(s1 == sM,
+        s"labelSpread at ${mult}x diverged from 1x on the copy-0 component")
+      println(s"spread labels identical at ${mult}x (${s1.size} nodes)")
+
+      val sup1 = GraphAlgos.copurchaseSupported(
+        graft.sources.Tables.lineitem(spark, sfDir), 2).cache()
+      val supM = (0 until mult).map { i =>
+        sup1.select((col("src") + lit(i * off)).as("src"),
+          (col("dst") + lit(i * off)).as("dst"))
+      }.reduce(_ union _)
+      val bseeds1 = part.filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey").as("node"))
+      val bseedsM = (0 until mult).map { i =>
+        bseeds1.select((col("node") + lit(i * off)).as("node"))
+      }.reduce(_ union _)
+      val b1 = timed("bfs_1x")(
+        asMap(GraphAlgos.bfsLayers(sup1, bseeds1, 4)))
+      val bM = timed(s"bfs_${mult}x")(
+        asMap(GraphAlgos.bfsLayers(supM, bseedsM, 4)
+          .filter(col("node") < off)))
+      require(b1 == bM,
+        s"bfsLayers at ${mult}x diverged from 1x on the copy-0 component")
+      println(s"bfs layers identical at ${mult}x (${b1.size} nodes)")
+      seeds1.unpersist(); sup1.unpersist()
     }
     e1.unpersist(); eM.unpersist()
     spark.stop()

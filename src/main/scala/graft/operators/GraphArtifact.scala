@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Persisted adjacency artifact for the graph family: the edge-list
+  * analog of the postings artifact (Retrieval) and the IVF index
+  * (VectorOps) — a bucketed, versioned, exactly-once-appendable store
+  * the centrality/cohesion operators read instead of re-deriving the
+  * graph from raw interactions per run.
+  *
+  * Layout (the `gen=`/CURRENT discipline of Retrieval.scala:79-99,
+  * applied to adjacency): `gen=N/base/bucket=K/` holds the bootstrap
+  * adjacency, `gen=N/appends/<tag>/` the committed deltas (`data/` =
+  * added edges, `deletes/` = tombstoned edges), `CURRENT` the atomic
+  * generation pointer. Each undirected edge is stored as BOTH
+  * orientations, bucketed by `pmod(xxhash64(src), nBuckets)`, so a
+  * neighbor probe reads exactly ONE bucket directory (partition
+  * filter), the adjacency-list convention at 2× the storage.
+  *
+  * Merge semantics are LSM: appends never look at the accumulated
+  * corpus — per-batch publish cost is O(batch), NOT O(graph), which is
+  * the property that keeps a 100 TB interaction stream maintainable —
+  * and readers resolve duplicates by LATEST-LAYER-WINS (layer = tag
+  * sort order, zero-padded batch ids under streaming): an edge exists
+  * iff the newest layer mentioning it is an add. Re-adds resurrect,
+  * deletes tombstone, history compacts away at the next [[writeEdges]]
+  * rebuild (which a concurrent reader survives via the generation
+  * grace, same as postings).
+  */
+object GraphArtifact {
+  private val MetaName = "_graft_graph_meta"
+  private val Pointer = "CURRENT"
+
+  private def hfsOf(s: SparkSession, path: String) =
+    new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Directory of the CURRENT generation (public: specs and probes
+    * resolve it to assert pruning and grace behavior). */
+  def edgesGenDir(s: SparkSession, dir: String): String = {
+    val hfs = hfsOf(s, dir)
+    val p = new Path(dir, Pointer)
+    require(hfs.exists(p),
+      s"GraphArtifact: no $Pointer pointer under $dir — not a written " +
+        "edge artifact")
+    val in = hfs.open(p)
+    val name =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    s"$dir/$name"
+  }
+
+  private def nextGenName(s: SparkSession, dir: String): String = {
+    val hfs = hfsOf(s, dir)
+    val root = new Path(dir)
+    val next = if (!hfs.exists(root)) 0L
+    else hfs.listStatus(root).map(_.getPath.getName)
+      .collect { case g if g.startsWith("gen=") =>
+        g.stripPrefix("gen=").toLong }
+      .foldLeft(-1L)(math.max) + 1L
+    s"gen=$next"
+  }
+
+  /** Atomic pointer flip + one-publish-cycle reader grace: generations
+    * older than the one being superseded are deleted, the immediately
+    * superseded one survives until the NEXT publish (an in-flight
+    * reader that resolved the old pointer finishes against a complete
+    * generation). */
+  private def publishGen(s: SparkSession, dir: String,
+      genName: String): Unit = {
+    val hfs = hfsOf(s, dir)
+    val tmp = new Path(dir, s".$Pointer.tmp")
+    val out = hfs.create(tmp, true)
+    try out.write(genName.getBytes("UTF-8")) finally out.close()
+    hfs.delete(new Path(dir, Pointer), false)
+    require(hfs.rename(tmp, new Path(dir, Pointer)),
+      s"GraphArtifact: pointer rename failed at $dir — a torn pointer " +
+        "would break every reader; refusing to continue")
+    val gens = hfs.listStatus(new Path(dir)).map(_.getPath)
+      .filter(p => p.getName.startsWith("gen=") && p.getName != genName)
+      .sortBy(_.getName.stripPrefix("gen=").toLong)
+    gens.dropRight(1).foreach(p => hfs.delete(p, true))
+  }
+
+  /** Drop every generation except CURRENT (the explicit end of the
+    * reader grace window). Returns the number reclaimed. */
+  def expireEdgeGenerations(s: SparkSession, dir: String): Int = {
+    val current = new Path(edgesGenDir(s, dir)).getName
+    val hfs = hfsOf(s, dir)
+    val stale = hfs.listStatus(new Path(dir)).map(_.getPath)
+      .filter(p => p.getName.startsWith("gen=") && p.getName != current)
+    stale.foreach(p => hfs.delete(p, true))
+    stale.length
+  }
+
+  /** Normalize (src, dst) rows to the stored shape: undirected simple
+    * (self-loops dropped, exact duplicates collapsed), BOTH
+    * orientations, bucketed by source. */
+  private def adjacency(edges: DataFrame, nBuckets: Int): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .withColumn("bucket", pmod(xxhash64(col("src")), lit(nBuckets.toLong)))
+      .repartitionByRange(col("bucket"), col("src"))
+  }
+
+  /** Build (or REBUILD — which is the compaction: appended history and
+    * tombstones of the superseded generation are gone) the artifact
+    * from a full edge set. */
+  def writeEdges(edges: DataFrame, dir: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0 && nBuckets <= (1 << 20),
+      s"GraphArtifact: bad nBuckets $nBuckets")
+    val s = edges.sparkSession
+    val hfs = hfsOf(s, dir)
+    val genName = nextGenName(s, dir)
+    val genDir = s"$dir/$genName"
+    adjacency(edges, nBuckets)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$genDir/base")
+    val out = hfs.create(new Path(genDir, MetaName), true)
+    try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+    publishGen(s, dir, genName)
+  }
+
+  private def readNBuckets(s: SparkSession, genDir: String): Int = {
+    val hfs = hfsOf(s, genDir)
+    val in = hfs.open(new Path(genDir, MetaName))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    finally in.close()
+  }
+
+  /** Exactly-once append of an edge delta: `adds` come into existence,
+    * `deletes` tombstone every EARLIER layer's version of those edges
+    * (rows added by this same batch survive — add wins within a tag,
+    * but see the conflict contract below). Publish is stage-then-one-
+    * atomic-rename; the tag dir's existence is the committed marker, so
+    * a replayed batch skips (returns false). Tags must sort in batch
+    * order (zero-padded ids — the layer order IS tag order).
+    *
+    * Conflict contract: the SAME edge in both `adds` and `deletes` of
+    * one call has no deterministic winner and is refused loudly before
+    * any publish (the StreamPostings convention). */
+  def appendEdges(adds: DataFrame, dir: String, tag: String,
+      deletes: Option[DataFrame] = None): Boolean = {
+    require(tag.nonEmpty && tag.matches("[A-Za-z0-9_\\-]+"),
+      s"GraphArtifact: append tag must be [A-Za-z0-9_-]+, got `$tag`")
+    val s = adds.sparkSession
+    val genDir = edgesGenDir(s, dir)
+    val nBuckets = readNBuckets(s, genDir)
+    val hfs = hfsOf(s, dir)
+    val committed = new Path(genDir, s"appends/$tag")
+    if (hfs.exists(committed)) return false // replay: already published
+    deletes.foreach { d =>
+      val clash = adjacency(adds, nBuckets).select(col("src"), col("dst"))
+        .join(adjacency(d, nBuckets).select(col("src"), col("dst")),
+          Seq("src", "dst"))
+        .limit(1).collect()
+      if (clash.nonEmpty)
+        throw new IllegalStateException(
+          s"GraphArtifact: batch `$tag` both adds and deletes edge " +
+            s"(${clash.head.getLong(0)}, ${clash.head.getLong(1)}) — " +
+            "no deterministic winner exists within one batch; refusing " +
+            "before publish")
+    }
+    val tmp = new Path(genDir, s".append_tmp_$tag")
+    if (hfs.exists(tmp)) hfs.delete(tmp, true) // torn-attempt debris
+    adjacency(adds, nBuckets)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/data")
+    deletes.foreach { d =>
+      val slim = adjacency(d, nBuckets)
+      if (!slim.isEmpty)
+        slim.write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$tmp/deletes")
+    }
+    hfs.mkdirs(committed.getParent)
+    require(hfs.rename(tmp, committed),
+      s"GraphArtifact: atomic publish rename failed for append `$tag` " +
+        s"at $dir — the ledger contract (existence = completeness) " +
+        "would be violated by continuing")
+    true
+  }
+
+  private val edgeSchema = StructType(Seq(
+    StructField("src", LongType), StructField("dst", LongType),
+    StructField("bucket", LongType)))
+
+  /** All layers of the CURRENT generation as (src, dst, bucket, layer,
+    * is_add): base = layer 0, committed appends in tag order. The
+    * appends listing is a bounded driver directory list (tag count),
+    * never data. */
+  private def layered(s: SparkSession, genDir: String): DataFrame = {
+    val hfs = hfsOf(s, genDir)
+    val appends = new Path(genDir, "appends")
+    val tags =
+      if (!hfs.exists(appends)) Array.empty[String]
+      else hfs.listStatus(appends).map(_.getPath.getName)
+        .filterNot(_.startsWith(".")).sorted
+    val base = s.read.schema(edgeSchema).parquet(s"$genDir/base")
+      .withColumn("layer", lit(0L)).withColumn("is_add", lit(true))
+    tags.zipWithIndex.foldLeft(base) { case (acc, (tag, i)) =>
+      val l = i + 1L
+      val d = s.read.schema(edgeSchema)
+        .parquet(s"$genDir/appends/$tag/data")
+        .withColumn("layer", lit(l)).withColumn("is_add", lit(true))
+      val withDel =
+        if (hfs.exists(new Path(genDir, s"appends/$tag/deletes")))
+          d.union(s.read.schema(edgeSchema)
+            .parquet(s"$genDir/appends/$tag/deletes")
+            .withColumn("layer", lit(l)).withColumn("is_add", lit(false)))
+        else d
+      acc.union(withDel)
+    }
+  }
+
+  /** Latest-layer-wins resolution: an edge exists iff the newest layer
+    * mentioning it is an add. One map-side-combining aggregate; the
+    * (layer, is_add) max-struct is well-defined because one layer never
+    * carries both ops for an edge (the append conflict contract). */
+  private def resolve(all: DataFrame): DataFrame =
+    all.groupBy(col("src"), col("dst"))
+      .agg(max(struct(col("layer"), col("is_add"))).as("m"))
+      .filter(col("m.is_add"))
+      .select(col("src"), col("dst"))
+
+  /** The current undirected edge set (a < b) — what the batch operators
+    * consume ([[GraphOps.pagerank]], [[GraphAlgos.kCore]], ...). Both
+    * orientations are stored, so filtering to the canonical one after
+    * resolution yields each edge exactly once. */
+  def readEdges(s: SparkSession, dir: String): DataFrame =
+    resolve(layered(s, edgesGenDir(s, dir)))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+
+  /** Resolved neighbors of `node`, reading ONLY the one bucket its hash
+    * lands in — every layer's scan carries the partition filter
+    * (probe-pinned), so the read is O(artifact/nBuckets), not
+    * O(artifact). */
+  def neighborsStored(s: SparkSession, dir: String, node: Long): DataFrame = {
+    val genDir = edgesGenDir(s, dir)
+    val nBuckets = readNBuckets(s, genDir)
+    resolve(
+      layered(s, genDir)
+        .filter(col("bucket") ===
+          pmod(xxhash64(lit(node)), lit(nBuckets.toLong)))
+        .filter(col("src") === node))
+      .select(col("dst").as("neighbor"))
+  }
+
+  /** Per-node degrees of the resolved graph (both orientations stored,
+    * so a plain count by src IS the undirected degree). */
+  def degreesStored(s: SparkSession, dir: String): DataFrame =
+    resolve(layered(s, edgesGenDir(s, dir)))
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.GraphArtifact
+
+/** Streaming maintenance of the adjacency artifact
+  * (operators/GraphArtifact): the graph-leg dual of StreamPostings —
+  * an interaction stream (follows/unfollows, link creations/removals)
+  * keeps an always-current edge store that the batch centrality /
+  * cohesion operators read between any two batches.
+  *
+  * Stream rows are (src, dst, op) with op ∈ {add, del}. Each
+  * micro-batch publishes ONE exactly-once append (LSM: O(batch) work,
+  * never a corpus scan — the property that keeps a 100 TB interaction
+  * stream maintainable); replays skip via the tag ledger but still
+  * process their partitions (the HttpSignalSink state-commit lesson).
+  * Within-batch semantics: exact duplicate ops collapse; the same edge
+  * added AND deleted in one batch has no deterministic winner and
+  * fails loudly before publish (GraphArtifact enforces it; the
+  * StreamPostings conflict convention).
+  *
+  * Bootstrap: the first batch of a fresh `dir` creates an empty
+  * generation-0 base, then appends into it. Compaction = a full
+  * [[GraphArtifact.writeEdges]] rebuild from [[GraphArtifact.readEdges]]
+  * during a maintenance window (concurrent readers survive on the
+  * superseded generation's grace cycle); only a FULL rebuild is legal
+  * mid-stream — batch tags die with the old generation.
+  */
+object StreamGraph {
+
+  /** One micro-batch of maintenance; idempotent per (dir, batchId).
+    * Returns false iff this batch id was already committed (replay). */
+  def maintainBatch(batch: DataFrame, batchId: Long, dir: String,
+      nBuckets: Int = 64): Boolean = {
+    val s = batch.sparkSession
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(new org.apache.hadoop.fs.Path(dir, "CURRENT")))
+      GraphArtifact.writeEdges(
+        batch.select(col("src"), col("dst")).limit(0), dir, nBuckets)
+    val ops = batch.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"),
+      col("op").cast("string").as("op")).distinct()
+    val badOp = ops.filter(!col("op").isin("add", "del")).limit(1).collect()
+    if (badOp.nonEmpty)
+      throw new IllegalStateException(
+        s"StreamGraph: batch $batchId carries op " +
+          s"`${badOp.head.getString(2)}` — only add/del are defined")
+    val adds = ops.filter(col("op") === "add").select(col("src"), col("dst"))
+    val dels = ops.filter(col("op") === "del").select(col("src"), col("dst"))
+    val published = GraphArtifact.appendEdges(
+      adds, dir, f"b$batchId%012d", deletes = Some(dels))
+    if (!published) batch.foreachPartition((_: Iterator[Row]) => ())
+    published
+  }
+
+  /** Wire a stream of (src, dst, op) rows into a maintained artifact.
+    * `nBuckets` only matters when the first batch creates a fresh dir —
+    * after that the bucket count travels with the generation. */
+  def maintain(edgeOps: DataFrame, dir: String, checkpoint: String,
+      nBuckets: Int = 64): StreamingQuery =
+    edgeOps.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        maintainBatch(batch.toDF(), batchId, dir, nBuckets); ()
+      }
+      .start()
+}
