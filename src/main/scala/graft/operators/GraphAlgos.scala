@@ -249,6 +249,27 @@ object GraphAlgos {
     ah.select(col("node"), col("auth"), col("hub"))
   }
 
+  /** Per-edge common-neighbor counts ("embeddedness" — the strong-tie /
+    * local-bridge signal: an edge whose endpoints share many neighbors
+    * sits inside a community, one sharing none bridges two): each
+    * triangle contributes to all three of its edges, so the count is
+    * exactly triangles-per-edge — computed from the SAME degree-
+    * oriented enumeration as [[GraphOps.triangleCounts]] (each triangle
+    * materialized once, O(m^1.5) wedges under any skew), with pairs
+    * re-canonicalized to id order (orientation order is (degree, id),
+    * not id). Edges with zero common neighbors are absent. */
+  def edgeEmbeddedness(edges: DataFrame): DataFrame =
+    GraphOps.orientedTriangles(edges)
+      .select(explode(array(
+        struct(least(col("s"), col("u")).as("a"),
+          greatest(col("s"), col("u")).as("b")),
+        struct(least(col("s"), col("v")).as("a"),
+          greatest(col("s"), col("v")).as("b")),
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+
   // ------------------------------------------------------------------
   // SparkEntry surface
   // ------------------------------------------------------------------
@@ -307,7 +328,24 @@ object GraphAlgos {
     // directed co-purchase graph, top-100 authorities (ties by node).
     "q135_hits" -> ((s, d) =>
       hits(GraphOps.copurchaseEdgesFor(s, d), iters = 5)
-        .orderBy(col("auth").desc, col("node")).limit(100)))
+        .orderBy(col("auth").desc, col("node")).limit(100)),
+
+    // Connected components of the support-2 sparse graph through the
+    // SHARED CC machinery (large-star/small-star + size-gated driver
+    // union-find — the q58/q113 engine on a part graph): every node
+    // labeled by its component minimum.
+    "q136_graph_components" -> ((s, d) =>
+      graft.operators.TextOps.minLabelPropagate(
+          copurchaseSupported(Tables.lineitem(s, d), 2)
+            .select(col("src").as("a"), col("dst").as("b")))
+        .select(col("node"), col("label").as("component"))
+        .orderBy(col("node"))),
+
+    // Strong-tie detection: top-100 co-purchase edges by shared-
+    // neighbor count (ties by pair — deterministic limit).
+    "q137_embeddedness" -> ((s, d) =>
+      edgeEmbeddedness(GraphOps.copurchaseEdgesFor(s, d))
+        .orderBy(col("n_common").desc, col("a"), col("b")).limit(100)))
 
   // shared CTE head: the directed co-purchase edge derivation (the
   // q125 convention — lead over the (l_linenumber, l_partkey) total
@@ -448,5 +486,43 @@ FROM r$iters ORDER BY auth DESC, node LIMIT 100"""
     "q132_kcore" -> kcoreOracle(k = 30, rounds = 12),
     "q133_bfs_layers" -> bfsOracle(maxHops = 4),
     "q134_label_spread" -> spreadOracle(iters = 4),
-    "q135_hits" -> hitsOracle(iters = 5, scale = 1000000L))
+    "q135_hits" -> hitsOracle(iters = 5, scale = 1000000L),
+
+    // support-2 sparse graph + the q58 recursive-reachability mirror
+    "q136_graph_components" ->
+      """WITH RECURSIVE seq AS (
+           SELECT l_orderkey, l_partkey,
+             lead(l_partkey) OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey) AS nxt
+           FROM lineitem),
+         sup AS (
+           SELECT least(l_partkey, nxt) AS a, greatest(l_partkey, nxt) AS b
+           FROM seq WHERE nxt IS NOT NULL AND nxt <> l_partkey),
+         se AS (SELECT a, b FROM sup GROUP BY a, b HAVING count(*) >= 2),
+         sym AS (SELECT a, b FROM se UNION SELECT b, a FROM se),
+         reach AS (
+           SELECT a AS node, b AS peer FROM sym
+           UNION
+           SELECT r.node, e.b FROM reach r JOIN sym e ON e.a = r.peer),
+         cc AS (SELECT node, least(node, min(peer)) AS component
+           FROM reach GROUP BY node)
+         SELECT node, component FROM cc ORDER BY node""",
+
+    // naive canonical triple join, exploded to the 3 pair-edges
+    "q137_embeddedness" -> (edgeHead + """,
+         und AS (
+           SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM edges WHERE src <> dst),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM und e1
+           JOIN und e2 ON e2.a = e1.b
+           JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         pairs AS (
+           SELECT x AS a, y AS b FROM tri
+           UNION ALL SELECT x, z FROM tri
+           UNION ALL SELECT y, z FROM tri)
+         SELECT a, b, count(*) AS n_common FROM pairs
+         GROUP BY a, b ORDER BY n_common DESC, a, b LIMIT 100"""))
 }

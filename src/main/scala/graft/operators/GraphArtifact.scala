@@ -32,68 +32,22 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object GraphArtifact {
   private val MetaName = "_graft_graph_meta"
-  private val Pointer = "CURRENT"
+  // generation lifecycle lives in the shared GenStore (one home for
+  // the gen=/CURRENT discipline across IVF, postings and edges); the
+  // meta sidecar lands last, so it doubles as the completeness sentinel
+  private val gens = new graft.sources.GenStore(MetaName, "edge artifact")
 
   private def hfsOf(s: SparkSession, path: String) =
     new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
 
   /** Directory of the CURRENT generation (public: specs and probes
     * resolve it to assert pruning and grace behavior). */
-  def edgesGenDir(s: SparkSession, dir: String): String = {
-    val hfs = hfsOf(s, dir)
-    val p = new Path(dir, Pointer)
-    require(hfs.exists(p),
-      s"GraphArtifact: no $Pointer pointer under $dir — not a written " +
-        "edge artifact")
-    val in = hfs.open(p)
-    val name =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    s"$dir/$name"
-  }
-
-  private def nextGenName(s: SparkSession, dir: String): String = {
-    val hfs = hfsOf(s, dir)
-    val root = new Path(dir)
-    val next = if (!hfs.exists(root)) 0L
-    else hfs.listStatus(root).map(_.getPath.getName)
-      .collect { case g if g.startsWith("gen=") =>
-        g.stripPrefix("gen=").toLong }
-      .foldLeft(-1L)(math.max) + 1L
-    s"gen=$next"
-  }
-
-  /** Atomic pointer flip + one-publish-cycle reader grace: generations
-    * older than the one being superseded are deleted, the immediately
-    * superseded one survives until the NEXT publish (an in-flight
-    * reader that resolved the old pointer finishes against a complete
-    * generation). */
-  private def publishGen(s: SparkSession, dir: String,
-      genName: String): Unit = {
-    val hfs = hfsOf(s, dir)
-    val tmp = new Path(dir, s".$Pointer.tmp")
-    val out = hfs.create(tmp, true)
-    try out.write(genName.getBytes("UTF-8")) finally out.close()
-    hfs.delete(new Path(dir, Pointer), false)
-    require(hfs.rename(tmp, new Path(dir, Pointer)),
-      s"GraphArtifact: pointer rename failed at $dir — a torn pointer " +
-        "would break every reader; refusing to continue")
-    val gens = hfs.listStatus(new Path(dir)).map(_.getPath)
-      .filter(p => p.getName.startsWith("gen=") && p.getName != genName)
-      .sortBy(_.getName.stripPrefix("gen=").toLong)
-    gens.dropRight(1).foreach(p => hfs.delete(p, true))
-  }
+  def edgesGenDir(s: SparkSession, dir: String): String = gens.genDir(s, dir)
 
   /** Drop every generation except CURRENT (the explicit end of the
     * reader grace window). Returns the number reclaimed. */
-  def expireEdgeGenerations(s: SparkSession, dir: String): Int = {
-    val current = new Path(edgesGenDir(s, dir)).getName
-    val hfs = hfsOf(s, dir)
-    val stale = hfs.listStatus(new Path(dir)).map(_.getPath)
-      .filter(p => p.getName.startsWith("gen=") && p.getName != current)
-    stale.foreach(p => hfs.delete(p, true))
-    stale.length
-  }
+  def expireEdgeGenerations(s: SparkSession, dir: String): Int =
+    gens.expire(s, dir)
 
   /** Normalize (src, dst) rows to the stored shape: undirected simple
     * (self-loops dropped, exact duplicates collapsed), BOTH
@@ -117,13 +71,13 @@ object GraphArtifact {
       s"GraphArtifact: bad nBuckets $nBuckets")
     val s = edges.sparkSession
     val hfs = hfsOf(s, dir)
-    val genName = nextGenName(s, dir)
+    val genName = gens.nextGenName(s, dir)
     val genDir = s"$dir/$genName"
     adjacency(edges, nBuckets)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$genDir/base")
     val out = hfs.create(new Path(genDir, MetaName), true)
     try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
-    publishGen(s, dir, genName)
+    gens.publish(s, dir, genName)
   }
 
   private def readNBuckets(s: SparkSession, genDir: String): Int = {

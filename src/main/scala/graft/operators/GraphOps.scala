@@ -249,7 +249,17 @@ object GraphOps {
     * regardless of the degree distribution; the naive "join at every
     * middle node" form is quadratic in the hub degree. Three
     * equi-shuffles total (degree, wedge-by-source, close-by-pair). */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame): DataFrame =
+    orientedTriangles(edges)
+      .select(explode(array(col("s"), col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+
+  /** Each triangle of the undirected simple graph exactly once, as
+    * (s, u, v) in ORIENTATION order (the (degree, id) total order — NOT
+    * id order; canonicalize pairs with least/greatest before keying on
+    * them). Shared core of [[triangleCounts]] and
+    * [[GraphAlgos.edgeEmbeddedness]]. */
+  private[operators] def orientedTriangles(edges: DataFrame): DataFrame = {
     val und = edges.select(
         least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
@@ -274,10 +284,9 @@ object GraphOps {
         "s")
       .filter(col("uk") < col("vk"))
       .select(col("s"), col("u"), col("v"))
-    val tri = wedges.join(
+    wedges.join(
       oriented.select(col("s").as("u"), col("t").as("v")), Seq("u", "v"))
-    tri.select(explode(array(col("s"), col("u"), col("v"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .select(col("s"), col("u"), col("v"))
   }
 
   /** Co-engagement projection: turn a bipartite engagement table

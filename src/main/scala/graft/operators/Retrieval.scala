@@ -96,7 +96,11 @@ object Retrieval {
   // next successful publish.
 
   private val MetaName = "_graft_postings_nbuckets"
-  private val Pointer = "CURRENT"
+  // generation lifecycle lives in the shared GenStore (one home for the
+  // gen=/CURRENT discipline across IVF, postings and edges); the meta
+  // sidecar lands last, so it doubles as the completeness sentinel
+  private val gens =
+    new graft.sources.GenStore(MetaName, "postings artifact")
 
   private def hfsOf(s: SparkSession, path: String) =
     new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -105,75 +109,15 @@ object Retrieval {
     * probes inspect the physical layout through it). Fails loudly on a
     * missing pointer (not an artifact) or a torn generation (pointer
     * names a dir whose meta manifest never landed). */
-  def postingsGenDir(s: SparkSession, dir: String): String = {
-    val hfs = hfsOf(s, dir)
-    val ptr = new Path(dir, Pointer)
-    require(hfs.exists(ptr),
-      s"Retrieval: no complete postings artifact at $dir (missing " +
-        s"$Pointer pointer — build one with writePostings)")
-    val in = hfs.open(ptr)
-    val gen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    val genDir = s"$dir/$gen"
-    if (!hfs.exists(new Path(genDir, MetaName)))
-      throw new IllegalStateException(
-        s"torn postings artifact at $dir: $Pointer names $gen but its " +
-          s"$MetaName manifest is missing — refusing to serve a partial " +
-          "generation")
-    genDir
-  }
-
-  private def nextGenName(s: SparkSession, dir: String): String = {
-    val hfs = hfsOf(s, dir)
-    val base = new Path(dir)
-    val next =
-      if (!hfs.exists(base)) 0L
-      else hfs.listStatus(base).map(_.getPath.getName)
-        .collect { case g if g.startsWith("gen=") =>
-          g.stripPrefix("gen=").toLong }
-        .foldLeft(-1L)(math.max) + 1L
-    s"gen=$next"
-  }
-
-  /** Flip the pointer to `genName` (atomic rename-overwrite), then GC
-    * old generations — except the one just superseded (one-cycle reader
-    * grace; see the layout note). */
-  private def publishGen(s: SparkSession, dir: String, genName: String): Unit = {
-    val hfs = hfsOf(s, dir)
-    val ptr = new Path(dir, Pointer)
-    val prev: Option[String] =
-      if (!hfs.exists(ptr)) None
-      else {
-        val in = hfs.open(ptr)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-        finally in.close()
-      }
-    val tmp = new Path(dir, s".$Pointer.tmp")
-    val out = hfs.create(tmp, true)
-    try out.write(genName.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      new Path(dir).toUri, s.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    hfs.listStatus(new Path(dir)).map(_.getPath)
-      .filter { p =>
-        p.getName.startsWith("gen=") && p.getName != genName &&
-          !prev.contains(p.getName) }
-      .foreach(p => hfs.delete(p, true))
-    s.catalog.refreshByPath(dir)
-  }
+  def postingsGenDir(s: SparkSession, dir: String): String =
+    gens.genDir(s, dir)
 
   /** Drop every generation except the CURRENT one — the explicit end of
     * the one-cycle grace [[writePostings]]'s publish grants the
     * generation it supersedes. Call when in-flight probes of the old
     * generation have provably drained. Returns generations deleted. */
-  def expirePostingsGenerations(s: SparkSession, dir: String): Int = {
-    val current = new Path(postingsGenDir(s, dir)).getName
-    val hfs = hfsOf(s, dir)
-    val doomed = hfs.listStatus(new Path(dir)).map(_.getPath)
-      .filter(p => p.getName.startsWith("gen=") && p.getName != current)
-    doomed.foreach(p => hfs.delete(p, true))
-    doomed.length
-  }
+  def expirePostingsGenerations(s: SparkSession, dir: String): Int =
+    gens.expire(s, dir)
 
   /** Persist the postings as a term-hash-bucketed parquet artifact: the
     * production home of phrase search at 100 TB — built once, probed by
@@ -199,16 +143,16 @@ object Retrieval {
     // migration: a pre-generation flat artifact (meta at the root, no
     // pointer) has no gen-aware readers — clear it so the root holds
     // only generation dirs + pointer from here on
-    if (!hfs.exists(new Path(dir, Pointer)) &&
+    if (!hfs.exists(new Path(dir, gens.pointer)) &&
         hfs.exists(new Path(dir, MetaName)))
       hfs.delete(new Path(dir), true)
-    val genName = nextGenName(s, dir)
+    val genName = gens.nextGenName(s, dir)
     val genDir = s"$dir/$genName"
     bucketedPostings(docs, nBuckets)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$genDir/base")
     val out = hfs.create(new Path(genDir, MetaName), true)
     try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
-    publishGen(s, dir, genName)
+    gens.publish(s, dir, genName)
   }
 
   private def bucketedPostings(docs: DataFrame, nBuckets: Int): DataFrame =

@@ -457,78 +457,27 @@ object VectorOps {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  // generation lifecycle lives in the shared GenStore (one home for
+  // the gen=/CURRENT discipline across IVF, postings and edges); the
+  // OK sentinel lands last, so it is the completeness manifest
+  private val gens = new graft.sources.GenStore(OkSentinel, "graft IVF index")
+
   /** Directory of the CURRENT index generation (public: specs and the
     * scale smoke inspect the physical cell layout through it). Fails
     * loudly on a missing pointer (not an index) or a torn generation
     * (pointer names a dir whose manifest never landed). */
-  def indexGenDir(s: SparkSession, path: String): String = {
-    val hfs = hfsOf(s, path)
-    val ptr = new org.apache.hadoop.fs.Path(s"$path/$Pointer")
-    if (!hfs.exists(ptr))
-      throw new IllegalStateException(
-        s"$path is not a graft IVF index (no $Pointer pointer file); " +
-          "build one with writeIvfIndex")
-    val in = hfs.open(ptr)
-    val gen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    val dir = s"$path/$gen"
-    if (!hfs.exists(new org.apache.hadoop.fs.Path(s"$dir/$OkSentinel")))
-      throw new IllegalStateException(
-        s"torn IVF index at $path: $Pointer names $gen but its " +
-          s"$OkSentinel manifest is missing — refusing to serve a " +
-          "partial generation")
-    dir
-  }
+  def indexGenDir(s: SparkSession, path: String): String =
+    gens.genDir(s, path)
 
-  private def nextGenName(s: SparkSession, path: String): String = {
-    val hfs = hfsOf(s, path)
-    val base = new org.apache.hadoop.fs.Path(path)
-    val next =
-      if (!hfs.exists(base)) 0L
-      else hfs.listStatus(base).map(_.getPath.getName)
-        .collect { case g if g.startsWith("gen=") =>
-          g.stripPrefix("gen=").toLong }
-        .foldLeft(-1L)(math.max) + 1L
-    s"gen=$next"
-  }
+  private def nextGenName(s: SparkSession, path: String): String =
+    gens.nextGenName(s, path)
 
   /** Flip the pointer to `genName` (atomic rename-overwrite), then GC
     * old generations — EXCEPT the one the flip just superseded, which
-    * gets a deletion grace of one full publish cycle: a reader that
-    * resolved the pointer an instant before the flip may still be
-    * opening the outgoing generation's files, and at cluster scale
-    * "an instant" is a whole multi-minute probe job. Unreferenced
-    * partial builds (crashed mid-write, never current) carry no such
-    * risk and are collected immediately. Operators who want the disk
-    * back sooner call [[expireIvfGenerations]] once in-flight readers
-    * have drained. */
-  private def publishGen(s: SparkSession, path: String, genName: String): Unit = {
-    val hfs = hfsOf(s, path)
-    // resolve the OUTGOING current generation before the flip
-    val prev: Option[String] = {
-      val ptr = new org.apache.hadoop.fs.Path(s"$path/$Pointer")
-      if (!hfs.exists(ptr)) None
-      else {
-        val in = hfs.open(ptr)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-        finally in.close()
-      }
-    }
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/.$Pointer.tmp")
-    val out = hfs.create(tmp, true)
-    try out.write(genName.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      new org.apache.hadoop.fs.Path(path).toUri,
-      s.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(s"$path/$Pointer"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    hfs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .map(_.getPath).filter { p =>
-        p.getName.startsWith("gen=") && p.getName != genName &&
-          !prev.contains(p.getName) }
-      .foreach(p => hfs.delete(p, true))
-    s.catalog.refreshByPath(path)
-  }
+    * gets a one-publish-cycle deletion grace (see GenStore); the
+    * explicit end of the grace is [[expireIvfGenerations]]. */
+  private def publishGen(s: SparkSession, path: String, genName: String): Unit =
+    gens.publish(s, path, genName)
 
   /** Drop every generation except the CURRENT one — the explicit end of
     * the grace period [[publishGen]] grants the generation it
@@ -536,15 +485,8 @@ object VectorOps {
     * have provably drained (job completion, a TTL, a reader registry —
     * deployment policy, not engine policy). Returns the number of
     * generations deleted. */
-  def expireIvfGenerations(s: SparkSession, path: String): Int = {
-    val current = new org.apache.hadoop.fs.Path(indexGenDir(s, path)).getName
-    val hfs = hfsOf(s, path)
-    val doomed = hfs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .map(_.getPath).filter { p =>
-        p.getName.startsWith("gen=") && p.getName != current }
-    doomed.foreach(p => hfs.delete(p, true))
-    doomed.length
-  }
+  def expireIvfGenerations(s: SparkSession, path: String): Int =
+    gens.expire(s, path)
 
   /** Write one full generation (corpus partitioned by cell + centroid
     * table + manifest) under `genDir` — no pointer change. The centroid

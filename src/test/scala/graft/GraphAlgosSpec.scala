@@ -276,6 +276,35 @@ class GraphAlgosSpec extends SparkSpecBase {
     assert(got(1L)._1 == 0L, "a never-pointed-at node's authority is 0")
   }
 
+  // ---------------------------------------------------------- embeddedness
+
+  /** Reference: common-neighbor count per undirected edge. */
+  private def refEmbed(edges: Seq[(Long, Long)])
+      : Map[(Long, Long), Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = collection.mutable.Map[Long, Set[Long]]()
+    und.foreach { case (a, b) =>
+      adj(a) = adj.getOrElse(a, Set.empty) + b
+      adj(b) = adj.getOrElse(b, Set.empty) + a
+    }
+    und.map { case (a, b) =>
+      (a, b) -> adj(a).intersect(adj(b)).size.toLong
+    }.filter(_._2 > 0).toMap
+  }
+
+  test("edgeEmbeddedness ≡ per-edge common-neighbor reference") {
+    // two triangles sharing an edge + a bridge with no common neighbors
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 2L),
+      (3L, 9L), (9L, 10L))
+    val got = GraphAlgos.edgeEmbeddedness(g.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == refEmbed(g))
+    assert(got((1L, 2L)) == 2L, "the shared edge sits in both triangles")
+    assert(!got.contains((9L, 10L)), "zero-common-neighbor edges absent")
+  }
+
   // ----------------------------------------------------- oracle round sync
 
   test("q132's Spark fixpoint lands within the oracle's unroll depth (sf0.001)") {

@@ -248,7 +248,7 @@ class RetrievalSpec extends SparkSpecBase {
 
   test("probing a dir with no complete artifact fails loudly") {
     val dir = s"/tmp/graft_test_postings_bad_${System.nanoTime()}"
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[IllegalStateException] {
       Retrieval.phraseSearchStored(spark, dir, Seq("a"))
     }
     assert(e.getMessage.contains("no complete postings artifact"))
