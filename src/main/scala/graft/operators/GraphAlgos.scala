@@ -224,27 +224,37 @@ object GraphAlgos {
       .localCheckpoint(true)
     var ah = nodes.withColumn("auth", lit(scale))
       .withColumn("hub", lit(scale)).localCheckpoint(true)
+    // Per iteration: TWO checkpoints, both bounded by the count of
+    // nodes that actually receive mass (the raw sum tables), never the
+    // padded all-nodes table, and NO checkpoint of the joined (auth,
+    // hub) result — it stays a lazy two-join view over the two
+    // checkpoint roots, so lineage is constant-depth and each consumer
+    // (the next round's one join, or the final output) evaluates it
+    // once. The maxima read the just-materialized checkpoint blocks
+    // (cheap scalar jobs); max over the sum table equals max over the
+    // padded table because sums of non-negative hubs are ≥ the missing
+    // nodes' implicit 0, and an EMPTY sum table coalesces to 0.
     for (_ <- 1 to iters) {
       val a2 = e.join(ah.select(col("node").as("src"), col("hub")), "src")
-        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("v"))
-      val aAll = nodes.join(a2, Seq("node"), "left")
-        .select(col("node"), coalesce(col("v"), lit(0L)).as("v"))
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("av"))
         .localCheckpoint(true)
-      val amax = aAll.agg(max(col("v"))).head.getLong(0)
+      val amax = a2.agg(coalesce(max(col("av")), lit(0L))).head.getLong(0)
       val aq = math.max(1L, amax / scale)
-      val aNorm = aAll.select(col("node"),
-        expr(s"v div ${aq}L").as("auth"))
+      val aNorm = nodes.join(a2, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"coalesce(av, 0L) div ${aq}L").as("auth"))
       val h2 = e.join(aNorm.select(col("node").as("dst"), col("auth")),
           "dst")
-        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("v"))
-      val hAll = nodes.join(h2, Seq("node"), "left")
-        .select(col("node"), coalesce(col("v"), lit(0L)).as("v"))
+        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hv"))
         .localCheckpoint(true)
-      val hmax = hAll.agg(max(col("v"))).head.getLong(0)
+      val hmax = h2.agg(coalesce(max(col("hv")), lit(0L))).head.getLong(0)
       val hq = math.max(1L, hmax / scale)
-      val hNorm = hAll.select(col("node"),
-        expr(s"v div ${hq}L").as("hub"))
-      ah = aNorm.join(hNorm, "node").localCheckpoint(true)
+      ah = nodes
+        .join(a2, Seq("node"), "left")
+        .join(h2, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"coalesce(av, 0L) div ${aq}L").as("auth"),
+          expr(s"coalesce(hv, 0L) div ${hq}L").as("hub"))
     }
     ah.select(col("node"), col("auth"), col("hub"))
   }
