@@ -259,6 +259,71 @@ object GraphAlgos {
     ah.select(col("node"), col("auth"), col("hub"))
   }
 
+  /** Deterministic random-walk corpus over the UNDIRECTED graph induced
+    * by `edges` — the DeepWalk/node2vec INPUT generator: graph-embedding
+    * training consumes walk sequences the way LLM training consumes
+    * token sequences, and at 100 TB the walk corpus is built
+    * distributed, not on a graph server. `walksPerSeed` walks of
+    * `steps` steps start at every seed; at node u, step t, walk w the
+    * next hop is the neighbor at index md5("u#t#w") % deg(u) in the
+    * id-sorted adjacency list — hash-derived choices instead of an RNG
+    * (the q55 md5 discipline), so the corpus is REPRODUCIBLE and
+    * oracle-replayable while still mixing like a uniform walk.
+    *
+    * One step = two equi-joins (walker ⋈ degree to compute the pick,
+    * then (node, pick) ⋈ (src, rank) against the ranked adjacency — the
+    * two-key join never explodes a walker into its neighborhood).
+    * Adjacency ranking is one row_number window per source node —
+    * bounded by the max degree, the standard adjacency-list build; a
+    * hub-capped projection (q130's winnowing) is the guard when degrees
+    * are unbounded. Walkers carry (seed, walk, node) only; steps
+    * checkpoint eagerly (constant-depth plans at any length). */
+  def randomWalks(edges: DataFrame, seeds: DataFrame, walksPerSeed: Int,
+      steps: Int): DataFrame = {
+    require(walksPerSeed >= 1 && walksPerSeed <= 64,
+      s"GraphAlgos: bad walksPerSeed $walksPerSeed")
+    require(steps >= 1 && steps <= 32, s"GraphAlgos: bad steps $steps")
+    require(seeds.columns.length == 1,
+      s"GraphAlgos: seeds must be a single id column, got " +
+        s"${seeds.columns.mkString("(", ", ", ")")}")
+    val dir = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nbr = dir.union(dir.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    val degT = nbr.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val rw = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val adj = nbr
+      .withColumn("rank", (row_number().over(rw) - 1).cast("long"))
+      .repartition(col("src")).localCheckpoint(true)
+    val seed0 = nbr.select(col("src").as("node")).distinct()
+      .join(seeds.select(col(seeds.columns.head).cast("long").as("node"))
+        .distinct(), "node")
+    require(seed0.limit(1).count() > 0,
+      "GraphAlgos.randomWalks: no seed intersects the edge set")
+    var cur = seed0.select(col("node").as("seed"),
+        explode(sequence(lit(0L), lit(walksPerSeed - 1L))).as("walk"),
+        col("node"))
+      .localCheckpoint(true)
+    var out = cur.withColumn("step", lit(0L))
+    for (t <- 1 to steps) {
+      val pick = expr(
+        s"pmod(CAST(conv(substring(md5(concat(CAST(node AS STRING), " +
+          s"'#', '$t', '#', CAST(walk AS STRING))), 1, 8), 16, 10) " +
+          s"AS BIGINT), deg)")
+      cur = cur
+        .join(degT.select(col("src").as("node"), col("deg")), "node")
+        .withColumn("pick", pick)
+        .join(adj.select(col("src").as("node"), col("dst"),
+          col("rank").as("pick")), Seq("node", "pick"))
+        .select(col("seed"), col("walk"), col("dst").as("node"))
+        .localCheckpoint(true)
+      out = out.union(cur.withColumn("step", lit(t.toLong)))
+    }
+    out.select(col("seed"), col("walk"), col("step"), col("node"))
+  }
+
   /** Per-edge common-neighbor counts ("embeddedness" — the strong-tie /
     * local-bridge signal: an edge whose endpoints share many neighbors
     * sits inside a community, one sharing none bridges two): each
@@ -355,7 +420,16 @@ object GraphAlgos {
     // neighbor count (ties by pair — deterministic limit).
     "q137_embeddedness" -> ((s, d) =>
       edgeEmbeddedness(GraphOps.copurchaseEdgesFor(s, d))
-        .orderBy(col("n_common").desc, col("a"), col("b")).limit(100)))
+        .orderBy(col("n_common").desc, col("a"), col("b")).limit(100)),
+
+    // DeepWalk corpus: 2 hash-deterministic walks of 3 steps from every
+    // Brand#1 part over the symmetrized co-purchase graph.
+    "q138_random_walks" -> ((s, d) =>
+      randomWalks(GraphOps.copurchaseEdgesFor(s, d),
+          Tables.part(s, d).filter(col("p_brand") === "Brand#1")
+            .select(col("p_partkey")),
+          walksPerSeed = 2, steps = 3)
+        .orderBy(col("seed"), col("walk"), col("step"))))
 
   // shared CTE head: the directed co-purchase edge derivation (the
   // q125 convention — lead over the (l_linenumber, l_partkey) total
@@ -534,5 +608,42 @@ FROM r$iters ORDER BY auth DESC, node LIMIT 100"""
            UNION ALL SELECT x, z FROM tri
            UNION ALL SELECT y, z FROM tri)
          SELECT a, b, count(*) AS n_common FROM pairs
-         GROUP BY a, b ORDER BY n_common DESC, a, b LIMIT 100"""))
+         GROUP BY a, b ORDER BY n_common DESC, a, b LIMIT 100"""),
+
+    "q138_random_walks" -> walksOracle(walksPerSeed = 2, steps = 3))
+
+  private def walksOracle(walksPerSeed: Int, steps: Int): String = {
+    val head = edgeHead + s""",
+nbr AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges
+    UNION ALL SELECT dst, src FROM edges) WHERE src <> dst),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM nbr GROUP BY src),
+adj AS MATERIALIZED (
+  SELECT src, dst,
+    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rank
+  FROM nbr),
+seeds AS (
+  SELECT DISTINCT n.src AS node FROM nbr n
+  JOIN part p ON p.p_partkey = n.src WHERE p.p_brand = 'Brand#1'),
+c0 AS MATERIALIZED (
+  SELECT node AS seed, w.walk, node
+  FROM seeds, (SELECT unnest(range(0, $walksPerSeed)) AS walk) w)"""
+    val stepCtes = (1 to steps).map { t =>
+      val p = t - 1
+      s"""
+c$t AS MATERIALIZED (
+  SELECT c.seed, c.walk, a.dst AS node
+  FROM c$p c
+  JOIN deg d ON d.src = c.node
+  JOIN adj a ON a.src = c.node AND a.rank =
+    ('0x' || substr(md5(CAST(c.node AS VARCHAR) || '#' || '$t' || '#'
+      || CAST(c.walk AS VARCHAR)), 1, 8))::BIGINT % d.deg)"""
+    }
+    val layers = (0 to steps).map(t =>
+      s"SELECT seed, walk, CAST($t AS BIGINT) AS step, node FROM c$t")
+    (head +: stepCtes).mkString(",") + "\n" +
+      layers.mkString("\nUNION ALL ") +
+      "\nORDER BY seed, walk, step"
+  }
 }

@@ -305,6 +305,71 @@ class GraphAlgosSpec extends SparkSpecBase {
     assert(!got.contains((9L, 10L)), "zero-common-neighbor edges absent")
   }
 
+  // ---------------------------------------------------------- random walks
+
+  /** Reference walker: same md5-derived choice over the id-sorted
+    * adjacency list. */
+  private def refWalks(edges: Seq[(Long, Long)], seeds: Set[Long],
+      walks: Int, steps: Int): Set[(Long, Long, Long, Long)] = {
+    val adj = collection.mutable.Map[Long, Set[Long]]()
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        adj(a) = adj.getOrElse(a, Set.empty) + b
+        adj(b) = adj.getOrElse(b, Set.empty) + a
+      }
+    }
+    def md5pick(node: Long, t: Int, w: Long, deg: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s"$node#$t#$w".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % deg).toInt
+    }
+    val out = collection.mutable.Set[(Long, Long, Long, Long)]()
+    for (seed <- seeds.intersect(adj.keySet); w <- 0L until walks.toLong) {
+      var node = seed
+      out += ((seed, w, 0L, node))
+      for (t <- 1 to steps) {
+        val ns = adj(node).toSeq.sorted
+        node = ns(md5pick(node, t, w, ns.size))
+        out += ((seed, w, t.toLong, node))
+      }
+    }
+    out.toSet
+  }
+
+  private val walkG = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+    (1L, 3L), (2L, 5L), (5L, 6L))
+
+  test("randomWalks ≡ md5 reference walker, reproducible across runs") {
+    val got = GraphAlgos.randomWalks(walkG.toDF("src", "dst"),
+        Seq(1L, 5L).toDF("node"), walksPerSeed = 2, steps = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == refWalks(walkG, Set(1L, 5L), 2, 4))
+    val again = GraphAlgos.randomWalks(walkG.toDF("src", "dst"),
+        Seq(1L, 5L).toDF("node"), walksPerSeed = 2, steps = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == again, "walks must be bit-reproducible")
+  }
+
+  test("randomWalks: every consecutive hop is a graph edge, counts exact") {
+    val df = GraphAlgos.randomWalks(walkG.toDF("src", "dst"),
+      Seq(1L).toDF("node"), walksPerSeed = 3, steps = 5)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 3 * 6, "3 walks x (seed + 5 steps)")
+    val und = walkG.flatMap(e => Seq(e, e.swap)).toSet
+    rows.groupBy(r => (r._1, r._2)).values.foreach { walk =>
+      val path = walk.sortBy(_._3).map(_._4).toSeq
+      path.sliding(2).foreach { case Seq(a, b) =>
+        assert(und.contains((a, b)), s"non-edge hop $a->$b in $path")
+      }
+    }
+  }
+
   // ----------------------------------------------------- oracle round sync
 
   test("q132's Spark fixpoint lands within the oracle's unroll depth (sf0.001)") {
