@@ -44,7 +44,11 @@ object StreamGraph {
     val ops = batch.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"),
       col("op").cast("string").as("op")).distinct()
-    val badOp = ops.filter(!col("op").isin("add", "del")).limit(1).collect()
+    // isin() alone would let a NULL op slip through as neither-add-nor-
+    // del (three-valued logic filters it out silently) — refuse those too
+    val badOp = ops
+      .filter(col("op").isNull || !col("op").isin("add", "del"))
+      .limit(1).collect()
     if (badOp.nonEmpty)
       throw new IllegalStateException(
         s"StreamGraph: batch $batchId carries op " +

@@ -95,6 +95,12 @@ class StreamGraphSpec extends SparkSpecBase {
         Seq((5L, 6L, "upsert")).toDF("src", "dst", "op"), 2L, dir, 8)
     }
     assert(e2.getMessage.contains("only add/del"))
+    // and a NULL op must not slip through isin()'s three-valued logic
+    val e3 = intercept[IllegalStateException] {
+      StreamGraph.maintainBatch(
+        Seq((5L, 6L, null: String)).toDF("src", "dst", "op"), 3L, dir, 8)
+    }
+    assert(e3.getMessage.contains("only add/del"))
   }
 
   test("neighbor probe reads exactly one bucket (partition-pruned)") {
