@@ -429,7 +429,25 @@ object GraphAlgos {
           Tables.part(s, d).filter(col("p_brand") === "Brand#1")
             .select(col("p_partkey")),
           walksPerSeed = 2, steps = 3)
-        .orderBy(col("seed"), col("walk"), col("step"))))
+        .orderBy(col("seed"), col("walk"), col("step"))),
+
+    // Clustering coefficient as the INTEGER pair (triangles, wedges) —
+    // n_tri div n_wedge is the float coefficient, kept out of the row
+    // so every value stays exact (the q129 convention); n_wedge =
+    // C(deg, 2) of the undirected graph.
+    "q139_clustering_coeff" -> ((s, d) => {
+      val e = GraphOps.copurchaseEdgesFor(s, d)
+      val und = e.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      deg.join(GraphOps.triangleCounts(e), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          expr("deg * (deg - 1) div 2").as("n_wedge"))
+        .orderBy(col("node"))
+    }))
 
   // shared CTE head: the directed co-purchase edge derivation (the
   // q125 convention — lead over the (l_linenumber, l_partkey) total
@@ -610,7 +628,29 @@ FROM r$iters ORDER BY auth DESC, node LIMIT 100"""
          SELECT a, b, count(*) AS n_common FROM pairs
          GROUP BY a, b ORDER BY n_common DESC, a, b LIMIT 100"""),
 
-    "q138_random_walks" -> walksOracle(walksPerSeed = 2, steps = 3))
+    "q138_random_walks" -> walksOracle(walksPerSeed = 2, steps = 3),
+
+    "q139_clustering_coeff" -> (edgeHead + """,
+         und AS MATERIALIZED (
+           SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM edges WHERE src <> dst),
+         deg AS (SELECT node, count(*) AS deg FROM (
+             SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+           GROUP BY node),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM und e1
+           JOIN und e2 ON e2.a = e1.b
+           JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         corners AS (
+           SELECT x AS node FROM tri
+           UNION ALL SELECT y FROM tri
+           UNION ALL SELECT z FROM tri),
+         tc AS (SELECT node, count(*) AS n_tri FROM corners GROUP BY node)
+         SELECT d.node, coalesce(tc.n_tri, 0) AS n_tri,
+           (d.deg * (d.deg - 1)) // 2 AS n_wedge
+         FROM deg d LEFT JOIN tc ON tc.node = d.node
+         ORDER BY d.node"""))
 
   private def walksOracle(walksPerSeed: Int, steps: Int): String = {
     val head = edgeHead + s""",

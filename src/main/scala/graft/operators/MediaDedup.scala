@@ -144,6 +144,92 @@ object MediaDedup {
     cross.union(within)
   }
 
+  /** 64-bit energy-trend fingerprint of an 8-bit-PCM WAV payload — the
+    * audio analog of [[aHash]]: samples split onto 64 equal windows
+    * (integer edges, any length ≥ 1), per-window energy `Σ(v-128)²` in
+    * exact Longs, bit i set iff window i's energy exceeds window
+    * (i+1) mod 64's. The TREND of the energy envelope survives what
+    * byte equality doesn't: uniform gain `v → 128 + α·(v-128)` scales
+    * every window energy by exactly α², so all 64 comparisons — and the
+    * fingerprint — are EXACTLY invariant (while the content hash
+    * moves), the brightness-shift theorem transposed to audio. Pair
+    * with [[nearDupPairs]] — it is fingerprint-agnostic. */
+  def audioTrendHash(payload: Array[Byte]): Long = {
+    require(payload.length >= 44 &&
+      new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(payload, 8, 4, "US-ASCII") == "WAVE",
+      "MediaDedup: not a WAV payload")
+    def le32(off: Int): Int =
+      (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
+        ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
+    var off = 12
+    var dataOff = -1
+    var dataLen = 0
+    while (dataOff < 0 && off + 8 <= payload.length) {
+      val id = new String(payload, off, 4, "US-ASCII")
+      val len = le32(off + 4)
+      require(len >= 0 && off.toLong + 8 + len <= payload.length,
+        s"MediaDedup: corrupt WAV chunk `$id` length $len")
+      if (id == "data") { dataOff = off + 8; dataLen = len }
+      else off += 8 + len + (len & 1)
+    }
+    require(dataOff >= 0 && dataLen > 0, "MediaDedup: WAV has no data")
+    val e = new Array[Long](64)
+    var i = 0
+    while (i < dataLen) {
+      val c = (payload(dataOff + i) & 0xff) - 128L
+      e((64L * i / dataLen).toInt) += c * c
+      i += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (e(b) > e((b + 1) % 64)) hash |= (1L << b)
+      b += 1
+    }
+    hash
+  }
+
+  /** (doc_id, ahash) for every WAV payload — feed to [[nearDupPairs]]. */
+  def audioHashes(media: Dataset[MediaRecord]): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => (r.doc_id, audioTrendHash(r.payload)))
+    }.toDF("doc_id", "ahash")
+  }
+
+  /** Planted audio-dup corpus: generator WAVs with samples compressed
+    * toward the midpoint (so a ×2 gain never clips), plus for ids ≡ 0
+    * (mod 5) an exactly-gain-doubled copy at id+offset — different
+    * bytes, identical energy trend. */
+  def plantedAudioTable(s: org.apache.spark.sql.SparkSession, d: String,
+      offset: Long = 1000000L): Dataset[MediaRecord] = {
+    import s.implicits._
+    graft.sources.Tables.spread(graft.sources.Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val n = (160 + id % 400).toInt
+          val raw = Multimodal.MediaCodec.makeWav(n, id)
+          def withGain(alpha: Int): Array[Byte] = {
+            val out = raw.clone()
+            var i = 44
+            while (i < out.length) {
+              val centered = ((out(i) & 0xff) - 128) / 2
+              out(i) = (128 + alpha * centered).toByte
+              i += 1
+            }
+            out
+          }
+          val orig = rec(id, withGain(1), "audio")
+          if (id % 5 == 0)
+            Iterator(orig, rec(id + offset, withGain(2), "audio"))
+          else Iterator(orig)
+        }
+      }
+  }
+
   /** The planted perceptual-dup corpus for specs/probes: every PNG from
     * the generator (pixels clamped to ≤ 246 so a +9 shift never
     * saturates — saturation would break the EXACT invariance the spec
@@ -184,9 +270,10 @@ object MediaDedup {
       }
   }
 
-  private def rec(id: Long, bytes: Array[Byte]): MediaRecord = {
+  private def rec(id: Long, bytes: Array[Byte],
+      mediaType: String = "image"): MediaRecord = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    MediaRecord(id, "image", bytes, bytes.length.toLong,
+    MediaRecord(id, mediaType, bytes, bytes.length.toLong,
       md.digest(bytes).map("%02x".format(_)).mkString)
   }
 }

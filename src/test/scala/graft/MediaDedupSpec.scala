@@ -82,6 +82,63 @@ class MediaDedupSpec extends SparkSpecBase {
     hashes.unpersist()
   }
 
+  test("audioTrendHash: exact gain invariance; planted copies pair through the pipeline") {
+    // handcrafted WAV helper: 8-bit PCM mono around midpoint 128
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val n = samples.length
+      val out = new Array[Byte](44 + n)
+      def ascii(off: Int, s: String): Unit =
+        s.zipWithIndex.foreach { case (c, i) => out(off + i) = c.toByte }
+      def le32(off: Int, v: Int): Unit = (0 until 4).foreach(i =>
+        out(off + i) = (v >> (8 * i)).toByte)
+      ascii(0, "RIFF"); le32(4, 36 + n); ascii(8, "WAVE")
+      ascii(12, "fmt "); le32(16, 16); out(20) = 1; out(22) = 1
+      le32(24, 8000); le32(28, 8000); out(32) = 1; out(34) = 8
+      ascii(36, "data"); le32(40, n)
+      samples.zipWithIndex.foreach { case (v, i) => out(44 + i) = v.toByte }
+      out
+    }
+    val base = (0 until 320).map(i => 128 + ((i * 7) % 40 - 20))
+    val doubled = base.map(v => 128 + 2 * (v - 128))
+    assert(MediaDedup.audioTrendHash(wav(base)) ==
+      MediaDedup.audioTrendHash(wav(doubled)),
+      "x2 gain must be exactly invariant")
+    // a reversed envelope is structurally different
+    val hBase = MediaDedup.audioTrendHash(wav(base))
+    val hRev = MediaDedup.audioTrendHash(wav(base.reverse))
+    assert(java.lang.Long.bitCount(hBase ^ hRev) >= 16,
+      "reversed audio should be far in hamming")
+    // full pipeline over the planted table: every gain-doubled copy
+    // lands in its original's cluster
+    val media = MediaDedup.plantedAudioTable(spark, sf)
+    val pairs = MediaDedup.nearDupPairs(
+        MediaDedup.audioHashes(media), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      parent(x) = r; r
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    import org.apache.spark.sql.functions.col
+    val planted = media.filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("o")).as[Long].collect()
+    planted.foreach(o => assert(find(o) == find(o + 1000000L),
+      s"planted audio pair for $o not connected"))
+  }
+
+  test("audioTrendHash: corrupt WAVs are refused loudly") {
+    val e = intercept[IllegalArgumentException] {
+      MediaDedup.audioTrendHash("RIFFxxxxWAVEjunk".getBytes ++
+        new Array[Byte](40))
+    }
+    assert(e.getMessage.contains("WAV"))
+    intercept[IllegalArgumentException] {
+      MediaDedup.audioTrendHash(new Array[Byte](10))
+    }
+  }
+
   test("banded LSH finds every pair within hamming 3 (pigeonhole recall)") {
     // distinct synthetic hashes: base patterns + variants at hamming 1-3
     val base = Seq(0x0123456789abcdefL, 0x00000000ffffffffL,
