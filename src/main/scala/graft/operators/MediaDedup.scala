@@ -46,9 +46,16 @@ object MediaDedup {
   /** Exact-integer 8×8 average hash of a decoded image (see object doc;
     * bit 8·by+bx, MSB-free plain Long). Deterministic for any image. */
   def aHash(img: BufferedImage): Long = {
-    val (w, h) = (img.getWidth, img.getHeight)
-    require(w > 0 && h > 0, "MediaDedup: empty image")
+    require(img.getWidth > 0 && img.getHeight > 0, "MediaDedup: empty image")
     val raster = img.getRaster
+    aHashSamples(img.getWidth, img.getHeight,
+      (x, y) => raster.getSample(x, y, 0))
+  }
+
+  /** The shared block-average core over any (w × h, sample) plane —
+    * images decode through a raster, video frames read raw bytes. */
+  private def aHashSamples(w: Int, h: Int,
+      sample: (Int, Int) => Int): Long = {
     // block sums + pixel counts on the 8x8 grid: pixel (x, y) lands in
     // block (8x/w, 8y/h) — exact integer block edges, any w/h ≥ 1
     val sums = new Array[Long](64)
@@ -60,7 +67,7 @@ object MediaDedup {
       var x = 0
       while (x < w) {
         val b = by * 8 + (8L * x / w).toInt
-        val v = raster.getSample(x, y, 0).toLong
+        val v = sample(x, y).toLong
         sums(b) += v
         pix(b) += 1L
         total += v
@@ -81,6 +88,90 @@ object MediaDedup {
       b += 1
     }
     hash
+  }
+
+  /** [[aHash]] of a video's MIDDLE frame — the frame-sample convention
+    * (q57) applied to dedup: re-encoded/re-graded copies of the same
+    * footage collide while different footage doesn't, and one frame's
+    * hash costs O(w·h) regardless of duration. Dispatches on BYTES like
+    * the image path: ISO-BMFF walks the real box tree (dims and frame
+    * offsets from tkhd/stsz/stco — raw-gray payloads only, anything
+    * else is refused loudly, the honest stand-in for a codec hook);
+    * GIF decodes its first frame through ImageIO. The aHash core is
+    * shared, so the brightness-shift invariance theorem carries over
+    * verbatim. */
+  def videoFrameHash(payload: Array[Byte]): Long = {
+    if (payload.length >= 6 &&
+        new String(payload, 0, 3, "US-ASCII") == "GIF") {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, "MediaDedup: undecodable GIF payload")
+      aHash(img)
+    } else {
+      val info = Multimodal.MediaCodec.parseMp4(payload)
+      require(info.sampleSize == info.width * info.height,
+        s"MediaDedup: non-raw-gray MP4 sample size ${info.sampleSize} " +
+          s"for ${info.width}x${info.height} — plug a codec here")
+      val mid = info.nFrames / 2
+      val base = info.dataOff + mid.toLong * info.sampleSize
+      require(base >= 0 && base + info.sampleSize <= payload.length,
+        "MediaDedup: middle frame overruns the MP4 payload")
+      aHashSamples(info.width, info.height,
+        (x, y) => payload((base + y.toLong * info.width + x).toInt) & 0xff)
+    }
+  }
+
+  /** (doc_id, ahash) for every video payload — feed to [[nearDupPairs]]. */
+  def videoHashes(media: Dataset[MediaRecord]): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => (r.doc_id, videoFrameHash(r.payload)))
+    }.toDF("doc_id", "ahash")
+  }
+
+  /** Planted video-dup corpus: generator MP4s with mdat pixels clamped
+    * to ≤ 246, plus for ids ≡ 0 (mod 5) a +9 brightness-regrade at
+    * id+offset — different bytes, identical middle-frame structure. */
+  def plantedVideoTable(s: org.apache.spark.sql.SparkSession, d: String,
+      offset: Long = 1000000L): Dataset[MediaRecord] = {
+    import s.implicits._
+    graft.sources.Tables.spread(graft.sources.Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val w = (16 + id % 32).toInt
+          val h = (16 + (id / 3) % 32).toInt
+          val frames = (1 + id % 10).toInt
+          val raw = Multimodal.MediaCodec.makeMp4(w, h, frames, id)
+          def regrade(delta: Int): Array[Byte] = {
+            val out = raw.clone()
+            // top-level box walk to the mdat payload
+            def be32(off: Int): Int =
+              ((out(off) & 0xff) << 24) | ((out(off + 1) & 0xff) << 16) |
+                ((out(off + 2) & 0xff) << 8) | (out(off + 3) & 0xff)
+            var off = 0
+            var done = false
+            while (!done && off + 8 <= out.length) {
+              val size = be32(off)
+              require(size >= 8, s"corrupt box at $off")
+              if (new String(out, off + 4, 4, "US-ASCII") == "mdat") {
+                var i = off + 8
+                while (i < off + size) {
+                  out(i) = (math.min(246, out(i) & 0xff) + delta).toByte
+                  i += 1
+                }
+                done = true
+              } else off += size
+            }
+            require(done, "generator MP4 without mdat")
+            out
+          }
+          val orig = rec(id, regrade(0), "video")
+          if (id % 5 == 0)
+            Iterator(orig, rec(id + offset, regrade(9), "video"))
+          else Iterator(orig)
+        }
+      }
   }
 
   // 8-bit samples × ≤2^31 pixels fit a Long product for any image up to

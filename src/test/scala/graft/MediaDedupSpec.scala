@@ -128,6 +128,37 @@ class MediaDedupSpec extends SparkSpecBase {
       s"planted audio pair for $o not connected"))
   }
 
+  test("videoFrameHash: regraded MP4 copies pair; GIF dispatches by bytes") {
+    val media = MediaDedup.plantedVideoTable(spark, sf)
+    val pairs = MediaDedup.nearDupPairs(
+        MediaDedup.videoHashes(media), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      parent(x) = r; r
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    import org.apache.spark.sql.functions.col
+    val planted = media.filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("o")).as[Long].collect()
+    assert(planted.nonEmpty)
+    planted.foreach(o => assert(find(o) == find(o + 1000000L),
+      s"planted video pair for $o not connected"))
+    // GIF path: deterministic and structure-sensitive
+    val g1 = MediaDedup.videoFrameHash(
+      graft.operators.Multimodal.MediaCodec.makeGif(24, 24, 3, 7L))
+    val g2 = MediaDedup.videoFrameHash(
+      graft.operators.Multimodal.MediaCodec.makeGif(24, 24, 3, 7L))
+    assert(g1 == g2, "GIF hash must be deterministic")
+    // a truncated MP4 is refused loudly, never a silent wrong hash
+    val mp4 = graft.operators.Multimodal.MediaCodec.makeMp4(16, 16, 4, 3L)
+    intercept[Exception] {
+      MediaDedup.videoFrameHash(mp4.take(mp4.length / 2))
+    }
+  }
+
   test("audioTrendHash: corrupt WAVs are refused loudly") {
     val e = intercept[IllegalArgumentException] {
       MediaDedup.audioTrendHash("RIFFxxxxWAVEjunk".getBytes ++
