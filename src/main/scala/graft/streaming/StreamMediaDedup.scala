@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming perceptual media dedup — the ingest-time form of
+  * MediaDedup's banded-Hamming batch pipeline, and the pixels/samples
+  * sibling of [[StreamDedup]] (text MinHash): a continuously-arriving
+  * stream of 64-bit perceptual fingerprints (image aHash, audio energy
+  * trend, video middle-frame hash — the operator is
+  * fingerprint-agnostic, like `MediaDedup.nearDupPairs`) is checked
+  * against everything already admitted, per Hamming band bucket.
+  *
+  * Shape: each arrival fans out to its 4 × 16-bit band buckets; a
+  * `flatMapGroupsWithState` keyed on (band, bits) compares the full
+  * 64-bit hash against the signatures stored in that bucket's state
+  * with one `bitCount(xor)` each — by pigeonhole any earlier item
+  * within Hamming 3 shares at least one intact band, so at the default
+  * radius recall against ADMITTED state is exact, the same guarantee
+  * as the batch pipeline. A doc flagged in ANY band is a duplicate;
+  * the per-doc verdict is the OR over its bands ([[resolve]] per
+  * micro-batch), earliest-admitted witness wins deterministically.
+  *
+  * Scale posture (the StreamDedup trade, inherited deliberately):
+  * state is per-bucket — 2¹⁶ possible buckets per band shard like any
+  * keyed aggregation — each bucket FIFO-capped at [[maxBucket]]
+  * signatures and idle buckets GC'd by a processing-time timeout, so
+  * state is bounded regardless of stream length: bounded state for
+  * bounded-recall dedup on unbounded input.
+  */
+object StreamMediaDedup {
+
+  /** A fingerprinted media item arriving on the stream. */
+  final case class MediaEvent(docId: Long, ahash: Long)
+
+  /** Band-level verdict: `dupOf` = earliest admitted doc in this band
+    * bucket within the Hamming radius. */
+  final case class BandVerdict(docId: Long, band: Int, dupOf: Option[Long])
+
+  /** Per-bucket state: admitted (docId, hash) pairs, insertion order. */
+  final case class BucketState(entries: List[(Long, Long)])
+
+  val BucketIdleTimeoutMs: Long = 3600 * 1000L
+
+  /** The per-bucket transition, factored out for direct unit testing. */
+  def transition(maxHamming: Int, maxBucket: Int)(
+      key: Long, rows: Iterator[(Long, Long, Long)],
+      state: GroupState[BucketState]): Iterator[BandVerdict] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    var entries =
+      state.getOption.map(_.entries).getOrElse(List.empty[(Long, Long)])
+    val band = (key >> 16).toInt
+    // arrival order within a micro-batch is not deterministic: process
+    // in docId order so the earliest doc is admitted first and a batch
+    // carrying a dup pair resolves the same way on any partitioning
+    val out = rows.toSeq.sortBy(_._1).iterator.map {
+      case (docId, _, hash) =>
+        val hit = entries.reverseIterator.find { case (_, h) =>
+          java.lang.Long.bitCount(h ^ hash) <= maxHamming
+        }
+        if (hit.isEmpty) {
+          entries = (docId, hash) :: entries
+          if (entries.length > maxBucket) entries = entries.take(maxBucket)
+        }
+        BandVerdict(docId, band, hit.map(_._1))
+    }.toList
+    state.update(BucketState(entries))
+    state.setTimeoutDuration(BucketIdleTimeoutMs)
+    out.iterator
+  }
+
+  /** Band verdicts for a stream of [[MediaEvent]]s. */
+  def bandVerdicts(events: Dataset[MediaEvent], maxHamming: Int = 3,
+      maxBucket: Int = 4096): Dataset[BandVerdict] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"StreamMediaDedup: bad maxHamming $maxHamming")
+    require(maxBucket >= 1, s"StreamMediaDedup: bad maxBucket $maxBucket")
+    events
+      .flatMap { e =>
+        (0 until 4).map { b =>
+          val bits = (e.ahash >> (b * 16)) & 0xffffL
+          (e.docId, b.toLong * 65536L + bits, e.ahash)
+        }
+      }
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.ProcessingTimeTimeout())(
+        transition(maxHamming, maxBucket))
+  }
+
+  /** Collapse band verdicts to one per doc: a duplicate iff ANY band
+    * found a witness; the smallest witness id wins (deterministic). */
+  def resolve(verdicts: Dataset[BandVerdict])
+      : Dataset[(Long, Option[Long])] = {
+    val spark = verdicts.sparkSession
+    import spark.implicits._
+    verdicts.groupByKey(_.docId)
+      .mapGroups { (id, vs) =>
+        val ws = vs.flatMap(_.dupOf).toSeq
+        (id, if (ws.isEmpty) None else Some(ws.min))
+      }
+  }
+}
