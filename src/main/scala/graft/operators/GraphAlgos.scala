@@ -382,7 +382,7 @@ object GraphAlgos {
     // co-purchase graph, out to 4 hops — the exact proximity signal
     // beside q128's TrustRank approximation.
     "q133_bfs_layers" -> ((s, d) =>
-      bfsLayers(copurchaseSupported(Tables.lineitem(s, d), 2),
+      bfsLayers(GraphOps.copurchaseSupportedFor(s, d, 2),
           Tables.part(s, d).filter(col("p_brand") === "Brand#1")
             .select(col("p_partkey")),
           maxHops = 4)
@@ -411,7 +411,7 @@ object GraphAlgos {
     // labeled by its component minimum.
     "q136_graph_components" -> ((s, d) =>
       graft.operators.TextOps.minLabelPropagate(
-          copurchaseSupported(Tables.lineitem(s, d), 2)
+          GraphOps.copurchaseSupportedFor(s, d, 2)
             .select(col("src").as("a"), col("dst").as("b")))
         .select(col("node"), col("label").as("component"))
         .orderBy(col("node"))),

@@ -108,10 +108,15 @@ object GraphArtifact {
     val hfs = hfsOf(s, dir)
     val committed = new Path(genDir, s"appends/$tag")
     if (hfs.exists(committed)) return false // replay: already published
-    deletes.foreach { d =>
-      val clash = adjacency(adds, nBuckets).select(col("src"), col("dst"))
-        .join(adjacency(d, nBuckets).select(col("src"), col("dst")),
-          Seq("src", "dst"))
+    // normalize each delta ONCE (delta-sized checkpoints): the clash
+    // check, emptiness probe, and bucketed writes all re-read these
+    // instead of re-deriving the caller's batch plan per consumer
+    val addAdj = adjacency(adds, nBuckets).localCheckpoint(true)
+    val delAdj =
+      deletes.map(d => adjacency(d, nBuckets).localCheckpoint(true))
+    delAdj.foreach { d =>
+      val clash = addAdj.select(col("src"), col("dst"))
+        .join(d.select(col("src"), col("dst")), Seq("src", "dst"))
         .limit(1).collect()
       if (clash.nonEmpty)
         throw new IllegalStateException(
@@ -122,10 +127,11 @@ object GraphArtifact {
     }
     val tmp = new Path(genDir, s".append_tmp_$tag")
     if (hfs.exists(tmp)) hfs.delete(tmp, true) // torn-attempt debris
-    adjacency(adds, nBuckets)
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/data")
-    deletes.foreach { d =>
-      val slim = adjacency(d, nBuckets)
+    addAdj.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$tmp/data")
+    delAdj.foreach { slim =>
+      // written only when non-empty: the dir's existence is the probe's
+      // has-tombstones signal, so delete-free appends cost no join
       if (!slim.isEmpty)
         slim.write.mode("overwrite").partitionBy("bucket")
           .parquet(s"$tmp/deletes")

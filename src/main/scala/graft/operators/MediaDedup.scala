@@ -107,10 +107,10 @@ object MediaDedup {
       require(img != null, "MediaDedup: undecodable GIF payload")
       aHash(img)
     } else {
+      // parseMp4 enforces sampleSize == width*height (raw-gray) and
+      // throws on anything else — that refusal IS the codec-hook seam;
+      // real-codec support starts by relaxing parseMp4's contract
       val info = Multimodal.MediaCodec.parseMp4(payload)
-      require(info.sampleSize == info.width * info.height,
-        s"MediaDedup: non-raw-gray MP4 sample size ${info.sampleSize} " +
-          s"for ${info.width}x${info.height} — plug a codec here")
       val mid = info.nFrames / 2
       val base = info.dataOff + mid.toLong * info.sampleSize
       require(base >= 0 && base + info.sampleSize <= payload.length,

@@ -1039,8 +1039,9 @@ object VectorOps {
     * is safe for correctness because every stage is deterministic
     * (md5-seeded exact-integer Lloyd, exact-decimal dots): a cache hit
     * returns bit-identical edges to a fresh train. Stored in the
-    * per-session weak memo ([[memoFor]]) so a new session never sees a
-    * stale plan and a dead session's blocks are reclaimable.
+    * per-session memo ([[memoFor]]) so a new session never sees a
+    * stale plan (see memoFor's lifetime contract for what is and is
+    * not reclaimed).
     *
     * The edge set is materialized by eager `localCheckpoint`, NOT
     * `persist`: the bench/verify harnesses call
@@ -1052,13 +1053,20 @@ object VectorOps {
     * survives; the training caches are released eagerly once the edges
     * (≤ N·k id pairs) are materialized. */
   /** Per-session memo store for trained artifacts (gated edge sets, PQ
-    * codebooks, coarse assignments). WEAKLY keyed by the owning
-    * SparkSession — an identity map, so two sessions can never alias
-    * (the previous identityHashCode-in-a-string key could collide), and
-    * a stopped, dereferenced session's entries (and through them its
-    * checkpointed blocks) become unreachable and are reclaimed by GC +
-    * ContextCleaner instead of pinning executor storage for the JVM's
-    * lifetime. */
+    * codebooks, coarse assignments). Keyed by the owning SparkSession
+    * as an identity map, so two sessions can never alias (the previous
+    * identityHashCode-in-a-string key could collide).
+    *
+    * Lifetime contract, stated honestly: the map is weak-KEYED, but a
+    * memoized DATAFRAME value (the gated edge set, the q114 coarse
+    * assignment) strongly references its session, which per the
+    * WeakHashMap contract pins that entry until [[invalidateMemos]] or
+    * JVM exit — pure driver-array values (codebooks) carry no such
+    * reference and do reclaim with the session. A few entries per
+    * (session, dir) is the accepted cost in the one-session-per-
+    * process harnesses this serves; call [[invalidateMemos]] when the
+    * data under a dir is rewritten mid-session or an executor loss
+    * strands a localCheckpoint. */
   private val sessionMemos = new java.util.WeakHashMap[SparkSession,
     java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
 
@@ -1071,6 +1079,15 @@ object VectorOps {
         sessionMemos.put(s, m)
       }
       m
+    }
+
+  /** Drop every memoized trained artifact for `s` — the explicit
+    * eviction for rewritten source data or stranded checkpoints (see
+    * the memo contract above). */
+  def invalidateMemos(s: SparkSession): Unit =
+    sessionMemos.synchronized {
+      val m = sessionMemos.get(s)
+      if (m != null) m.clear()
     }
 
   private def plantedGatedEdges(s: SparkSession, d: String, k: Int,

@@ -41,9 +41,13 @@ object StreamGraph {
     if (!hfs.exists(new org.apache.hadoop.fs.Path(dir, "CURRENT")))
       GraphArtifact.writeEdges(
         batch.select(col("src"), col("dst")).limit(0), dir, nBuckets)
+    // ONE materialization of the batch: everything below (validation
+    // collect, conflict-check join, emptiness probe, two bucketed
+    // writes) re-reads this checkpoint instead of re-deriving the
+    // upstream batch plan per consumer (~6 recomputes otherwise)
     val ops = batch.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"),
-      col("op").cast("string").as("op")).distinct()
+      col("op").cast("string").as("op")).distinct().localCheckpoint(true)
     // isin() alone would let a NULL op slip through as neither-add-nor-
     // del (three-valued logic filters it out silently) — refuse those too
     val badOp = ops

@@ -19,7 +19,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * radius recall against ADMITTED state is exact, the same guarantee
   * as the batch pipeline. A doc flagged in ANY band is a duplicate;
   * the per-doc verdict is the OR over its bands ([[resolve]] per
-  * micro-batch), earliest-admitted witness wins deterministically.
+  * micro-batch), the SMALLEST witness id winning deterministically
+  * (witnesses are admitted docs; in the intended ingest use ids are
+  * arrival-ordered, but the tiebreak contract is min-id, not
+  * admission order — bands don't carry admission times).
   *
   * Scale posture (the StreamDedup trade, inherited deliberately):
   * state is per-bucket — 2¹⁶ possible buckets per band shard like any
@@ -94,7 +97,8 @@ object StreamMediaDedup {
   }
 
   /** Collapse band verdicts to one per doc: a duplicate iff ANY band
-    * found a witness; the smallest witness id wins (deterministic). */
+    * found a witness; the smallest witness id wins — the deterministic
+    * tiebreak (NOT admission order; see the class doc). */
   def resolve(verdicts: Dataset[BandVerdict])
       : Dataset[(Long, Option[Long])] = {
     val spark = verdicts.sparkSession

@@ -370,6 +370,31 @@ class GraphAlgosSpec extends SparkSpecBase {
     }
   }
 
+  // ------------------------------------------------------- memo contract
+
+  test("memoized edge derivations serve until invalidateMemos, then rebuild") {
+    import graft.operators.GraphOps
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_memo_").toString
+    def writeLineitem(parts: Seq[Long]): Unit =
+      parts.zipWithIndex
+        .map { case (p, i) => (1L, (i + 1).toLong, p) }
+        .toDF("l_orderkey", "l_linenumber", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    def edges(): Set[(Long, Long)] =
+      GraphOps.copurchaseEdgesFor(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    writeLineitem(Seq(10L, 20L))
+    assert(edges() == Set((10L, 20L)))
+    // the memo's documented behavior: a REWRITE under the same dir is
+    // served stale until the explicit eviction...
+    writeLineitem(Seq(30L, 40L))
+    assert(edges() == Set((10L, 20L)), "memo must serve the old edges")
+    // ...and invalidateMemos rebuilds from the new source
+    GraphOps.invalidateMemos(spark)
+    assert(edges() == Set((30L, 40L)))
+  }
+
   // ----------------------------------------------------- oracle round sync
 
   test("q132's Spark fixpoint lands within the oracle's unroll depth (sf0.001)") {
