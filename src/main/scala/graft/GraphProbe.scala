@@ -151,6 +151,30 @@ object GraphProbe {
       require(b1 == bM,
         s"bfsLayers at ${mult}x diverged from 1x on the copy-0 component")
       println(s"bfs layers identical at ${mult}x (${b1.size} nodes)")
+
+      def asEdge(df: DataFrame): Map[(Long, Long), Long] =
+        df.collect().map(r =>
+          (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val em1 = timed("embed_1x")(asEdge(GraphAlgos.edgeEmbeddedness(e1)))
+      val emM = timed(s"embed_${mult}x")(
+        asEdge(GraphAlgos.edgeEmbeddedness(eM).filter(col("a") < off)))
+      require(em1 == emM,
+        s"embeddedness at ${mult}x diverged from 1x on copy-0")
+      println(s"embeddedness identical at ${mult}x (${em1.size} edges)")
+
+      // walks: copy-0 invariance holds because the md5 pick depends
+      // only on (node id, step, walk id) — all unchanged on copy 0
+      def asWalk(df: DataFrame): Set[(Long, Long, Long, Long)] =
+        df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val w1 = timed("walks_1x")(
+        asWalk(GraphAlgos.randomWalks(e1, bseeds1, 2, 4)))
+      val wM = timed(s"walks_${mult}x")(
+        asWalk(GraphAlgos.randomWalks(eM, bseedsM, 2, 4)
+          .filter(col("seed") < off)))
+      require(w1 == wM,
+        s"randomWalks at ${mult}x diverged from 1x on copy-0")
+      println(s"walks identical at ${mult}x (${w1.size} rows)")
       seeds1.unpersist(); sup1.unpersist()
     }
     e1.unpersist(); eM.unpersist()
