@@ -48,7 +48,15 @@ object GraphAlgos {
     * fixpoint); rounds past `maxRounds` throw — a graph that cascades
     * deeper than expected is a data-shape change the caller must see,
     * not silently pay for. */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
+  /** kCore's default round bound AND the q132 oracle's unroll depth —
+    * ONE constant consumed by both, so the operator's loud-failure
+    * bound and the DuckDB replay depth cannot silently drift apart
+    * (they agree by construction: converged rounds are no-ops, so any
+    * shared depth ≥ the true cascade depth yields identical output). */
+  val KCoreDefaultMaxRounds: Int = 12
+
+  def kCore(edges: DataFrame, k: Int,
+      maxRounds: Int = KCoreDefaultMaxRounds): DataFrame = {
     require(k >= 2 && k <= 1000000, s"GraphAlgos: bad k $k")
     require(maxRounds >= 1 && maxRounds <= 64,
       s"GraphAlgos: bad maxRounds $maxRounds")
@@ -585,7 +593,7 @@ FROM r$iters ORDER BY auth DESC, node LIMIT 100"""
   }
 
   def oracle: Map[String, String] = Map(
-    "q132_kcore" -> kcoreOracle(k = 30, rounds = 12),
+    "q132_kcore" -> kcoreOracle(k = 30, rounds = KCoreDefaultMaxRounds),
     "q133_bfs_layers" -> bfsOracle(maxHops = 4),
     "q134_label_spread" -> spreadOracle(iters = 4),
     "q135_hits" -> hitsOracle(iters = 5, scale = 1000000L),

@@ -35,7 +35,8 @@ object GraphArtifact {
   // generation lifecycle lives in the shared GenStore (one home for
   // the gen=/CURRENT discipline across IVF, postings and edges); the
   // meta sidecar lands last, so it doubles as the completeness sentinel
-  private val gens = new graft.sources.GenStore(MetaName, "edge artifact")
+  private val gens = new graft.sources.GenStore(MetaName, "edge artifact",
+    "build one with GraphArtifact.writeEdges(edges, dir)")
 
   private def hfsOf(s: SparkSession, path: String) =
     new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -202,7 +202,17 @@ object MediaDedup {
     * — signature collapse, 4×16 band buckets, exact bit_count verify
     * (see object doc). Recall is GUARANTEED for hamming ≤ 3 (pigeonhole
     * over 4 bands) and best-effort above; maxHamming > 3 widens the
-    * verify radius, not the candidate generation. */
+    * verify radius, not the candidate generation.
+    *
+    * Output is REPRESENTATIVE-based (the rep-star shape, never
+    * all-pairs): identical-hash members pair only with their group's
+    * rep, and cross-group edges pair rep-to-rep — a member of group A
+    * within radius of group B's docs is never paired with them
+    * directly. The pair set is complete only up to the transitive
+    * closure of rep edges: consumers wanting every near-dup relation
+    * must union-find / connected-component over these edges (as
+    * [[graft.operators.TextOps.clusterAssignments]] does), not treat
+    * the rows as the exhaustive pair list. */
   def nearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64,
       s"MediaDedup: bad maxHamming $maxHamming")

@@ -100,7 +100,8 @@ object Retrieval {
   // gen=/CURRENT discipline across IVF, postings and edges); the meta
   // sidecar lands last, so it doubles as the completeness sentinel
   private val gens =
-    new graft.sources.GenStore(MetaName, "postings artifact")
+    new graft.sources.GenStore(MetaName, "postings artifact",
+      "build one with Retrieval.writePostings(docs, dir)")
 
   private def hfsOf(s: SparkSession, path: String) =
     new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)

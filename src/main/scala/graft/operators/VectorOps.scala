@@ -460,7 +460,8 @@ object VectorOps {
   // generation lifecycle lives in the shared GenStore (one home for
   // the gen=/CURRENT discipline across IVF, postings and edges); the
   // OK sentinel lands last, so it is the completeness manifest
-  private val gens = new graft.sources.GenStore(OkSentinel, "graft IVF index")
+  private val gens = new graft.sources.GenStore(OkSentinel, "graft IVF index",
+    "build one with VectorOps.writeIvfIndex(corpus, path)")
 
   /** Directory of the CURRENT index generation (public: specs and the
     * scale smoke inspect the physical cell layout through it). Fails

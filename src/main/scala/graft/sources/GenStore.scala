@@ -30,7 +30,8 @@ import org.apache.spark.sql.SparkSession
   *    in-flight readers have provably drained — deployment policy, not
   *    engine policy).
   */
-final class GenStore(val sentinel: String, val what: String) {
+final class GenStore(val sentinel: String, val what: String,
+    val buildHint: String) {
   val pointer: String = "CURRENT"
 
   private def hfsOf(s: SparkSession, path: String) =
@@ -52,7 +53,8 @@ final class GenStore(val sentinel: String, val what: String) {
     * a dir whose sentinel never landed). */
   def genDir(s: SparkSession, root: String): String = {
     val gen = readPointer(s, root).getOrElse(throw new IllegalStateException(
-      s"no complete $what at $root (missing $pointer pointer file)"))
+      s"no complete $what at $root (missing $pointer pointer file) — " +
+        buildHint))
     val dir = s"$root/$gen"
     if (!hfsOf(s, root).exists(new Path(dir, sentinel)))
       throw new IllegalStateException(

@@ -98,7 +98,16 @@ object StreamMediaDedup {
 
   /** Collapse band verdicts to one per doc: a duplicate iff ANY band
     * found a witness; the smallest witness id wins — the deterministic
-    * tiebreak (NOT admission order; see the class doc). */
+    * tiebreak (NOT admission order; see the class doc).
+    *
+    * `dupOf` names A witness, not necessarily THE original: band state
+    * is independent, so a doc flagged duplicate in one band is still
+    * admitted as a witness in every band where it found no hit, and a
+    * later arrival (or the min-id pick here) can report that
+    * duplicate's id when ids are not arrival-ordered. Consumers
+    * needing a canonical original must chain verdicts (follow dupOf
+    * links / union-find over (docId, dupOf) edges) rather than treat
+    * dupOf as terminal. */
   def resolve(verdicts: Dataset[BandVerdict])
       : Dataset[(Long, Option[Long])] = {
     val spark = verdicts.sparkSession
