@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
     ext.injectFunction((
       FunctionIdentifier("cosine_fast"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_fast"),

@@ -198,6 +198,30 @@ object IntervalJoin {
           (least(col("a_hi"), col("b_hi")) -
             greatest(col("a_lo"), col("b_lo"))).as("overlap_s"))
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // The NAIVE form of the band join — exactly what a user writes, NO
+    // library call: `points.join(intervals, x >= lo && x < hi)`. The
+    // graft.plans.BandJoinRewrite optimizer rule detects the pure band
+    // predicate, derives the bin width from the structural span
+    // (hi = lo + 4 days here), and rewrites to the q118 bin-equijoin
+    // shape — zero BNLJ/cartesian (PlanAuditSpec pins it). With the
+    // rule disabled the same code still returns identical rows through
+    // Spark's nested-loop plan (the rule-off sweep), so the rewrite is
+    // a pure plan transformation, never a semantics change.
+    "q140_band_join_auto" -> ((s, d) => {
+      val camp = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "3-MEDIUM" &&
+          pmod(col("o_orderkey"), lit(5)) === lit(0))
+        .select(col("o_orderkey").as("camp_id"),
+          unix_timestamp(col("o_orderdate")).as("lo"),
+          (unix_timestamp(col("o_orderdate")) + lit(4L * 86400L)).as("hi"))
+      val pts = Tables.lineitem(s, d)
+        .select(unix_timestamp(col("l_shipdate")).as("x"), col("l_quantity"))
+      pts.join(camp, col("x") >= col("lo") && col("x") < col("hi"))
+        .groupBy(col("camp_id"))
+        .agg(count(lit(1)).as("n_shipped"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("camp_id"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -227,5 +251,16 @@ object IntervalJoin {
            date_diff('second', greatest(a_lo, b_lo), least(a_hi, b_hi))
              AS overlap_s
          FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
-         ORDER BY a_id, b_id""")
+         ORDER BY a_id, b_id""",
+
+    "q140_band_join_auto" ->
+      s"""WITH camp AS (
+           SELECT o_orderkey AS camp_id, o_orderdate AS lo,
+             o_orderdate + INTERVAL 4 DAY AS hi
+           FROM orders
+           WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 5 = 0)
+         SELECT camp_id, count(*) AS n_shipped,
+           ${sqlDsum("l_quantity")} AS sum_qty
+         FROM lineitem JOIN camp ON l_shipdate >= lo AND l_shipdate < hi
+         GROUP BY camp_id ORDER BY camp_id""")
 }

@@ -1,0 +1,269 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{
+  Add, Alias, And, Attribute, AttributeReference, BinaryComparison, Cast,
+  EqualNullSafe, EqualTo, Explode, Expression, GreaterThan,
+  GreaterThanOrEqual, If, IntegralDivide, LessThan, LessThanOrEqual,
+  Literal, Pmod, RaiseError, Sequence, Subtract}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Filter, Generate, Join, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{
+  ArrayType, ByteType, IntegerType, LongType, ShortType, TimestampType}
+
+/** Optimizer rule: detect an inner join whose ONLY cross-side predicate
+  * is a pure band (`lo <= x AND x < hi` in any strictness combination,
+  * NO equi key) and rewrite it to the bin-bucketed equijoin shape of
+  * [[graft.operators.IntervalJoin.pointInInterval]] — so the NAIVE
+  * DataFrame/SQL form a user actually writes gets the scale-safe plan,
+  * not just callers who know the library entry point by name. Without
+  * the rewrite Spark plans BroadcastNestedLoopJoin (or a cartesian):
+  * O(|points|·|intervals|) comparisons, the all-pairs scale killer.
+  *
+  * Rewrite (semantics-preserving for INNER joins, see the IntervalJoin
+  * object doc for the exactly-once argument):
+  *
+  *   - the band's point side gains one derived column
+  *     `_gbin_p = floorDiv(x, w)`;
+  *   - the interval side is pre-filtered to `lo <= hi` (rows that can
+  *     match nothing — including null bounds — exactly as the naive
+  *     inner join drops them) and explodes to covered bins
+  *     `floorDiv(lo, w) .. floorDiv(hi, w)` (the inclusive upper bin is
+  *     a superset for every strictness combination; the original
+  *     predicate still runs on each candidate pair);
+  *   - the join gains the equi conjunct `_gbin_p = _gbin_i` and keeps
+  *     the original band predicate, so Spark's own JoinSelection plans
+  *     a hash/merge join on the bin — broadcast when small, shuffled
+  *     when not, AQE-skew-splittable either way;
+  *   - a top Project restores the original output schema.
+  *
+  * Bin width: derived structurally when the interval side's `hi` is
+  * provably `lo + c` for a positive literal `c` (the common derived-
+  * window shape — then every interval covers ≤ 2 bins), else taken
+  * from `spark.graft.rewrite.bandJoin.binWidth` when set, else the
+  * join is left untouched (no stats = no safe width = no rewrite).
+  * An interval spanning ≥ `spark.graft.rewrite.bandJoin.maxBins`
+  * (default 4096) bins raises at runtime — the loud misconfiguration
+  * guard, same contract as the library form.
+  *
+  * Gated by `spark.graft.rewrite.bandJoin.enabled` (default true).
+  * The rule runs inside the operator-optimization fixed point and is
+  * idempotent by construction: its own output contains a cross-side
+  * equi conjunct, which the matcher rejects.
+  */
+object BandJoinRewrite extends Rule[LogicalPlan] {
+
+  private val EnabledKey = "spark.graft.rewrite.bandJoin.enabled"
+  private val WidthKey = "spark.graft.rewrite.bandJoin.binWidth"
+  private val MaxBinsKey = "spark.graft.rewrite.bandJoin.maxBins"
+
+  /** One inequality conjunct normalized to "point op bound": `point`'s
+    * refs live entirely in one child, `bound`'s entirely in the other. */
+  private final case class Band(point: Expression, bound: Expression,
+      pointOnLeft: Boolean, isLower: Boolean)
+
+  /** Types whose band comparisons the rewrite understands: integrals
+    * bin exactly; timestamps bin on their (monotone) floor-seconds
+    * cast, which over-covers but never misses — the exact predicate
+    * filters the candidates either way. */
+  private def binnable(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | TimestampType => true
+    case _ => false
+  }
+
+  private def asLong(e: Expression): Expression =
+    if (e.dataType == LongType) e
+    else Cast(e, LongType, Some(conf.sessionLocalTimeZone))
+
+  private def normalize(c: BinaryComparison, l: LogicalPlan,
+      r: LogicalPlan): Option[Band] = {
+    val (a, b) = (c.left, c.right)
+    if (!a.deterministic || !b.deterministic) return None
+    if (!binnable(a) || !binnable(b)) return None
+    def sideOf(e: Expression): Option[Boolean] = {
+      val refs = e.references
+      if (refs.isEmpty) None
+      else if (refs.subsetOf(l.outputSet)) Some(true)
+      else if (refs.subsetOf(r.outputSet)) Some(false)
+      else None
+    }
+    (sideOf(a), sideOf(b)) match {
+      case (Some(sa), Some(sb)) if sa != sb =>
+        c match {
+          // a >[=] b : a is an UPPER bound of point b
+          case _: GreaterThanOrEqual | _: GreaterThan =>
+            Some(Band(point = b, bound = a, pointOnLeft = sb, isLower = false))
+          // a <[=] b : b is an UPPER bound of point a
+          case _: LessThanOrEqual | _: LessThan =>
+            Some(Band(point = a, bound = b, pointOnLeft = sa, isLower = false))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Normalize every comparison so the POINT is the bounded expression:
+    * emit (point, bound, pointSideIsLeft, lower?) for each conjunct. */
+  private def bandsOf(conjuncts: Seq[Expression], l: LogicalPlan,
+      r: LogicalPlan): Seq[Band] = conjuncts.flatMap {
+    case c: BinaryComparison =>
+      normalize(c, l, r).toSeq.flatMap { b =>
+        // each inequality bounds BOTH operands; record it from both
+        // perspectives so either side can play the point role
+        Seq(b, Band(b.bound, b.point, !b.pointOnLeft, !b.isLower))
+      }
+    case _ => Nil
+  }
+
+  /** Trace `e` through the Project/Filter/SubqueryAlias prefix of `p`,
+    * inlining aliases, so structurally-derived bounds (`hi = lo + c`)
+    * are visible even when both were projected from a shared base. */
+  private def dealias(e: Expression, p: LogicalPlan): Expression = p match {
+    case Project(projList, child) =>
+      val m = projList.collect {
+        case a: Alias => a.toAttribute.exprId -> a.child
+      }.toMap
+      val e2 = e.transformUp {
+        case ar: AttributeReference if m.contains(ar.exprId) => m(ar.exprId)
+      }
+      dealias(e2, child)
+    case f: Filter => dealias(e, f.child)
+    case s: SubqueryAlias => dealias(e, s.child)
+    case _ => e
+  }
+
+  /** `hi ≡ lo + c` (or `c + lo`) for a positive integral literal after
+    * alias inlining → Some(c). */
+  private def structuralSpan(lo: Expression, hi: Expression,
+      intervalSide: LogicalPlan): Option[Long] = {
+    val loD = dealias(lo, intervalSide)
+    val hiD = dealias(hi, intervalSide)
+    def litOf(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, LongType) => Some(v)
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Short, ShortType) => Some(v.toLong)
+      case Literal(v: Byte, ByteType) => Some(v.toLong)
+      case Cast(inner, _, _, _) => litOf(inner)
+      case _ => None
+    }
+    def stripCast(e: Expression): Expression = e match {
+      case Cast(inner, _, _, _) => stripCast(inner)
+      case other => other
+    }
+    stripCast(hiD) match {
+      case Add(a, b, _) =>
+        litOf(b).filter(_ > 0)
+          .filter(_ => stripCast(a).semanticEquals(stripCast(loD)))
+          .orElse(litOf(a).filter(_ > 0)
+            .filter(_ => stripCast(b).semanticEquals(stripCast(loD))))
+      case _ => None
+    }
+  }
+
+  /** floorDiv(e, w) in exact long arithmetic (correct for negatives,
+    * no floating point) — the IntervalJoin.binE shape as Catalyst. */
+  private def binOf(e: Expression, w: Long): Expression = {
+    val eL = asLong(e)
+    val wL = Literal(w, LongType)
+    IntegralDivide(Subtract(eL, Pmod(eL, wL)), wL)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString(EnabledKey, "true") != "true") return plan
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if cond.deterministic && !j.isStreaming =>
+        rewrite(j, left, right, cond, hint).getOrElse(j)
+    }
+  }
+
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+      cond: Expression,
+      hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint)
+      : Option[LogicalPlan] = {
+    val split = splitConjuncts(cond)
+    // any cross-side equi conjunct → Spark already plans a hash join;
+    // rewriting would only add work (and re-firing on our own output
+    // would loop)
+    val hasEqui = split.exists {
+      case e @ (_: EqualTo | _: EqualNullSafe) =>
+        val (a, b) = (e.children(0), e.children(1))
+        def crossSide(x: Expression, y: Expression) =
+          x.references.nonEmpty && y.references.nonEmpty &&
+            x.references.subsetOf(left.outputSet) &&
+            y.references.subsetOf(right.outputSet)
+        crossSide(a, b) || crossSide(b, a)
+      case _ => false
+    }
+    if (hasEqui) return None
+
+    val bands = bandsOf(split, left, right)
+    // pick a point expression that carries BOTH a lower and an upper
+    // bound from the opposite side
+    val candidate = bands.filter(!_.isLower).flatMap { up =>
+      bands.find(b => b.isLower && b.pointOnLeft == up.pointOnLeft &&
+        b.point.semanticEquals(up.point)).map(lo => (up, lo))
+    }.headOption
+    candidate.flatMap { case (up, lo) =>
+      val pointOnLeft = up.pointOnLeft
+      val intervalSide = if (pointOnLeft) right else left
+      val width = structuralSpan(lo.bound, up.bound, intervalSide)
+        .map(c => math.max(1L, spanWidth(c, up.point)))
+        .orElse(confWidth())
+      width.map { w =>
+        val maxBins = conf.getConfString(MaxBinsKey, "4096").toLong
+        val pointSide = if (pointOnLeft) left else right
+        // point side: one derived bin column
+        val pbinAlias = Alias(binOf(up.point, w), "_gbin_p")()
+        val pPlan = Project(pointSide.output :+ pbinAlias, pointSide)
+        // interval side: lo <= hi pre-filter (drops null bounds and
+        // empty intervals — rows the inner join can never match), then
+        // explode to covered bins with the loud maxBins guard
+        val pre = Filter(LessThanOrEqual(lo.bound, up.bound), intervalSide)
+        val binLo = binOf(lo.bound, w)
+        val binHi = binOf(up.bound, w)
+        // Sequence is TimeZoneAwareExpression: an undefined timeZoneId
+        // leaves it unresolved and trips the optimizer's plan validator
+        val seq = Sequence(binLo, binHi, Some(Literal(1L, LongType)),
+          Some(conf.sessionLocalTimeZone))
+        val guarded = If(
+          LessThan(Subtract(binHi, binLo), Literal(maxBins, LongType)),
+          seq,
+          Cast(new RaiseError(Literal.create(
+            s"BandJoinRewrite: interval spans >= $maxBins bins at " +
+              s"binWidth=$w — set $WidthKey nearer the typical span " +
+              s"(or raise $MaxBinsKey)")), seq.dataType,
+            Some(conf.sessionLocalTimeZone)))
+        val gnr = Explode(guarded)
+        val ibin = AttributeReference("_gbin_i", LongType,
+          nullable = gnr.elementSchema.head.nullable)()
+        val iPlan = Generate(gnr, unrequiredChildIndex = Nil,
+          outer = false, qualifier = None,
+          generatorOutput = Seq(ibin), pre)
+        val (nl, nr) = if (pointOnLeft) (pPlan, iPlan) else (iPlan, pPlan)
+        val newCond = And(cond, EqualTo(pbinAlias.toAttribute, ibin))
+        Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+      }
+    }
+  }
+
+  /** A structural span `c` is in the POINT expression's comparison
+    * units; timestamps bin on floor seconds, so a span in microseconds
+    * (the timestamp literal-add unit) would over-explode — for
+    * timestamp points, scale the width down to seconds (min 1). */
+  private def spanWidth(c: Long, point: Expression): Long =
+    point.dataType match {
+      case TimestampType => math.max(1L, c / 1000000L)
+      case _ => c
+    }
+
+  private def confWidth(): Option[Long] =
+    scala.util.Try(conf.getConfString(WidthKey, "").toLong)
+      .toOption.filter(_ > 0)
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+}

@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The band-join optimizer rule (graft.plans.BandJoinRewrite): the NAIVE
+  * point-in-interval join a user writes must plan as a bin equijoin —
+  * zero BNLJ/CartesianProduct — and return bit-identical rows to the
+  * unrewritten plan on hostile data (nulls, negatives, empty intervals,
+  * boundary points). */
+class BandJoinRewriteSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def points: DataFrame =
+    Seq(0L, 1L, 5L, 9L, 10L, 11L, 19L, 20L, -1L, -10L, -11L, 100L)
+      .toDF("x").withColumn("pid", col("x") * 2)
+  private def pointsWithNull: DataFrame =
+    points.union(Seq((null.asInstanceOf[java.lang.Long], 999L))
+      .toDF("x", "pid"))
+
+  // hi = lo + 10 everywhere — the structural-span shape. The
+  // repartition stops ConvertToLocalRelation from eagerly evaluating
+  // the projection (a LocalRelation-only shortcut that would erase the
+  // hi = lo + c structure; parquet-backed plans — the real case — keep
+  // their Project either way).
+  private def intervals: DataFrame =
+    Seq(0L, 10L, -10L, -20L, 90L).toDF("lo").repartition(1)
+      .select(col("lo"), (col("lo") + 10L).as("hi"),
+        (col("lo") / 10L).cast("long").as("iid"))
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def rows(df: DataFrame): Seq[(Long, Long)] =
+    df.select(col("pid"), col("iid")).as[(Long, Long)]
+      .collect().sorted.toSeq
+
+  private def withRuleOff[T](body: => T): T = {
+    spark.conf.set("spark.graft.rewrite.bandJoin.enabled", "false")
+    try body finally
+      spark.conf.unset("spark.graft.rewrite.bandJoin.enabled")
+  }
+
+  test("naive half-open band join rewrites to a bin equijoin, rows identical") {
+    val joined = pointsWithNull.join(intervals,
+      col("x") >= col("lo") && col("x") < col("hi"))
+    val p = planOf(joined)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"rewrite did not fire:\n$p")
+    val expected = withRuleOff {
+      rows(pointsWithNull.join(intervals,
+        col("x") >= col("lo") && col("x") < col("hi")))
+    }
+    assert(rows(joined) == expected)
+    assert(expected.nonEmpty)
+    // schema must be untouched by the rewrite (no leaked _gbin columns)
+    assert(joined.columns.toSeq == Seq("x", "pid", "lo", "hi", "iid"))
+  }
+
+  test("every strictness combination matches the unrewritten plan") {
+    for {
+      lower <- Seq(col("x") >= col("lo"), col("x") > col("lo"))
+      upper <- Seq(col("x") < col("hi"), col("x") <= col("hi"))
+    } {
+      val cond = lower && upper
+      val joined = points.join(intervals, cond)
+      val p = planOf(joined)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), s"no rewrite for $cond:\n$p")
+      val expected = withRuleOff { rows(points.join(intervals, cond)) }
+      assert(rows(joined) == expected, s"row drift for $cond")
+    }
+  }
+
+  test("reversed operand order and point side on the right both rewrite") {
+    val j1 = points.join(intervals,
+      col("lo") <= col("x") && col("hi") > col("x"))
+    assert(!planOf(j1).contains("BroadcastNestedLoopJoin"))
+    val expected = withRuleOff { rows(j1) }
+    assert(rows(j1) == expected)
+    // intervals as the LEFT side
+    val j2 = intervals.join(points,
+      col("x") >= col("lo") && col("x") < col("hi"))
+    assert(!planOf(j2).contains("BroadcastNestedLoopJoin"))
+    assert(rows(j2) == expected)
+  }
+
+  test("rule off restores the nested-loop plan (the escape hatch works)") {
+    withRuleOff {
+      val p = planOf(points.join(intervals,
+        col("x") >= col("lo") && col("x") < col("hi")))
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("CartesianProduct"), s"expected the naive plan:\n$p")
+    }
+  }
+
+  test("an equi conjunct disables the rewrite (hash join already exists)") {
+    val j = points.join(intervals,
+      col("pid") === col("iid") &&
+        col("x") >= col("lo") && col("x") < col("hi"))
+    val p = planOf(j)
+    assert(!p.contains("_gbin"), s"rewrite fired despite equi key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
+  test("no derivable width and no config => plan left untouched") {
+    // hi is an independent column, not lo + c
+    val free = Seq((0L, 7L, 1L), (5L, 30L, 2L)).toDF("lo", "hi", "iid")
+    val j = points.join(free,
+      col("x") >= col("lo") && col("x") < col("hi"))
+    val p = planOf(j)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("CartesianProduct"),
+      s"rewrite fired without a safe width:\n$p")
+  }
+
+  test("config binWidth enables the rewrite for free-form intervals") {
+    val free = Seq((0L, 7L, 1L), (5L, 30L, 2L), (95L, 101L, 3L))
+      .toDF("lo", "hi", "iid")
+    def joined = points.join(free,
+      col("x") >= col("lo") && col("x") < col("hi"))
+    val expected = withRuleOff { rows(joined) }
+    spark.conf.set("spark.graft.rewrite.bandJoin.binWidth", "8")
+    try {
+      val j = joined
+      assert(!planOf(j).contains("BroadcastNestedLoopJoin"))
+      assert(rows(j) == expected)
+    } finally spark.conf.unset("spark.graft.rewrite.bandJoin.binWidth")
+  }
+
+  test("an interval spanning >= maxBins bins raises loudly") {
+    val wide = Seq((0L, 1L)).toDF("lo", "iid")
+      .select(col("lo"), (col("lo") + 10L).as("hi"), col("iid"))
+      .union(Seq((0L, 999999L, 2L)).toDF("lo", "hi", "iid"))
+    spark.conf.set("spark.graft.rewrite.bandJoin.binWidth", "1")
+    spark.conf.set("spark.graft.rewrite.bandJoin.maxBins", "64")
+    try {
+      val e = intercept[Exception] {
+        points.join(wide,
+          col("x") >= col("lo") && col("x") < col("hi")).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("BandJoinRewrite")), e.toString)
+    } finally {
+      spark.conf.unset("spark.graft.rewrite.bandJoin.binWidth")
+      spark.conf.unset("spark.graft.rewrite.bandJoin.maxBins")
+    }
+  }
+
+  test("the SQL form of the band join is rewritten too") {
+    points.createOrReplaceTempView("bjr_points")
+    intervals.createOrReplaceTempView("bjr_intervals")
+    val j = spark.sql(
+      """SELECT pid, iid FROM bjr_points p JOIN bjr_intervals i
+         ON p.x >= i.lo AND p.x < i.hi""")
+    val p = planOf(j)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"SQL band join not rewritten:\n$p")
+    val expected = withRuleOff {
+      spark.sql(
+        """SELECT pid, iid FROM bjr_points p JOIN bjr_intervals i
+           ON p.x >= i.lo AND p.x < i.hi""")
+        .as[(Long, Long)].collect().sorted.toSeq
+    }
+    assert(j.as[(Long, Long)].collect().sorted.toSeq == expected)
+  }
+
+  test("rewritten naive form agrees with the library pointInInterval") {
+    val lib = graft.operators.IntervalJoin.pointInInterval(
+      points, "x", intervals, "lo", "hi", binWidth = 10L)
+    val naive = points.join(intervals,
+      col("x") >= col("lo") && col("x") < col("hi"))
+    assert(rows(naive) == rows(lib))
+  }
+}

@@ -51,6 +51,19 @@ class PlanAuditSpec extends SparkSpecBase {
       !p.contains("BroadcastNestedLoopJoin"), s"range-join fallback:\n$p")
   }
 
+  test("q140: the NAIVE band join plans as a bin equijoin via the optimizer rule") {
+    // the round-13 engine-posture ask: a user who writes the naive
+    // point-in-interval join (no IntervalJoin library call) must get
+    // the scale-safe bin-equijoin plan — zero nested-loop, zero
+    // cartesian — because graft.plans.BandJoinRewrite fires on the
+    // pure band predicate and derives the width from hi = lo + c
+    val p = plan(q("q140_band_join_auto"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q140 kept the nested-loop plan (rewrite did not fire):\n$p")
+    assert(p.contains("_gbin"), s"q140 missing the bin equijoin key:\n$p")
+  }
+
   test("q116: the native whole-operator top-k plans partial+final") {
     // tier-(c) machinery pin: the injected strategy must actually fire
     // (a lost registration means TopKPerKeyNode dies with "No plan for")
