@@ -245,25 +245,24 @@ object Ingest {
     }),
 
     // J1 batch analog — keyed as-of join: for each purchase, the most
-    // recent click by the same user at-or-before its timestamp. Implemented
-    // as union + per-key last_value(ignoreNulls) window — one shuffle on
-    // user_id, no range-explosion, scales linearly (the standard
-    // distributed as-of-join plan).
+    // recent click by the same user at-or-before its timestamp,
+    // declared through THE as-of surface (graft.syntax.asofJoin →
+    // AsofJoinNode): the engine picks merge vs broadcast stats-driven,
+    // so this and q117 are one user API with two physical paths (both
+    // plan-pinned in AsofJoinSpec). Until round 13 this query was the
+    // hand-built union + last_value(ignoreNulls) window form — kept
+    // green by the unchanged oracle, which replays exactly that window
+    // plan in DuckDB, proving the two forms agree row-for-row.
     "q29_asof_join" -> ((s, d) => {
+      import graft.syntax._
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("kind"))
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("kind"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("kind"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      clicks.union(purchases)
-        .withColumn("click_id",
-          last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
-        .withColumn("click_ts",
-          last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
-        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      purchases.asofJoin(clicks, Seq("user_id"), Seq("c_user"),
+          "ts", "click_ts", rightTie = Seq(col("click_id")))
         .select(col("event_id"), col("user_id"), col("ts"),
           col("click_id"), col("click_ts"))
         .orderBy(col("event_id"))
@@ -276,15 +275,15 @@ object Ingest {
     // matched right row in one pass — here three click columns, where
     // the window form replays one last(ignoreNulls) per fetched column.
     "q117_native_asof" -> ((s, d) => {
+      import graft.syntax._
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
           col("event_id").as("click_id"), col("value").as("click_value"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
-      graft.plans.AsofJoin(purchases, clicks,
-        Seq("user_id"), Seq("c_user"), "ts", "click_ts",
-        rightTie = Seq(col("click_id")))
+      purchases.asofJoin(clicks, Seq("user_id"), Seq("c_user"),
+          "ts", "click_ts", rightTie = Seq(col("click_id")))
         .select(col("event_id"), col("user_id"), col("ts"),
           col("click_id"), col("click_ts"), col("click_value"))
         .orderBy(col("event_id"))

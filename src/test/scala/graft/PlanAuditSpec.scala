@@ -41,6 +41,16 @@ class PlanAuditSpec extends SparkSpecBase {
       s"q105 lost the pre-exchange group limit:\n$p")
   }
 
+  test("q29: the unified as-of surface plans the native operator (no union+window)") {
+    // q29 and q117 are one user API since round 13 (graft.syntax
+    // .asofJoin); the engine — not the caller — picks merge vs
+    // broadcast. A q29 plan with a Window node means the surface
+    // regressed to the hand-built union+window form.
+    val p = plan(q("q29_asof_join"))
+    assert(p.contains("AsofJoin"), s"q29 lost the native as-of plan:\n$p")
+    assert(!p.contains("Window"), s"q29 regressed to the window form:\n$p")
+  }
+
   test("q117: the as-of join plans the native merge, not a window or range join") {
     // the whole point of the operator: one forward merge over two
     // narrow co-clustered sides — no union-schema window replay, no
