@@ -23,8 +23,10 @@ import graft.sources.Tables
   *
   * Same scale posture: each iteration is a constant number of
   * equi-joins/aggregations over (N ∪ E)-sized tables; lineage is
-  * truncated per round with eager `localCheckpoint` (the q58/q125
-  * discipline) so plans stay constant-depth at any round count. The
+  * truncated per round through [[Iterate.checkpoint]] (the q58/q125
+  * discipline — eager localCheckpoint by default, reliable
+  * checkpoint(dir) under `spark.graft.iterate.checkpointMode=reliable`)
+  * so plans stay constant-depth at any round count. The
   * fixpoint loops (k-core) carry a LOUD bounded-round contract: the
   * operator converges within `maxRounds` or throws — and the oracle
   * unrolls exactly `maxRounds` rounds, which is safe because a
@@ -64,7 +66,7 @@ object GraphAlgos {
         least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    var e = und.localCheckpoint(true)
+    var e = und.transform(Iterate.ckpt)
     var nPrev = e.select(explode(array(col("a"), col("b"))).as("node"))
       .distinct().count()
     var rounds = 0
@@ -85,7 +87,7 @@ object GraphAlgos {
       else {
         e = e.join(keep.select(col("node").as("a")), "a")
           .join(keep.select(col("node").as("b")), "b")
-          .select(col("a"), col("b")).localCheckpoint(true)
+          .select(col("a"), col("b")).transform(Iterate.ckpt)
         nPrev = nKeep
         done = nKeep == 0L
       }
@@ -118,14 +120,14 @@ object GraphAlgos {
     val nbr = dir.union(dir.select(col("dst").as("src"),
         col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")).transform(Iterate.ckpt)
     val seed0 = nbr.select(col("src").as("node")).distinct()
       .join(seeds.select(col(seeds.columns.head).cast("long").as("node"))
         .distinct(), "node")
-      .localCheckpoint(true)
+      .transform(Iterate.ckpt)
     require(seed0.limit(1).count() > 0,
       "GraphAlgos.bfsLayers: no seed intersects the edge set")
-    var visited = seed0.withColumn("dist", lit(0L)).localCheckpoint(true)
+    var visited = seed0.withColumn("dist", lit(0L)).transform(Iterate.ckpt)
     var frontier = seed0
     var hop = 1
     var exhausted = false
@@ -134,12 +136,12 @@ object GraphAlgos {
         .join(frontier.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
-        .localCheckpoint(true)
+        .transform(Iterate.ckpt)
       if (nxt.limit(1).count() == 0L) exhausted = true
       else {
         visited = visited
           .union(nxt.withColumn("dist", lit(hop.toLong)))
-          .localCheckpoint(true)
+          .transform(Iterate.ckpt)
         frontier = nxt
       }
       hop += 1
@@ -173,12 +175,12 @@ object GraphAlgos {
     val nbr = dir.union(dir.select(col("dst").as("src"),
         col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")).transform(Iterate.ckpt)
     val Seq(nc, lc) = seeds.columns.toSeq
     val seedL = nbr.select(col("src").as("node")).distinct()
       .join(seeds.select(col(nc).cast("long").as("node"),
         col(lc).cast("string").as("label")).distinct(), "node")
-      .localCheckpoint(true)
+      .transform(Iterate.ckpt)
     // two labels on one seed node would make "frozen" ambiguous — a
     // data bug the spread must refuse, not arbitrate
     require(seedL.groupBy(col("node")).count()
@@ -197,7 +199,7 @@ object GraphAlgos {
       labels = seedL
         .union(voted.join(seedL.select(col("node")), Seq("node"),
           "left_anti"))
-        .localCheckpoint(true)
+        .transform(Iterate.ckpt)
     }
     labels
   }
@@ -226,12 +228,12 @@ object GraphAlgos {
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")).transform(Iterate.ckpt)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .transform(Iterate.ckpt)
     var ah = nodes.withColumn("auth", lit(scale))
-      .withColumn("hub", lit(scale)).localCheckpoint(true)
+      .withColumn("hub", lit(scale)).transform(Iterate.ckpt)
     // Per iteration: TWO checkpoints, both bounded by the count of
     // nodes that actually receive mass (the raw sum tables), never the
     // padded all-nodes table, and NO checkpoint of the joined (auth,
@@ -245,7 +247,7 @@ object GraphAlgos {
     for (_ <- 1 to iters) {
       val a2 = e.join(ah.select(col("node").as("src"), col("hub")), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("av"))
-        .localCheckpoint(true)
+        .transform(Iterate.ckpt)
       val amax = a2.agg(coalesce(max(col("av")), lit(0L))).head.getLong(0)
       val aq = math.max(1L, amax / scale)
       val aNorm = nodes.join(a2, Seq("node"), "left")
@@ -254,7 +256,7 @@ object GraphAlgos {
       val h2 = e.join(aNorm.select(col("node").as("dst"), col("auth")),
           "dst")
         .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hv"))
-        .localCheckpoint(true)
+        .transform(Iterate.ckpt)
       val hmax = h2.agg(coalesce(max(col("hv")), lit(0L))).head.getLong(0)
       val hq = math.max(1L, hmax / scale)
       ah = nodes
@@ -300,11 +302,11 @@ object GraphAlgos {
         col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
     val degT = nbr.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .transform(Iterate.ckpt)
     val rw = Window.partitionBy(col("src")).orderBy(col("dst"))
     val adj = nbr
       .withColumn("rank", (row_number().over(rw) - 1).cast("long"))
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")).transform(Iterate.ckpt)
     val seed0 = nbr.select(col("src").as("node")).distinct()
       .join(seeds.select(col(seeds.columns.head).cast("long").as("node"))
         .distinct(), "node")
@@ -313,7 +315,7 @@ object GraphAlgos {
     var cur = seed0.select(col("node").as("seed"),
         explode(sequence(lit(0L), lit(walksPerSeed - 1L))).as("walk"),
         col("node"))
-      .localCheckpoint(true)
+      .transform(Iterate.ckpt)
     var out = cur.withColumn("step", lit(0L))
     for (t <- 1 to steps) {
       val pick = expr(
@@ -326,7 +328,7 @@ object GraphAlgos {
         .join(adj.select(col("src").as("node"), col("dst"),
           col("rank").as("pick")), Seq("node", "pick"))
         .select(col("seed"), col("walk"), col("dst").as("node"))
-        .localCheckpoint(true)
+        .transform(Iterate.ckpt)
       out = out.union(cur.withColumn("step", lit(t.toLong)))
     }
     out.select(col("seed"), col("walk"), col("step"), col("node"))

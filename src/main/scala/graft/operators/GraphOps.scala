@@ -42,8 +42,11 @@ import graft.sources.Tables
   * both partitionings instead of re-shuffling the (static, dominant)
   * edge side. Driver-side state per iteration is two scalars (dangling
   * mass, and N once up front) — never data. Lineage is truncated per
-  * iteration with an eager localCheckpoint (the q58 CC-loop
-  * discipline); plans stay constant-depth at any iteration count.
+  * iteration through [[Iterate.checkpoint]] (the q58 CC-loop
+  * discipline): eager localCheckpoint by default, RELIABLE
+  * checkpoint(dir) under `spark.graft.iterate.checkpointMode=reliable`
+  * — the executor-loss-survivable mode a multi-hour 100 TB run wants;
+  * plans stay constant-depth at any iteration count either way.
   */
 object GraphOps {
 
@@ -239,7 +242,7 @@ object GraphOps {
     // guards the driver-side product (overflows Long past ~6e11 nodes)
     val seedBase = ((BigInt(15) * scale * n) / (BigInt(100) * nSeeds))
       .toLong
-    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
+    var ranks = nodes.withColumn("rank", lit(scale)).transform(Iterate.ckpt)
     for (_ <- 1 to iters) {
       val dang = ranks.filter(!col("hasout"))
         .agg(coalesce(sum(col("rank")), lit(0L))).head.getLong(0)
@@ -254,7 +257,7 @@ object GraphOps {
             expr(s"(85L * (coalesce(s, 0L) + " +
               s"(CASE WHEN seed THEN ${addD}L ELSE 0L END))) div 100L"))
             .as("rank"))
-      ranks = if (truncate) next.localCheckpoint(true) else next
+      ranks = if (truncate) next.transform(Iterate.ckpt) else next
     }
     nodes.unpersist()
     linksrc.unpersist()
@@ -307,7 +310,7 @@ object GraphOps {
         when(aFirst, col("b")).otherwise(col("a")).as("t"),
         when(aFirst, struct(col("degb").as("d"), col("b").as("n")))
           .otherwise(struct(col("dega").as("d"), col("a").as("n"))).as("tk"))
-      .localCheckpoint(true)
+      .transform(Iterate.ckpt)
     val wedges = oriented.select(col("s"), col("t").as("u"), col("tk").as("uk"))
       .join(oriented.select(col("s"), col("t").as("v"), col("tk").as("vk")),
         "s")

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-iteration materialization for the engine's iterative loops —
+  * PageRank-family (GraphOps), k-core/BFS/label-spread/HITS/walks
+  * (GraphAlgos), and the q58 CC loop (TextOps) — behind ONE knob:
+  *
+  *   - `spark.graft.iterate.checkpointMode = local` (default): eager
+  *     `localCheckpoint` — truncates lineage with executor-local
+  *     blocks. Fast (no filesystem round-trip), and right for local[]
+  *     and for clusters that prefer retry-over-HA; but the blocks are
+  *     NON-REPLAYABLE — an executor loss mid-loop kills the query.
+  *   - `spark.graft.iterate.checkpointMode = reliable`: eager reliable
+  *     `checkpoint` to the session's checkpoint dir (set it via
+  *     `SparkContext.setCheckpointDir` or
+  *     `spark.graft.iterate.checkpointDir`). Each iteration lands on
+  *     the cluster FS and is recomputable after any executor loss —
+  *     the honest answer for a multi-hour 100 TB PageRank, bought with
+  *     one distributed write per iteration (priced by GraphProbe's
+  *     ckpt leg; see SURVEY round-13 notes).
+  *
+  * Both modes truncate lineage identically, so plans stay
+  * constant-depth at any iteration count, and both return
+  * BIT-IDENTICAL results (the algorithms are integer-exact;
+  * CheckpointModeSpec pins equality per algorithm and the
+  * reliable-mode sweep leg re-proves every graph oracle). */
+object Iterate {
+
+  val ModeKey = "spark.graft.iterate.checkpointMode"
+  val DirKey = "spark.graft.iterate.checkpointDir"
+
+  /** Eagerly materialize `df` and truncate its lineage per the
+    * session's checkpoint mode (see object doc). */
+  def checkpoint(df: DataFrame): DataFrame = checkpoint(df, eager = true)
+
+  /** The loop-body form: `df.transform(Iterate.ckpt)` reads like the
+    * `.localCheckpoint(true)` it replaces. */
+  val ckpt: DataFrame => DataFrame = checkpoint(_, eager = true)
+
+  def checkpoint(df: DataFrame, eager: Boolean): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption(ModeKey).getOrElse("local") match {
+      case "local" => df.localCheckpoint(eager)
+      case "reliable" =>
+        ensureCheckpointDir(s)
+        df.checkpoint(eager)
+      case other => throw new IllegalArgumentException(
+        s"Iterate: bad $ModeKey '$other' — use local | reliable")
+    }
+  }
+
+  private def ensureCheckpointDir(s: SparkSession): Unit =
+    if (s.sparkContext.getCheckpointDir.isEmpty) {
+      val dir = s.conf.getOption(DirKey).filter(_.nonEmpty).getOrElse(
+        throw new IllegalStateException(
+          s"Iterate: $ModeKey=reliable needs a checkpoint dir — call " +
+            s"SparkContext.setCheckpointDir or set $DirKey"))
+      s.sparkContext.setCheckpointDir(dir)
+    }
+}

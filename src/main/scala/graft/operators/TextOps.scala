@@ -182,17 +182,19 @@ object TextOps {
 
   /** Iteration checkpoint for the CC loop. localCheckpoint blocks live on
     * executors — an executor loss mid-loop kills the query on a real
-    * cluster — so when the session has a checkpoint dir AND
-    * `spark.graft.cc.reliableCheckpoint=true`, the loop uses RELIABLE
-    * checkpoints to that dir instead (slower per round, survivable;
-    * spec-pinned on the forced-distributed path). Default stays local:
-    * right for local[] and for clusters that prefer retry-over-HA. */
+    * cluster — so the loop honors the engine-wide
+    * `spark.graft.iterate.checkpointMode=reliable` knob ([[Iterate]]),
+    * plus the legacy `spark.graft.cc.reliableCheckpoint=true` (+
+    * checkpoint dir) switch this loop shipped with first (spec-pinned
+    * on the forced-distributed path). Default stays local: right for
+    * local[] and for clusters that prefer retry-over-HA. */
   private def loopCheckpoint(df: DataFrame, eager: Boolean): DataFrame = {
     val s = df.sparkSession
-    val reliable =
+    val legacyReliable =
       s.conf.getOption("spark.graft.cc.reliableCheckpoint").contains("true") &&
         s.sparkContext.getCheckpointDir.isDefined
-    if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+    if (legacyReliable) df.checkpoint(eager)
+    else Iterate.checkpoint(df, eager)
   }
 
   /** Driver-side union-find over a collected canonical edge list — the

@@ -1,7 +1,10 @@
 package graft.streaming
 
-import java.io.File
 import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
+import org.apache.hadoop.fs.Options
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -15,9 +18,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *  - '''segments''' (the spool durability discipline,
   *    HttpPushReceiver): each producer append to a partition is ONE
   *    immutable file `seg_<firstOffset>_<count>_<tag>.jsonl`, written
-  *    tmp + DSYNC + atomic rename — a crash mid-write leaves no
-  *    partial segment, and the name itself carries the offset range so
-  *    readers slice without opening non-overlapping files;
+  *    tmp + hsync + atomic no-replace rename — a crash mid-write leaves
+  *    no partial segment, and the name itself carries the offset range
+  *    so readers slice without opening non-overlapping files;
   *  - '''producer idempotency''' (the batchId-ledger discipline,
   *    HttpSignalSink): the streaming sink tags every segment with the
   *    micro-batch id; a replayed batch whose tag already exists in a
@@ -25,6 +28,28 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    (some partitions appended, crash, replay) converges to
   *    exactly-once without a ledger directory, because the LOG is the
   *    ledger.
+  *
+  * ALL segment IO goes through the Hadoop FileSystem API (the round-12
+  * caveat, closed round 13): `path` may be a local dir, `hdfs://…`, or
+  * `s3a://…` — the same code runs against the cluster FS. The POSIX
+  * spool primitives map as:
+  *
+  *  - tmp durability: `create(tmp, overwrite = false)` (the CREATE_NEW
+  *    exclusivity) + `hsync()` before close — a real fsync on HDFS;
+  *    the local FS honors it as flush+sync of the file channel;
+  *  - atomic no-replace publish (was: hard link): `FileContext.rename`
+  *    WITHOUT Rename.OVERWRITE — atomic in the HDFS namenode and it
+  *    REFUSES an existing target, so a concurrent duplicate attempt
+  *    (speculative/zombie task) loses the race loudly-but-safely and
+  *    stands down, never replacing a published segment whose row order
+  *    is attempt-dependent;
+  *  - the POSIX directory-entry fsync has no FS-API equivalent and is
+  *    unnecessary on HDFS (metadata is journaled by the namenode).
+  *
+  * On the local FS the FileSystem handle is unwrapped to the RAW
+  * filesystem (no checksum sidecars): FileContext renames through the
+  * raw view, and mixing checksummed writes with raw renames would
+  * strand `.crc` files beside every published segment.
   *
   * Offsets are dense per partition: a partition's next offset is
   * max(firstOffset + count) over its segments — derived from the
@@ -41,39 +66,81 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object FileBus {
 
+  // ─── filesystem plumbing ───
+
+  /** Driver: the session's Hadoop conf (site files + spark.hadoop.*).
+    * Executors (no session object): classpath-config — the same files
+    * a cluster deployment ships to every container. */
+  private def hadoopConf: Configuration =
+    try org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+    catch { case _: Throwable => new Configuration() }
+
+  /** FileSystem for `p`, unwrapped past checksum decoration (see the
+    * class doc — FileContext renames bypass the checksum layer, so the
+    * write path must too or every publish strands a .crc sidecar). */
+  private def fsOf(p: Path): FileSystem =
+    p.getFileSystem(hadoopConf) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+
+  private def fcOf(p: Path): FileContext =
+    FileContext.getFileContext(p.toUri, hadoopConf)
+
+  private def readSmall(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, UTF_8)
+    } finally in.close()
+  }
+
   // ─── layout ───
 
-  private def pdir(path: String, p: Int) = new File(path, s"p=$p")
+  private def pdir(path: String, p: Int) = new Path(path, s"p=$p")
 
   /** Create the topic: `P` partition dirs + a `_PARTITIONS` marker so
     * consumers learn the partition count from the topic itself. */
   def createTopic(path: String, partitions: Int): Unit = {
     require(partitions > 0, "a topic needs at least one partition")
-    (0 until partitions).foreach(p => pdir(path, p).mkdirs())
-    val m = new File(path, "_PARTITIONS")
-    val tmp = new File(path, "._PARTITIONS.tmp")
-    java.nio.file.Files.write(tmp.toPath, partitions.toString.getBytes(UTF_8))
-    java.nio.file.Files.move(tmp.toPath, m.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val root = new Path(path)
+    val fs = fsOf(root)
+    (0 until partitions).foreach(p => fs.mkdirs(pdir(path, p)))
+    val tmp = new Path(root, "._PARTITIONS.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(partitions.toString.getBytes(UTF_8)) finally out.close()
+    fcOf(root).rename(tmp, new Path(root, "_PARTITIONS"),
+      Options.Rename.OVERWRITE)
   }
 
   def partitionIds(path: String): Seq[Int] = {
-    val m = new File(path, "_PARTITIONS")
-    if (!m.exists())
+    val m = new Path(path, "_PARTITIONS")
+    val fs = fsOf(m)
+    if (!fs.exists(m))
       throw new IllegalStateException(
         s"$path is not a graftbus topic (no _PARTITIONS marker); " +
           "create one with FileBus.createTopic")
-    val n = new String(java.nio.file.Files.readAllBytes(m.toPath), UTF_8)
-      .trim.toInt
-    0 until n
+    0 until readSmall(fs, m).trim.toInt
   }
 
   /** (firstOffset, count, file) per segment of partition `p`, in offset
     * order. Foreign/tmp files are ignored (the spool-resume lesson —
-    * a stray file must not wedge the consumer). */
-  def segments(path: String, p: Int): Seq[(Long, Long, File)] =
-    Option(pdir(path, p).listFiles()).toSeq.flatten
+    * a stray file must not wedge the consumer). listStatus, never
+    * listFiles: the recursive form pays a per-file block-locations
+    * lookup (the ProbeAdc finding — 150 s vs 0.9 s over 22k files). */
+  def segments(path: String, p: Int): Seq[(Long, Long, Path)] = {
+    val dir = pdir(path, p)
+    val fs = fsOf(dir)
+    val listed =
+      if (!fs.exists(dir)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(dir)
+    listed.toSeq.map(_.getPath)
       .flatMap { f =>
         f.getName.split("_") match {
           case Array("seg", first, count, _*) if f.getName.endsWith(".jsonl") =>
@@ -81,6 +148,7 @@ object FileBus {
           case _ => None
         }
       }.sortBy(_._1)
+  }
 
   /** Next offset (= total records) per partition — the listing IS the
     * offset store. */
@@ -137,8 +205,8 @@ object FileBus {
     (k, readField())
   }
 
-  def readSegment(f: File): Seq[(String, String)] =
-    new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8)
+  def readSegment(f: Path): Seq[(String, String)] =
+    readSmall(fsOf(f), f)
       .split("\n").toSeq.filter(_.nonEmpty).map(parseLine)
 
   /** Stable key→partition routing (Kafka's per-key ordering guarantee
@@ -164,52 +232,42 @@ object FileBus {
     * Single writer per partition assumed (see class doc); a concurrent
     * DUPLICATE attempt of the same append (speculative or zombie task)
     * is safe: each attempt writes its own tmp file and publishes with
-    * an atomic create-new link — exactly one attempt's bytes become the
-    * segment, the loser observes it and stands down. */
+    * an atomic NO-REPLACE rename — exactly one attempt's bytes become
+    * the segment, the loser observes it and stands down. */
   def appendSegment(path: String, p: Int, records: Seq[(String, String)],
       tag: String): Unit = {
     if (records.isEmpty) return
     require(tag.nonEmpty && !tag.contains('/') && !tag.contains('.'),
       s"invalid segment tag '$tag'")
     val dir = pdir(path, p)
-    if (!dir.isDirectory)
+    val fs = fsOf(dir)
+    if (!fs.exists(dir) || !fs.getFileStatus(dir).isDirectory)
       throw new IllegalStateException(s"no partition $p in topic $path")
     if (segments(path, p).exists(s => tagOf(s._3.getName) == tag)) return
     val first = segments(path, p).lastOption.fold(0L) { case (f, c, _) => f + c }
     val name = f"seg_${first}%012d_${records.size}_$tag.jsonl"
     // per-attempt-unique tmp: two live attempts of the same task must
-    // never interleave writes into one file
-    val tmp = new File(dir,
+    // never interleave writes into one file; overwrite = false is the
+    // CREATE_NEW exclusivity
+    val tmp = new Path(dir,
       s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val ch = java.nio.channels.FileChannel.open(tmp.toPath,
-      java.nio.file.StandardOpenOption.CREATE_NEW,
-      java.nio.file.StandardOpenOption.WRITE,
-      java.nio.file.StandardOpenOption.DSYNC)
-    try ch.write(java.nio.ByteBuffer.wrap(
-      records.map { case (k, v) => line(k, v) }.mkString("", "\n", "\n")
-        .getBytes(UTF_8)))
-    finally ch.close()
-    // publish by hard link: atomic AND refuses an existing target
-    // (POSIX rename would silently replace a segment a concurrent
-    // attempt already published — and row order is attempt-dependent,
-    // so replacement would rewrite history under a reader's feet)
-    val target = new File(dir, name).toPath
-    try java.nio.file.Files.createLink(target, tmp.toPath)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException => () // lost the race: append already landed
-      case _: UnsupportedOperationException =>
-        // no hard links (exotic FS): degrade to atomic rename with a
-        // pre-check — the no-replace guarantee narrows to best-effort
-        if (!java.nio.file.Files.exists(target))
-          java.nio.file.Files.move(tmp.toPath, target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } finally java.nio.file.Files.deleteIfExists(tmp.toPath)
-    // directory-entry durability, best-effort (the Lucene convention)
+    val out = fs.create(tmp, false)
     try {
-      val dch = java.nio.channels.FileChannel.open(dir.toPath,
-        java.nio.file.StandardOpenOption.READ)
-      try dch.force(true) finally dch.close()
-    } catch { case _: java.io.IOException => () }
+      out.write(records.map { case (k, v) => line(k, v) }
+        .mkString("", "\n", "\n").getBytes(UTF_8))
+      out.hsync() // fsync-to-replicas on HDFS; flush+sync locally
+    } finally out.close()
+    // publish by atomic NO-replace rename: FileContext.rename without
+    // Rename.OVERWRITE refuses an existing target (a concurrent attempt
+    // already published — and row order is attempt-dependent, so a
+    // replacement would rewrite history under a reader's feet)
+    val target = new Path(dir, name)
+    try fcOf(dir).rename(tmp, target)
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => () // lost the race: append already landed
+      case e: java.io.IOException
+          if fs.exists(target) => () // ditto, FS reported it as a plain IO error
+    } finally { fs.delete(tmp, false); () }
   }
 
   /** Driver-side producer: route by key hash, one segment per touched

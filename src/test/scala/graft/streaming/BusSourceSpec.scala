@@ -21,6 +21,32 @@ class BusSourceSpec extends SparkSpecBase {
     dir
   }
 
+  test("segment IO runs through the Hadoop FS API: an explicit file: URI topic works end-to-end") {
+    // the round-13 port: FileBus speaks FileSystem/FileContext, not
+    // java.nio-on-a-POSIX-path — so a topic addressed by URI (the shape
+    // hdfs:// and s3a:// deployments use) must behave identically
+    val dir = java.nio.file.Files.createTempDirectory("bus_uri").toString
+    val topic = s"file://$dir"
+    FileBus.createTopic(topic, 2)
+    FileBus.produce(topic, (0 until 10).map(i => (s"k$i", s"v$i")), tag = "t0")
+    FileBus.produce(topic, (0 until 10).map(i => (s"k$i", s"w$i")), tag = "t0")
+    // second same-tag produce is a no-op (idempotency through the FS API)
+    assert(FileBus.endOffsets(topic).values.sum == 10L)
+    // no checksum sidecars strand beside published segments (raw-FS
+    // write path; a .crc next to a segment means the layers remixed)
+    val leaked = new java.io.File(dir).listFiles().flatMap(p =>
+      Option(p.listFiles()).toSeq.flatten).filter(_.getName.endsWith(".crc"))
+    assert(leaked.isEmpty, s"checksum sidecars leaked: ${leaked.toSeq}")
+    val out = spark.readStream.format("graftbus").option("path", topic)
+      .load()
+    val q = out.writeStream.format("memory").queryName("bus_uri")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("bus_uri").select($"key", $"value")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(got == (0 until 10).map(i => (s"k$i", s"v$i")).sorted.toSeq)
+  }
+
   test("produce/consume: every record once, per-partition offsets dense, key order kept") {
     val topic = newTopic(4)
     // three producer calls = three segments per touched partition;

@@ -1,6 +1,6 @@
 #!/usr/bin/env bash
 # Hostile-config correctness sweeps (round-7 verdict task #7): runs the
-# full Verify dump + DuckDB oracle compare under six adversarial Spark
+# full Verify dump + DuckDB oracle compare under seven adversarial Spark
 # configurations. The engine's exact-decimal layer buys the property that
 # results are BIT-IDENTICAL under any physical plan — AQE re-plans, join
 # strategy changes, parallelism changes, reader implementation, and fully
@@ -9,7 +9,7 @@
 # five hand-typed SPARK_GRAFT_CONF invocations.
 #
 # Usage: tools/sweep.sh [SF_DIR]      (default /root/testdata/sf0.01)
-# Exit 0 iff all six sweeps pass every oracle-checked query.
+# Exit 0 iff all seven sweeps pass every oracle-checked query.
 set -u
 cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.01}
@@ -27,7 +27,7 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
 done
 
 declare -A CONFS CPUS
-ORDER="aqe_off broadcast_off parallel_13 row_reader interpreted rewrites_off"
+ORDER="aqe_off broadcast_off parallel_13 row_reader interpreted rewrites_off reliable_ckpt"
 CONFS[aqe_off]="spark.sql.adaptive.enabled=false"
 CONFS[broadcast_off]="spark.sql.autoBroadcastJoinThreshold=-1;spark.sql.adaptive.autoBroadcastJoinThreshold=-1"
 CONFS[parallel_13]=""             # odd-width parallelism, no conf override
@@ -36,8 +36,12 @@ CONFS[interpreted]="spark.sql.codegen.wholeStage=false;spark.sql.codegen.factory
 # graft's own optimizer rules off: q140 et al must return identical rows
 # through Spark's naive (nested-loop) plans — rewrites are plan-only
 CONFS[rewrites_off]="spark.graft.rewrite.bandJoin.enabled=false"
+# every iterative loop on RELIABLE checkpoints: the executor-loss-
+# survivable mode must be bit-identical to the default local mode
+CONFS[reliable_ckpt]="spark.graft.iterate.checkpointMode=reliable;spark.graft.iterate.checkpointDir=/tmp/graft_sweep_ckpt"
 CPUS[aqe_off]=8; CPUS[broadcast_off]=8; CPUS[parallel_13]=13
 CPUS[row_reader]=8; CPUS[interpreted]=8; CPUS[rewrites_off]=8
+CPUS[reliable_ckpt]=8
 
 overall=0
 for name in $ORDER; do
@@ -73,5 +77,5 @@ for name in $ORDER; do
     echo "sweep $name: PASS ($summary)"
   fi
 done
-[ $overall -eq 0 ] && echo "ALL 6 SWEEPS GREEN" || echo "SWEEP FAILURES (see /tmp/sweep_*.check)"
+[ $overall -eq 0 ] && echo "ALL 7 SWEEPS GREEN" || echo "SWEEP FAILURES (see /tmp/sweep_*.check)"
 exit $overall
