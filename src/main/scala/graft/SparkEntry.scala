@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
 import graft.functions.{EmailFns => E}
-import graft.operators.{Analytic, EventOps, ExportOps, GraphAlgos, GraphOps, Ingest, IntervalJoin, LangModelOps, Multimodal, PipelineOps, Quality, Relational, Retrieval, SketchOps, Temporal, TextOps, VectorOps}
+import graft.operators.{Analytic, EventOps, ExportOps, GraphAlgos, GraphOps, RankArtifact, Ingest, IntervalJoin, LangModelOps, Multimodal, PipelineOps, Quality, Relational, Retrieval, SketchOps, Temporal, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -51,7 +51,7 @@ object SparkEntry {
       SketchOps.queries ++ Analytic.queries ++ EventOps.queries ++
       Quality.queries ++ Temporal.queries ++ LangModelOps.queries ++
       IntervalJoin.queries ++ Retrieval.queries ++ ExportOps.queries ++
-      GraphOps.queries ++ GraphAlgos.queries
+      GraphOps.queries ++ GraphAlgos.queries ++ RankArtifact.queries
 
   /** DuckDB-equivalent SQL for every SQL-expressible query above. */
   def oracleSql: Map[String, String] =
@@ -60,5 +60,5 @@ object SparkEntry {
       SketchOps.oracle ++ Analytic.oracle ++ EventOps.oracle ++
       Quality.oracle ++ Temporal.oracle ++ LangModelOps.oracle ++
       IntervalJoin.oracle ++ Retrieval.oracle ++ ExportOps.oracle ++
-      GraphOps.oracle ++ GraphAlgos.oracle
+      GraphOps.oracle ++ GraphAlgos.oracle ++ RankArtifact.oracle
 }

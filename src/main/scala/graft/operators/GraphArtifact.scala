@@ -216,4 +216,60 @@ object GraphArtifact {
   def degreesStored(s: SparkSession, dir: String): DataFrame =
     resolve(layered(s, edgesGenDir(s, dir)))
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+
+  /** Coverage snapshot: (generation name, committed append tags in
+    * layer order). A derived artifact ([[RankArtifact]]) records this to
+    * know what it was computed from — take it BEFORE reading the edges
+    * (the writePqCodes discipline), so a racing append reads as stale,
+    * never as silently included. */
+  def coverage(s: SparkSession, dir: String): (String, Seq[String]) = {
+    val genDir = edgesGenDir(s, dir)
+    val hfs = hfsOf(s, genDir)
+    val appends = new Path(genDir, "appends")
+    val tags =
+      if (!hfs.exists(appends)) Seq.empty[String]
+      else hfs.listStatus(appends).map(_.getPath.getName)
+        .filterNot(_.startsWith(".")).sorted.toSeq
+    (new Path(genDir).getName, tags)
+  }
+
+  /** The resolved adjacency, BOTH orientations — (src, dst), each
+    * undirected edge twice. The directed expansion the rank recurrence
+    * runs on (every node has out-edges by construction, so the
+    * dangling-mass term vanishes — see [[RankArtifact]]). */
+  def readAdjacency(s: SparkSession, dir: String): DataFrame =
+    resolve(layered(s, edgesGenDir(s, dir)))
+
+  /** Resolved adjacency rows whose src is in `nodes` (single column
+    * `node`) — reads ONLY the buckets those nodes hash to (partition
+    * pruning; the bucket-id collect is bounded by nBuckets). */
+  def adjacencyFor(s: SparkSession, dir: String,
+      nodes: DataFrame): DataFrame = {
+    val genDir = edgesGenDir(s, dir)
+    val nBuckets = readNBuckets(s, genDir)
+    val bks = nodes
+      .select(pmod(xxhash64(col("node")), lit(nBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    resolve(layered(s, genDir).filter(col("bucket").isin(bks: _*)))
+      .join(nodes.select(col("node").as("src")), "src")
+  }
+
+  /** Distinct endpoints mentioned (as add OR delete) by the given
+    * committed append tags — the touched set an incremental consumer
+    * re-derives from. Both orientations are stored, so `src` alone
+    * covers every endpoint. */
+  def touchedBy(s: SparkSession, dir: String,
+      tags: Seq[String]): DataFrame = {
+    val genDir = edgesGenDir(s, dir)
+    val hfs = hfsOf(s, genDir)
+    val parts = tags.flatMap { tag =>
+      val d = s"$genDir/appends/$tag/data"
+      val del = s"$genDir/appends/$tag/deletes"
+      Seq(d) ++ (if (hfs.exists(new Path(del))) Seq(del) else Nil)
+    }
+    require(parts.nonEmpty, "GraphArtifact.touchedBy: no tags given")
+    parts.map(p => s.read.schema(edgeSchema).parquet(p))
+      .reduce(_ union _)
+      .select(col("src").as("node")).distinct()
+  }
 }

@@ -1,0 +1,381 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.sources.Tables
+
+/** Persisted PageRank over the adjacency artifact, with EXACT
+  * incremental refresh (round-13 verdict task #5): the LSM artifact
+  * prices edge appends O(batch), but every rank read recomputed from
+  * scratch — this store makes rank maintenance delta-priced too.
+  *
+  * The ranked graph is the artifact's resolved adjacency, BOTH
+  * orientations (each undirected edge as two directed edges — the
+  * undirected random walk). That choice makes the integer recurrence
+  * PURELY LOCAL: every node has an out-edge, so the dangling-mass term
+  * is identically zero, and the teleport share `(15·scale·N) div
+  * (100·N)` equals `(15·scale) div 100` as exact integers for every N
+  * — no global scalar couples one node's rank to the rest of the
+  * graph. With damping 85/100 and r₀ = scale:
+  * {{{
+  *   r_i(v) = tele + (85 · Σ_{u ∈ nbr(v)} r_{i-1}(u) div deg(u)) div 100
+  * }}}
+  * bit-identical to [[GraphOps.pagerank]] fed the same both-orientation
+  * edges (spec-pinned).
+  *
+  * Locality is what makes the refresh EXACT, not approximate:
+  * r_i(v) depends only on v's i-hop in-neighborhood. After an edge
+  * delta with endpoint set `touched` (degree or membership changed),
+  * the only nodes whose r_i can differ are
+  * {{{
+  *   dirty_1 = touched ∪ N(touched)
+  *   dirty_i = touched ∪ N(dirty_{i-1})      (monotone increasing)
+  * }}}
+  * — everything else keeps its stored value by THEOREM (same
+  * neighborhood, same neighbor degrees, same neighbor previous ranks).
+  * The store keeps EVERY iteration's table (iter=1..iters), so a
+  * refresh recomputes dirty_i per iteration, fetching unaffected
+  * neighbor values from storage with bucket-pruned reads, and publishes
+  * the dirty values as an LSM overlay delta: refresh cost is
+  * O(dirty-neighborhood), never O(graph) — and the result is
+  * bit-identical to a from-scratch recompute (spec-pinned, and the
+  * refreshed chain composes because each step is exact).
+  *
+  * Layout (the gen=/CURRENT discipline via [[graft.sources.GenStore]]):
+  * `gen=N/base/iter=I/bucket=K` parquet (node, rank) for I = 1..iters;
+  * `gen=N/deltas/dXXXXXX/iter=I/` overlay values + optional `removed/`
+  * tombstones (nodes whose last edge was deleted) + `_covered` (the
+  * edge-artifact tags this overlay brings coverage up to), staged and
+  * published by one atomic rename (existence = completeness). Readers
+  * resolve latest-layer-wins per node. The base meta records the edge
+  * generation + tags the full compute consumed — taken BEFORE reading
+  * the edges, so a racing append reads as stale, never silently
+  * included. An edge-artifact REBUILD (new generation) invalidates the
+  * chain: refresh detects the generation change and falls back to a
+  * full recompute ([[writeRanks]] — which is also the rank compaction).
+  */
+object RankArtifact {
+  private val MetaName = "_graft_rank_meta"
+  private val gens = new graft.sources.GenStore(MetaName, "rank artifact",
+    "build one with RankArtifact.writeRanks(spark, edgesDir, rankDir)")
+
+  private def hfsOf(s: SparkSession, path: String) =
+    new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private val rankSchema = StructType(Seq(
+    StructField("node", LongType), StructField("rank", LongType),
+    StructField("bucket", LongType)))
+  private val removedSchema = StructType(Seq(
+    StructField("node", LongType), StructField("bucket", LongType)))
+
+  private final case class Meta(iters: Int, scale: Long, nBuckets: Int,
+    edgeGen: String, tags: Seq[String])
+
+  private def writeSmall(s: SparkSession, p: Path, body: String): Unit = {
+    val out = hfsOf(s, p.toString).create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSmall(s: SparkSession, p: Path): String = {
+    val in = hfsOf(s, p.toString).open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def metaBody(m: Meta): String =
+    s"${m.iters}\n${m.scale}\n${m.nBuckets}\n${m.edgeGen}\n" +
+      m.tags.mkString(",")
+
+  private def readMeta(s: SparkSession, genDir: String): Meta = {
+    val lines = readSmall(s, new Path(genDir, MetaName)).split("\n", -1)
+    Meta(lines(0).toInt, lines(1).toLong, lines(2).toInt, lines(3),
+      lines(4).split(",").filter(_.nonEmpty).toSeq)
+  }
+
+  private def deltaNames(s: SparkSession, genDir: String): Seq[String] = {
+    val d = new Path(genDir, "deltas")
+    val hfs = hfsOf(s, genDir)
+    if (!hfs.exists(d)) Seq.empty
+    else hfs.listStatus(d).map(_.getPath.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq
+  }
+
+  /** Edge-artifact tags the stored ranks currently cover: the last
+    * overlay's `_covered` list, or the base meta's tags. */
+  private def coveredTags(s: SparkSession, genDir: String,
+      meta: Meta): Seq[String] =
+    deltaNames(s, genDir).lastOption match {
+      case None => meta.tags
+      case Some(d) =>
+        readSmall(s, new Path(s"$genDir/deltas/$d", "_covered"))
+          .split(",").filter(_.nonEmpty).toSeq
+    }
+
+  private def withBucket(df: DataFrame, nBuckets: Int): DataFrame =
+    df.withColumn("bucket",
+      pmod(xxhash64(col("node")), lit(nBuckets.toLong)))
+
+  /** r_I resolved across base + overlays (latest layer wins; removal
+    * tombstones drop the node until a later overlay re-adds it).
+    * `restrict` prunes the read to the buckets of the given node set —
+    * the bounded bucket-id collect is ≤ nBuckets longs. */
+  private def resolvedIter(s: SparkSession, genDir: String, meta: Meta,
+      deltas: Seq[String], i: Int,
+      restrict: Option[DataFrame]): DataFrame = {
+    val hfs = hfsOf(s, genDir)
+    val base = s.read.schema(rankSchema).parquet(s"$genDir/base/iter=$i")
+      .select(col("node"), col("rank"), col("bucket"),
+        lit(0L).as("layer"), lit(true).as("alive"))
+    val layers = deltas.zipWithIndex.map { case (d, idx) =>
+      val l = idx + 1L
+      val vals = s.read.schema(rankSchema)
+        .parquet(s"$genDir/deltas/$d/iter=$i")
+        .select(col("node"), col("rank"), col("bucket"),
+          lit(l).as("layer"), lit(true).as("alive"))
+      val rem = new Path(s"$genDir/deltas/$d/removed")
+      if (hfs.exists(rem))
+        vals.union(s.read.schema(removedSchema).parquet(rem.toString)
+          .select(col("node"), lit(null).cast("long").as("rank"),
+            col("bucket"), lit(l).as("layer"), lit(false).as("alive")))
+      else vals
+    }
+    var all = (base +: layers).reduce(_ union _)
+    restrict.foreach { ns =>
+      val bks = ns
+        .select(pmod(xxhash64(col("node")),
+          lit(meta.nBuckets.toLong)).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      all = all.filter(col("bucket").isin(bks: _*))
+        .join(ns.select(col("node")), Seq("node"), "left_semi")
+    }
+    all.groupBy(col("node"))
+      .agg(max(struct(col("layer"), col("alive"), col("rank"))).as("m"))
+      .filter(col("m.alive"))
+      .select(col("node"), col("m.rank").as("rank"))
+  }
+
+  /** The served rank table (final iteration, fully resolved). */
+  def readRanks(s: SparkSession, rankDir: String): DataFrame = {
+    val genDir = gens.genDir(s, rankDir)
+    val meta = readMeta(s, genDir)
+    resolvedIter(s, genDir, meta, deltaNames(s, genDir), meta.iters, None)
+  }
+
+  private def teleOf(scale: Long): Long = (BigInt(15) * scale / 100).toLong
+
+  /** Full compute from the edge artifact — the bootstrap AND the rank
+    * compaction (overlay history of the superseded generation is gone).
+    * Stores every iteration (the refresh needs r_{i-1} for unaffected
+    * neighbors) bucketed by node hash for pruned reads. */
+  def writeRanks(s: SparkSession, edgesDir: String, rankDir: String,
+      iters: Int = 5, scale: Long = 1000000L,
+      nBuckets: Int = 64): Unit = {
+    require(iters >= 1 && iters <= 100, s"RankArtifact: bad iters $iters")
+    require(scale >= 100L, s"RankArtifact: bad scale $scale")
+    require(nBuckets > 0 && nBuckets <= (1 << 20),
+      s"RankArtifact: bad nBuckets $nBuckets")
+    // coverage snapshot BEFORE reading: a racing append reads as stale
+    val (edgeGen, tags) = GraphArtifact.coverage(s, edgesDir)
+    val adj = GraphArtifact.readAdjacency(s, edgesDir)
+      .repartition(col("src")).transform(Iterate.ckpt)
+    val linksrc = adj
+      .join(adj.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .repartition(col("src")).persist()
+    val nodes = adj.select(col("src").as("node")).distinct()
+    val tele = teleOf(scale)
+    val genName = gens.nextGenName(s, rankDir)
+    val genDir = s"$rankDir/$genName"
+    var r = nodes.withColumn("rank", lit(scale)).transform(Iterate.ckpt)
+    for (i <- 1 to iters) {
+      val sums = r.join(linksrc, r("node") === linksrc("src"))
+        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      r = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(tele) + expr("(85L * coalesce(s, 0L)) div 100L"))
+            .as("rank"))
+        .transform(Iterate.ckpt)
+      withBucket(r, nBuckets).write.mode("overwrite")
+        .partitionBy("bucket").parquet(s"$genDir/base/iter=$i")
+    }
+    linksrc.unpersist()
+    writeSmall(s, new Path(genDir, MetaName),
+      metaBody(Meta(iters, scale, nBuckets, edgeGen, tags)))
+    gens.publish(s, rankDir, genName)
+  }
+
+  /** Bring the stored ranks up to the edge artifact's current coverage.
+    * Returns "noop" (already covered), "delta" (published an exact
+    * O(dirty) overlay), or "rebuild" (the edge artifact was rebuilt —
+    * generation changed — so the chain restarts with a full compute).
+    * Publish is staged + one atomic rename; a replayed refresh of the
+    * same coverage no-ops (the overlay's `_covered` IS the ledger). */
+  def refreshRanks(s: SparkSession, edgesDir: String,
+      rankDir: String): String = {
+    val genDir = gens.genDir(s, rankDir)
+    val meta = readMeta(s, genDir)
+    // coverage snapshot BEFORE reading any edge data (same discipline)
+    val (curGen, curTags) = GraphArtifact.coverage(s, edgesDir)
+    if (curGen != meta.edgeGen) {
+      writeRanks(s, edgesDir, rankDir, meta.iters, meta.scale,
+        meta.nBuckets)
+      return "rebuild"
+    }
+    val deltas = deltaNames(s, genDir)
+    val covered = coveredTags(s, genDir, meta)
+    if (!covered.forall(curTags.contains)) {
+      // covered tags vanished without a generation change — an external
+      // mutation the exactness proof can't survive; recompute
+      writeRanks(s, edgesDir, rankDir, meta.iters, meta.scale,
+        meta.nBuckets)
+      return "rebuild"
+    }
+    val newTags = curTags.filterNot(covered.toSet)
+    if (newTags.isEmpty) return "noop"
+
+    val tele = teleOf(meta.scale)
+    // endpoints whose degree/membership changed; removed = no longer in
+    // the graph (all incident edges deleted)
+    val touched0 = GraphArtifact.touchedBy(s, edgesDir, newTags)
+      .transform(Iterate.ckpt)
+    val touched = GraphArtifact.adjacencyFor(s, edgesDir, touched0)
+      .select(col("src").as("node")).distinct().transform(Iterate.ckpt)
+    val removed = touched0.join(touched, Seq("node"), "left_anti")
+      .transform(Iterate.ckpt)
+
+    // Expand once to the iters-hop dirty ball T = dirty_{iters}
+    // (dirty_1 = touched ∪ N(touched); dirty_i = touched ∪ N(dirty_{i-1})
+    // — monotone), then recompute EVERY iteration over all of T with
+    // stored boundary values. Still exact: T ⊇ dirty_i for every i, a
+    // clean node recomputed from correct inputs reproduces its stored
+    // value, and every boundary neighbor u ∈ N(T)∖T is clean at every
+    // level (u ∉ T ⊇ dirty_{i-1}), so its stored r_{i-1} IS the new one.
+    // One adjacency read and one degree read serve all iterations.
+    var ball = touched
+    for (_ <- 1 to meta.iters)
+      ball = touched.union(
+          GraphArtifact.adjacencyFor(s, edgesDir, ball)
+            .select(col("dst").as("node")))
+        .distinct().transform(Iterate.ckpt)
+    val tAdj = GraphArtifact.adjacencyFor(s, edgesDir, ball)
+      .select(col("src").as("v"), col("dst").as("u"))
+      .transform(Iterate.ckpt)
+    val uSet = ball.union(tAdj.select(col("u").as("node"))).distinct()
+      .transform(Iterate.ckpt)
+    val degU = GraphArtifact.adjacencyFor(s, edgesDir, uSet)
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .transform(Iterate.ckpt)
+    var prevVals: DataFrame = null // exact r_{i-1} over the ball
+    val outVals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (i <- 1 to meta.iters) {
+      val rPrev =
+        if (i == 1) uSet.withColumn("rank", lit(meta.scale))
+        else resolvedIter(s, genDir, meta, deltas, i - 1, Some(uSet))
+          .join(ball, Seq("node"), "left_anti")
+          .union(prevVals)
+      val contrib = tAdj
+        .join(degU.select(col("node").as("u"), col("deg")), "u")
+        .join(rPrev.select(col("node").as("u"), col("rank")), "u")
+        .select(col("v"), expr("rank div deg").as("c"))
+      val vals = contrib.groupBy(col("v").as("node"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("node"),
+          (lit(tele) + expr("(85L * s) div 100L")).as("rank"))
+        .transform(Iterate.ckpt)
+      outVals += vals
+      prevVals = vals
+    }
+
+    // stage the overlay, publish with one atomic rename
+    val hfs = hfsOf(s, genDir)
+    val dtag = f"d${deltas.size}%06d"
+    val tmp = new Path(genDir, s".delta_tmp_$dtag")
+    if (hfs.exists(tmp)) hfs.delete(tmp, true)
+    outVals.zipWithIndex.foreach { case (vals, idx) =>
+      withBucket(vals, meta.nBuckets).write.mode("overwrite")
+        .partitionBy("bucket").parquet(s"$tmp/iter=${idx + 1}")
+    }
+    if (!removed.isEmpty)
+      withBucket(removed, meta.nBuckets).write.mode("overwrite")
+        .parquet(s"$tmp/removed")
+    writeSmall(s, new Path(tmp, "_covered"),
+      (covered ++ newTags).sorted.mkString(","))
+    val committed = new Path(genDir, s"deltas/$dtag")
+    hfs.mkdirs(committed.getParent)
+    require(hfs.rename(tmp, committed),
+      s"RankArtifact: atomic publish rename failed for overlay `$dtag` " +
+        s"at $rankDir")
+    "delta"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The rank artifact end-to-end: bootstrap ranks over a base slice
+    // of the co-purchase graph, append a real delta (adds + deletes) to
+    // the edge artifact, refresh INCREMENTALLY (the O(dirty) overlay
+    // path — the require pins that the delta path ran, not a rebuild),
+    // and serve top-100. The oracle recomputes 5 undirected PageRank
+    // iterations over the FINAL edge set from scratch — so the oracle
+    // row holds only if refresh ≡ recompute bit-for-bit.
+    "q141_rank_refresh" -> ((s, d) => {
+      val dir = s"/tmp/graft_rankref_${new java.io.File(d).getName}"
+      val und = GraphOps.copurchaseEdgesFor(s, d)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val ab = col("a") + col("b")
+      def asEdges(df: DataFrame): DataFrame =
+        df.select(col("a").as("src"), col("b").as("dst"))
+      val base = asEdges(und.filter(pmod(ab, lit(7)) =!= 0))
+      val adds = asEdges(und.filter(pmod(ab, lit(7)) === 0))
+      val dels = asEdges(und.filter(pmod(ab, lit(5)) === 0 &&
+        pmod(ab, lit(7)) =!= 0))
+      GraphArtifact.writeEdges(base, s"$dir/edges")
+      writeRanks(s, s"$dir/edges", s"$dir/ranks", iters = 5)
+      GraphArtifact.appendEdges(adds, s"$dir/edges", tag = "b000001",
+        deletes = Some(dels))
+      val st = refreshRanks(s, s"$dir/edges", s"$dir/ranks")
+      require(st == "delta",
+        s"q141: expected the incremental path, got `$st`")
+      readRanks(s, s"$dir/ranks")
+        .orderBy(col("rank").desc, col("node")).limit(100)
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q141_rank_refresh" -> {
+      val head = """WITH seq AS (
+  SELECT l_orderkey, l_partkey,
+    lead(l_partkey) OVER (
+      PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS nxt
+  FROM lineitem),
+edges AS (
+  SELECT DISTINCT l_partkey AS src, nxt AS dst FROM seq
+  WHERE nxt IS NOT NULL AND nxt <> l_partkey),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges),
+fin AS MATERIALIZED (
+  SELECT a, b FROM und WHERE (a + b) % 7 = 0 OR (a + b) % 5 <> 0),
+sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM fin
+  UNION ALL SELECT b AS src, a AS dst FROM fin),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+      val steps = (1 to 5).map { i =>
+        val p = i - 1
+        s"""
+s$i AS (SELECT e.dst AS node, sum(r.rank // d.deg) AS s
+  FROM r$p r JOIN deg d ON d.src = r.node JOIN sym e ON e.src = r.node
+  GROUP BY e.dst),
+r$i AS MATERIALIZED (
+  SELECT n.node, 150000 + (85 * coalesce(s.s, 0)) // 100 AS rank
+  FROM nodes n LEFT JOIN s$i s ON s.node = n.node)"""
+      }
+      (head +: steps).mkString(",") +
+        "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r5" +
+        "\nORDER BY rank DESC, node LIMIT 100"
+    })
+}
