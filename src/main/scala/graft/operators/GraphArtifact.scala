@@ -242,7 +242,13 @@ object GraphArtifact {
 
   /** Resolved adjacency rows whose src is in `nodes` (single column
     * `node`) — reads ONLY the buckets those nodes hash to (partition
-    * pruning; the bucket-id collect is bounded by nBuckets). */
+    * pruning; the bucket-id collect is bounded by nBuckets) and, the
+    * part that matters when the node set spans many buckets, restricts
+    * BEFORE resolving: a src restriction keeps every (src, dst) group
+    * whole, so latest-layer-wins over the restricted rows is exact —
+    * the resolution shuffle is O(restricted rows), never O(artifact).
+    * (Measured at the 64× probe: resolve-then-join made an incremental
+    * rank refresh cost as much as the full recompute it replaces.) */
   def adjacencyFor(s: SparkSession, dir: String,
       nodes: DataFrame): DataFrame = {
     val genDir = edgesGenDir(s, dir)
@@ -250,8 +256,8 @@ object GraphArtifact {
     val bks = nodes
       .select(pmod(xxhash64(col("node")), lit(nBuckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    resolve(layered(s, genDir).filter(col("bucket").isin(bks: _*)))
-      .join(nodes.select(col("node").as("src")), "src")
+    resolve(layered(s, genDir).filter(col("bucket").isin(bks: _*))
+      .join(broadcast(nodes.select(col("node").as("src"))), "src"))
   }
 
   /** Distinct endpoints mentioned (as add OR delete) by the given

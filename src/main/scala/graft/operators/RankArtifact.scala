@@ -59,6 +59,12 @@ import graft.sources.Tables
   */
 object RankArtifact {
   private val MetaName = "_graft_rank_meta"
+
+  /** Dirty-ball node cap for the delta path: above this the refresh
+    * recomputes (exact either way; ~160 MB of broadcast node ids is
+    * the driver-safety line, and a ball this large is no longer a
+    * "small append" — the recompute is the cheaper plan). */
+  val MaxDeltaBallNodes: Long = 20000000L
   private val gens = new graft.sources.GenStore(MetaName, "rank artifact",
     "build one with RankArtifact.writeRanks(spark, edgesDir, rankDir)")
 
@@ -209,10 +215,12 @@ object RankArtifact {
 
   /** Bring the stored ranks up to the edge artifact's current coverage.
     * Returns "noop" (already covered), "delta" (published an exact
-    * O(dirty) overlay), or "rebuild" (the edge artifact was rebuilt —
-    * generation changed — so the chain restarts with a full compute).
-    * Publish is staged + one atomic rename; a replayed refresh of the
-    * same coverage no-ops (the overlay's `_covered` IS the ledger). */
+    * O(dirty) overlay), "recompute" (the dirty ball outgrew
+    * [[MaxDeltaBallNodes]], so a full compute was cheaper — same exact
+    * answer), or "rebuild" (the edge artifact was rebuilt — generation
+    * changed — so the chain restarts with a full compute). Publish is
+    * staged + one atomic rename; a replayed refresh of the same
+    * coverage no-ops (the overlay's `_covered` IS the ledger). */
   def refreshRanks(s: SparkSession, edgesDir: String,
       rankDir: String): String = {
     val genDir = gens.genDir(s, rankDir)
@@ -260,6 +268,17 @@ object RankArtifact {
           GraphArtifact.adjacencyFor(s, edgesDir, ball)
             .select(col("dst").as("node")))
         .distinct().transform(Iterate.ckpt)
+    // a ball approaching graph size means the delta-restricted reads
+    // (broadcast node sets, O(ball) shuffles) stop paying for
+    // themselves — and a ball of node IDS beyond broadcast size would
+    // OOM the driver. Recompute instead: it is both cheaper and the
+    // same exact answer (one driver scalar, the loop-convention cost)
+    val ballN = ball.count()
+    if (ballN > MaxDeltaBallNodes) {
+      writeRanks(s, edgesDir, rankDir, meta.iters, meta.scale,
+        meta.nBuckets)
+      return "recompute"
+    }
     val tAdj = GraphArtifact.adjacencyFor(s, edgesDir, ball)
       .select(col("src").as("v"), col("dst").as("u"))
       .transform(Iterate.ckpt)
