@@ -90,18 +90,25 @@ class CheckpointModeSpec extends SparkSpecBase {
   }
 
   test("reliable mode actually writes to the checkpoint dir, loudly requires one") {
-    val before = Option(new java.io.File(ckptDir).listFiles())
-      .map(_.length).getOrElse(0)
-    withMode("reliable") { GraphAlgos.kCore(edges, k = 3).count() }
-    val after = Option(new java.io.File(ckptDir).listFiles())
-      .map(_.length).getOrElse(0)
-    assert(after > 0, "no reliable checkpoint data written")
+    // setCheckpointDir is SESSION-GLOBAL and Iterate honors a dir some
+    // earlier suite already pinned (the documented contract) — so
+    // measure growth of the EFFECTIVE dir, wherever it is
+    def fileCount(): Int = spark.sparkContext.getCheckpointDir.map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.getContentSummary(p).getFileCount.toInt else 0
+    }.getOrElse(0)
+    withMode("reliable") {
+      GraphOps.pagerank(edges, 1).count() // pins the dir if unset
+      val before = fileCount()
+      GraphAlgos.kCore(edges, k = 3).count()
+      assert(fileCount() > before, "no reliable checkpoint data written")
+    }
 
     // bad mode value refuses loudly
     spark.conf.set(Iterate.ModeKey, "ha")
     try intercept[IllegalArgumentException] {
       GraphOps.pagerank(edges, 1).count()
     } finally spark.conf.unset(Iterate.ModeKey)
-    assert(before >= 0 && after >= before)
   }
 }
