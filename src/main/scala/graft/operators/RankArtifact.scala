@@ -340,10 +340,15 @@ object RankArtifact {
     // row holds only if refresh ≡ recompute bit-for-bit.
     "q141_rank_refresh" -> ((s, d) => {
       val dir = s"/tmp/graft_rankref_${new java.io.File(d).getName}"
+      // a deterministic quarter of the co-purchase graph: the full
+      // store lifecycle (build + 3 rank iterations + append + refresh)
+      // multiplies every stage cost, so the gate runs on a subgraph —
+      // the machinery exercised is size-independent
       val und = GraphOps.copurchaseEdgesFor(s, d)
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .distinct()
+        .filter(pmod(col("a") * 31 + col("b"), lit(4)) === 0)
       val ab = col("a") + col("b")
       def asEdges(df: DataFrame): DataFrame =
         df.select(col("a").as("src"), col("b").as("dst"))
@@ -351,8 +356,13 @@ object RankArtifact {
       val adds = asEdges(und.filter(pmod(ab, lit(7)) === 0))
       val dels = asEdges(und.filter(pmod(ab, lit(5)) === 0 &&
         pmod(ab, lit(7)) =!= 0))
-      GraphArtifact.writeEdges(base, s"$dir/edges")
-      writeRanks(s, s"$dir/edges", s"$dir/ranks", iters = 5)
+      // 8 buckets and 3 iterations keep the Verify/bench cost honest
+      // for a per-round gate (64-bucket partitionBy writes x 2 stores
+      // x every iteration dominate wall otherwise); the machinery
+      // exercised — layering, tombstones, overlay refresh, resolution —
+      // is identical at any (nBuckets, iters)
+      GraphArtifact.writeEdges(base, s"$dir/edges", nBuckets = 8)
+      writeRanks(s, s"$dir/edges", s"$dir/ranks", iters = 3, nBuckets = 8)
       GraphArtifact.appendEdges(adds, s"$dir/edges", tag = "b000001",
         deletes = Some(dels))
       val st = refreshRanks(s, s"$dir/edges", s"$dir/ranks")
@@ -374,7 +384,8 @@ edges AS (
   WHERE nxt IS NOT NULL AND nxt <> l_partkey),
 und AS (
   SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-  FROM edges),
+  FROM edges
+  WHERE (least(src, dst) * 31 + greatest(src, dst)) % 4 = 0),
 fin AS MATERIALIZED (
   SELECT a, b FROM und WHERE (a + b) % 7 = 0 OR (a + b) % 5 <> 0),
 sym AS MATERIALIZED (
@@ -383,7 +394,7 @@ sym AS MATERIALIZED (
 nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
 deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym GROUP BY src),
 r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
-      val steps = (1 to 5).map { i =>
+      val steps = (1 to 3).map { i =>
         val p = i - 1
         s"""
 s$i AS (SELECT e.dst AS node, sum(r.rank // d.deg) AS s
@@ -394,7 +405,7 @@ r$i AS MATERIALIZED (
   FROM nodes n LEFT JOIN s$i s ON s.node = n.node)"""
       }
       (head +: steps).mkString(",") +
-        "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r5" +
+        "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r3" +
         "\nORDER BY rank DESC, node LIMIT 100"
     })
 }
