@@ -222,6 +222,32 @@ object IntervalJoin {
         .groupBy(col("camp_id"))
         .agg(count(lit(1)).as("n_shipped"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("camp_id"))
+    }),
+
+    // The NAIVE form of the interval-OVERLAP join — q120's shape with
+    // no library call: `a.join(b, a_lo < b_hi && b_lo < a_hi)`. The
+    // optimizer rule's two-sided pattern fires (width = the smaller
+    // structural span), normalizing each side to its unordered range so
+    // the rewrite reproduces the naive predicate's semantics exactly
+    // (including empty/inverted intervals — spec-pinned hostile cases);
+    // exactly-once by the canonical shared bin. Oracle = the naive
+    // overlap predicate join in DuckDB.
+    "q142_overlap_auto" -> ((s, d) => {
+      def windows(prio: String, mod: Int, days: Int,
+          idc: String, loc: String, hic: String): DataFrame =
+        Tables.orders(s, d)
+          .filter(col("o_orderpriority") === prio &&
+            pmod(col("o_orderkey"), lit(mod)) === lit(0))
+          .select(col("o_orderkey").as(idc),
+            unix_timestamp(col("o_orderdate")).as(loc),
+            (unix_timestamp(col("o_orderdate")) + lit(days * 86400L)).as(hic))
+      val a = windows("2-HIGH", 9, 6, "a_id", "a_lo", "a_hi")
+      val b = windows("3-MEDIUM", 10, 9, "b_id", "b_lo", "b_hi")
+      a.join(b, col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+        .select(col("a_id"), col("b_id"),
+          (least(col("a_hi"), col("b_hi")) -
+            greatest(col("a_lo"), col("b_lo"))).as("overlap_s"))
+        .orderBy(col("a_id"), col("b_id"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -262,5 +288,22 @@ object IntervalJoin {
          SELECT camp_id, count(*) AS n_shipped,
            ${sqlDsum("l_quantity")} AS sum_qty
          FROM lineitem JOIN camp ON l_shipdate >= lo AND l_shipdate < hi
-         GROUP BY camp_id ORDER BY camp_id""")
+         GROUP BY camp_id ORDER BY camp_id""",
+
+    "q142_overlap_auto" ->
+      """WITH a AS (
+           SELECT o_orderkey AS a_id, o_orderdate AS a_lo,
+             o_orderdate + INTERVAL 6 DAY AS a_hi
+           FROM orders
+           WHERE o_orderpriority = '2-HIGH' AND o_orderkey % 9 = 0),
+         b AS (
+           SELECT o_orderkey AS b_id, o_orderdate AS b_lo,
+             o_orderdate + INTERVAL 9 DAY AS b_hi
+           FROM orders
+           WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 10 = 0)
+         SELECT a_id, b_id,
+           date_diff('second', greatest(a_lo, b_lo), least(a_hi, b_hi))
+             AS overlap_s
+         FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
+         ORDER BY a_id, b_id""")
 }

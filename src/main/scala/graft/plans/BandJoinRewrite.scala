@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
   Add, Alias, And, Attribute, AttributeReference, BinaryComparison, Cast,
-  EqualNullSafe, EqualTo, Explode, Expression, GreaterThan,
-  GreaterThanOrEqual, If, IntegralDivide, LessThan, LessThanOrEqual,
-  Literal, Pmod, RaiseError, Sequence, Subtract}
+  EqualNullSafe, EqualTo, Explode, Expression, Greatest, GreaterThan,
+  GreaterThanOrEqual, If, IntegralDivide, Least, LessThan,
+  LessThanOrEqual, Literal, Pmod, RaiseError, Sequence, Subtract}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{
   Filter, Generate, Join, LogicalPlan, Project, SubqueryAlias}
@@ -197,7 +197,32 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
     if (hasEqui) return None
+    pointRewrite(j, left, right, cond, split, hint)
+      .orElse(overlapRewrite(j, left, right, cond, split, hint))
+  }
 
+  /** Covered-bin array `binLo .. binHi` with the loud maxBins guard. */
+  private def guardedBins(binLo: Expression, binHi: Expression,
+      w: Long): Expression = {
+    val maxBins = conf.getConfString(MaxBinsKey, "4096").toLong
+    // Sequence is TimeZoneAwareExpression: an undefined timeZoneId
+    // leaves it unresolved and trips the optimizer's plan validator
+    val seq = Sequence(binLo, binHi, Some(Literal(1L, LongType)),
+      Some(conf.sessionLocalTimeZone))
+    If(
+      LessThan(Subtract(binHi, binLo), Literal(maxBins, LongType)),
+      seq,
+      Cast(new RaiseError(Literal.create(
+        s"BandJoinRewrite: interval spans >= $maxBins bins at " +
+          s"binWidth=$w — set $WidthKey nearer the typical span " +
+          s"(or raise $MaxBinsKey)")), seq.dataType,
+        Some(conf.sessionLocalTimeZone)))
+  }
+
+  private def pointRewrite(j: Join, left: LogicalPlan,
+      right: LogicalPlan, cond: Expression, split: Seq[Expression],
+      hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint)
+      : Option[LogicalPlan] = {
     val bands = bandsOf(split, left, right)
     // pick a point expression that carries BOTH a lower and an upper
     // bound from the opposite side
@@ -212,7 +237,6 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
         .map(c => math.max(1L, spanWidth(c, up.point)))
         .orElse(confWidth())
       width.map { w =>
-        val maxBins = conf.getConfString(MaxBinsKey, "4096").toLong
         val pointSide = if (pointOnLeft) left else right
         // point side: one derived bin column
         val pbinAlias = Alias(binOf(up.point, w), "_gbin_p")()
@@ -221,21 +245,8 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
         // empty intervals — rows the inner join can never match), then
         // explode to covered bins with the loud maxBins guard
         val pre = Filter(LessThanOrEqual(lo.bound, up.bound), intervalSide)
-        val binLo = binOf(lo.bound, w)
-        val binHi = binOf(up.bound, w)
-        // Sequence is TimeZoneAwareExpression: an undefined timeZoneId
-        // leaves it unresolved and trips the optimizer's plan validator
-        val seq = Sequence(binLo, binHi, Some(Literal(1L, LongType)),
-          Some(conf.sessionLocalTimeZone))
-        val guarded = If(
-          LessThan(Subtract(binHi, binLo), Literal(maxBins, LongType)),
-          seq,
-          Cast(new RaiseError(Literal.create(
-            s"BandJoinRewrite: interval spans >= $maxBins bins at " +
-              s"binWidth=$w — set $WidthKey nearer the typical span " +
-              s"(or raise $MaxBinsKey)")), seq.dataType,
-            Some(conf.sessionLocalTimeZone)))
-        val gnr = Explode(guarded)
+        val gnr = Explode(
+          guardedBins(binOf(lo.bound, w), binOf(up.bound, w), w))
         val ibin = AttributeReference("_gbin_i", LongType,
           nullable = gnr.elementSchema.head.nullable)()
         val iPlan = Generate(gnr, unrequiredChildIndex = Nil,
@@ -245,6 +256,61 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
         val newCond = And(cond, EqualTo(pbinAlias.toAttribute, ibin))
         Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
       }
+    }
+  }
+
+  /** Two-sided band ("overlap") rewrite: `aLo < bHi AND bLo < aHi`
+    * with two bound expressions per side and no equi key — the naive
+    * form of [[graft.operators.IntervalJoin.intervalOverlap]]'s shape,
+    * which otherwise plans a nested loop. Unlike the library operator
+    * (set-intersection semantics: empty intervals match nothing), the
+    * NAIVE predicate also matches empty/inverted intervals — so the
+    * rewrite normalizes each side to its UNORDERED range
+    * (least/greatest) instead of pre-filtering: whenever the predicate
+    * holds, the two unordered ranges intersect (if they didn't, one
+    * conjunct would be violated — a two-case proof on which range ends
+    * first), so the pair shares a bin in the exploded closed ranges.
+    * Exactly-once by the canonical-bin trick: a pair is kept only at
+    * `greatest(bin(a⁻), bin(b⁻))` = the first shared bin. Width = the
+    * smaller of the two sides' structural spans, else the config. */
+  private def overlapRewrite(j: Join, left: LogicalPlan,
+      right: LogicalPlan, cond: Expression, split: Seq[Expression],
+      hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint)
+      : Option[LogicalPlan] = {
+    // cross-side inequalities as (upperBounded, bound, boundedOnLeft)
+    val ineqs = split.flatMap {
+      case c: BinaryComparison => normalize(c, left, right)
+      case _ => None
+    }
+    for {
+      lUp <- ineqs.find(_.pointOnLeft) // lLo < rHi
+      rUp <- ineqs.find(!_.pointOnLeft) // rLo < lHi
+      w <- Seq(structuralSpan(lUp.point, rUp.bound, left),
+          structuralSpan(rUp.point, lUp.bound, right)).flatten
+        .map(c => math.max(1L, spanWidth(c, lUp.point)))
+        .reduceOption(_ min _)
+        .orElse(confWidth())
+    } yield {
+      def sided(plan: LogicalPlan, lo: Expression, hi: Expression,
+          lbName: String, binName: String) = {
+        val loN = Least(Seq(lo, hi))
+        val hiN = Greatest(Seq(lo, hi))
+        val lb = Alias(binOf(loN, w), lbName)()
+        val proj = Project(plan.output :+ lb, plan)
+        val gnr = Explode(guardedBins(binOf(loN, w), binOf(hiN, w), w))
+        val bin = AttributeReference(binName, LongType,
+          nullable = gnr.elementSchema.head.nullable)()
+        (Generate(gnr, unrequiredChildIndex = Nil, outer = false,
+          qualifier = None, generatorOutput = Seq(bin), proj),
+          lb.toAttribute, bin)
+      }
+      val (lPlan, albin, abin) =
+        sided(left, lUp.point, rUp.bound, "_gbin_al", "_gbin_a")
+      val (rPlan, blbin, bbin) =
+        sided(right, rUp.point, lUp.bound, "_gbin_bl", "_gbin_b")
+      val newCond = And(And(cond, EqualTo(abin, bbin)),
+        EqualTo(abin, Greatest(Seq(albin, blbin))))
+      Project(j.output, Join(lPlan, rPlan, Inner, Some(newCond), hint))
     }
   }
 

@@ -169,6 +169,46 @@ class BandJoinRewriteSpec extends SparkSpecBase {
     assert(j.as[(Long, Long)].collect().sorted.toSeq == expected)
   }
 
+  test("naive overlap join rewrites; rows identical incl. empty/inverted intervals") {
+    // intervals with hi = lo + c on both sides — plus EMPTY ([20,20))
+    // and INVERTED ([50,20]) rows, which the NAIVE predicate treats
+    // differently than the set-semantics library operator: the rewrite
+    // must reproduce the naive rows exactly
+    val a = Seq((0L, 1L), (5L, 2L), (20L, 3L), (100L, 4L))
+      .toDF("a_lo", "a_id").repartition(1)
+      .select(col("a_lo"), (col("a_lo") + 10L).as("a_hi"), col("a_id"))
+    val aWeird = a.union(Seq((20L, 20L, 90L), (50L, 20L, 91L))
+      .toDF("a_lo", "a_hi", "a_id"))
+    val b = Seq((3L, 1L), (8L, 2L), (90L, 3L), (-5L, 4L))
+      .toDF("b_lo", "b_id").repartition(1)
+      .select(col("b_lo"), (col("b_lo") + 7L).as("b_hi"), col("b_id"))
+    val cond = col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi")
+    def rows2(df: DataFrame): Seq[(Long, Long)] =
+      df.select(col("a_id"), col("b_id")).as[(Long, Long)]
+        .collect().sorted.toSeq
+    val j = a.join(b, cond)
+    val p = planOf(j)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"overlap rewrite did not fire:\n$p")
+    assert(rows2(j) == withRuleOff { rows2(a.join(b, cond)) })
+    // hostile shapes go through the conf-width path (the unions break
+    // the structural span); bWide spans both of the weird a-rows'
+    // bounds, so the NAIVE predicate matches the empty AND the
+    // inverted interval — the semantic gap vs the set-semantics
+    // library operator the rewrite must reproduce, not "fix"
+    val bWide = b.union(Seq((0L, 60L, 92L)).toDF("b_lo", "b_hi", "b_id"))
+    spark.conf.set("spark.graft.rewrite.bandJoin.binWidth", "8")
+    try {
+      val jw = aWeird.join(bWide, cond)
+      assert(!planOf(jw).contains("BroadcastNestedLoopJoin"))
+      val got = rows2(jw)
+      assert(got == withRuleOff { rows2(aWeird.join(bWide, cond)) })
+      assert(got.contains((90L, 92L)), "empty [20,20) lost its naive match")
+      assert(got.contains((91L, 92L)), "inverted [50,20] lost its naive match")
+      assert(got == got.distinct, "duplicate pairs: not exactly-once")
+    } finally spark.conf.unset("spark.graft.rewrite.bandJoin.binWidth")
+  }
+
   test("rewritten naive form agrees with the library pointInInterval") {
     val lib = graft.operators.IntervalJoin.pointInInterval(
       points, "x", intervals, "lo", "hi", binWidth = 10L)

@@ -74,6 +74,16 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("_gbin"), s"q140 missing the bin equijoin key:\n$p")
   }
 
+  test("q142: the NAIVE overlap join plans as a bin equijoin via the optimizer rule") {
+    // the two-sided band pattern: a_lo < b_hi && b_lo < a_hi with no
+    // equi key — zero nested-loop, exactly-once by the canonical bin
+    val p = plan(q("q142_overlap_auto"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q142 kept the nested-loop plan (rewrite did not fire):\n$p")
+    assert(p.contains("_gbin"), s"q142 missing the bin equijoin key:\n$p")
+  }
+
   test("q116: the native whole-operator top-k plans partial+final") {
     // tier-(c) machinery pin: the injected strategy must actually fire
     // (a lost registration means TopKPerKeyNode dies with "No plan for")
