@@ -209,6 +209,29 @@ class BandJoinRewriteSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.graft.rewrite.bandJoin.binWidth")
   }
 
+  test("the SQL form of the overlap join is rewritten too") {
+    val a = Seq((0L, 1L), (5L, 2L), (20L, 3L)).toDF("a_lo", "a_id")
+      .repartition(1)
+      .select(col("a_lo"), (col("a_lo") + 10L).as("a_hi"), col("a_id"))
+    val b = Seq((3L, 1L), (8L, 2L), (-5L, 3L)).toDF("b_lo", "b_id")
+      .repartition(1)
+      .select(col("b_lo"), (col("b_lo") + 7L).as("b_hi"), col("b_id"))
+    a.createOrReplaceTempView("bjr_ov_a")
+    b.createOrReplaceTempView("bjr_ov_b")
+    val sql = """SELECT a_id, b_id FROM bjr_ov_a a JOIN bjr_ov_b b
+                 ON a.a_lo < b.b_hi AND b.b_lo < a.a_hi"""
+    val j = spark.sql(sql)
+    val p = planOf(j)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"SQL overlap join not rewritten:\n$p")
+    val expected = withRuleOff {
+      spark.sql(sql).as[(Long, Long)].collect().sorted.toSeq
+    }
+    assert(j.as[(Long, Long)].collect().sorted.toSeq == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("rewritten naive form agrees with the library pointInInterval") {
     val lib = graft.operators.IntervalJoin.pointInInterval(
       points, "x", intervals, "lo", "hi", binWidth = 10L)
