@@ -240,6 +240,16 @@ object GraphArtifact {
   def readAdjacency(s: SparkSession, dir: String): DataFrame =
     resolve(layered(s, edgesGenDir(s, dir)))
 
+  /** Node-set size above which [[adjacencyFor]] restricts with a
+    * shuffled semi-join instead of a forced broadcast: a broadcast
+    * HashedRelation of long keys runs ~16 bytes/row plus driver copies,
+    * so 2M ids ≈ 32 MB — comfortably under executor broadcast budgets —
+    * while an UNGATED `broadcast()` hint of a multi-hop dirty ball
+    * would OOM the driver before any downstream cap could trigger.
+    * Override via `spark.graft.graph.broadcastMaxNodes`. */
+  val BroadcastMaxNodesKey = "spark.graft.graph.broadcastMaxNodes"
+  val BroadcastMaxNodesDefault: Long = 2000000L
+
   /** Resolved adjacency rows whose src is in `nodes` (single column
     * `node`) — reads ONLY the buckets those nodes hash to (partition
     * pruning; the bucket-id collect is bounded by nBuckets) and, the
@@ -248,16 +258,30 @@ object GraphArtifact {
     * whole, so latest-layer-wins over the restricted rows is exact —
     * the resolution shuffle is O(restricted rows), never O(artifact).
     * (Measured at the 64× probe: resolve-then-join made an incremental
-    * rank refresh cost as much as the full recompute it replaces.) */
-  def adjacencyFor(s: SparkSession, dir: String,
-      nodes: DataFrame): DataFrame = {
+    * rank refresh cost as much as the full recompute it replaces.)
+    *
+    * `nodeCount`, when the caller already knows it (the refresh loop
+    * counts its ball every hop anyway), gates the restriction join:
+    * at or under [[BroadcastMaxNodesDefault]] the node set rides a
+    * broadcast semi-join; above it a plain (shuffled) semi-join — a
+    * forced broadcast of an arbitrarily large set is exactly the
+    * driver/executor OOM the rank refresh's ball cap exists to prevent.
+    * With no count given the hint is left to Spark's own sizing. */
+  def adjacencyFor(s: SparkSession, dir: String, nodes: DataFrame,
+      nodeCount: Option[Long] = None): DataFrame = {
     val genDir = edgesGenDir(s, dir)
     val nBuckets = readNBuckets(s, genDir)
     val bks = nodes
       .select(pmod(xxhash64(col("node")), lit(nBuckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
+    val maxB = s.conf.getOption(BroadcastMaxNodesKey).map(_.toLong)
+      .getOrElse(BroadcastMaxNodesDefault)
+    val keys = nodes.select(col("node").as("src"))
+    val keyed =
+      if (nodeCount.exists(_ > maxB)) keys // too big: shuffled semi-join
+      else broadcast(keys)
     resolve(layered(s, genDir).filter(col("bucket").isin(bks: _*))
-      .join(broadcast(nodes.select(col("node").as("src"))), "src"))
+      .join(keyed, Seq("src"), "left_semi"))
   }
 
   /** Distinct endpoints mentioned (as add OR delete) by the given

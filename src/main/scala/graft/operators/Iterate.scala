@@ -4,7 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Per-iteration materialization for the engine's iterative loops —
   * PageRank-family (GraphOps), k-core/BFS/label-spread/HITS/walks
-  * (GraphAlgos), and the q58 CC loop (TextOps) — behind ONE knob:
+  * (GraphAlgos), the q58 CC loop (TextOps), BPE training
+  * (LangModelOps.trainBpeMerges), and the rank-artifact refresh
+  * (RankArtifact) — EVERY multi-iteration loop in the engine, behind
+  * ONE knob:
   *
   *   - `spark.graft.iterate.checkpointMode = local` (default): eager
   *     `localCheckpoint` — truncates lineage with executor-local
@@ -24,7 +27,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * constant-depth at any iteration count, and both return
   * BIT-IDENTICAL results (the algorithms are integer-exact;
   * CheckpointModeSpec pins equality per algorithm and the
-  * reliable-mode sweep leg re-proves every graph oracle). */
+  * reliable-mode sweep leg re-proves every graph oracle).
+  *
+  * RETENTION: reliable mode writes one full materialization per
+  * iteration under the checkpoint dir and Spark does NOT clean them up
+  * by default (`spark.cleaner.referenceTracking.cleanCheckpoints`
+  * defaults to false) — a multi-hour 100 TB loop accumulates
+  * iterations × dataset-size on the cluster FS. Set that conf to true
+  * so superseded iteration checkpoints are GC'd once their RDDs go out
+  * of scope, or clean the checkpoint dir between runs (the sweep
+  * harness recreates /tmp/graft_sweep_ckpt per invocation for the same
+  * reason). The LAST iteration's checkpoint must outlive the loop —
+  * callers return DataFrames backed by it — which is exactly what
+  * reference-tracked cleanup (not a blanket delete) preserves. */
 object Iterate {
 
   val ModeKey = "spark.graft.iterate.checkpointMode"

@@ -286,8 +286,11 @@ object LangModelOps {
     * iteration runs over the vocab-bounded dict — pair counts are an
     * explode + partial-aggregating groupBy weighted by word frequency,
     * the winning pair is ONE collected row per iteration (bounded ×k),
-    * and the merge applies as the fold above. `localCheckpoint` per
-    * iteration truncates the k-deep lineage (the q58 CC-loop lesson).
+    * and the merge applies as the fold above. [[Iterate.ckpt]] per
+    * iteration truncates the k-deep lineage (the q58 CC-loop lesson) —
+    * and puts this loop behind the same checkpoint-mode knob as every
+    * graph loop, so `checkpointMode=reliable` protects a long train
+    * against executor loss too.
     * Ties break on (count DESC, lhs ASC, rhs ASC) — lowercase-ASCII
     * corpora compare identically in Spark UTF8 and DuckDB default
     * collation, so the oracle retrains the identical table. Training
@@ -307,7 +310,7 @@ object LangModelOps {
     var dict = words.withColumn("sym",
       expr("array_join(transform(sequence(1, length(w)), " +
         "i -> substring(w, i, 1)), chr(31))"))
-      .localCheckpoint()
+      .transform(Iterate.ckpt)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (rank <- 1 to k) {
       val arr = split(col("sym"), BpeSep)
@@ -328,7 +331,7 @@ object LangModelOps {
       merges += ((rank, a, b, c))
       dict = dict
         .withColumn("sym", bpeApplyMerge(col("sym"), a, b))
-        .localCheckpoint()
+        .transform(Iterate.ckpt)
     }
     merges.result().toDF("merge_rank", "lhs", "rhs", "pair_count")
   }

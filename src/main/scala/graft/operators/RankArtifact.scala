@@ -61,10 +61,19 @@ object RankArtifact {
   private val MetaName = "_graft_rank_meta"
 
   /** Dirty-ball node cap for the delta path: above this the refresh
-    * recomputes (exact either way; ~160 MB of broadcast node ids is
-    * the driver-safety line, and a ball this large is no longer a
-    * "small append" — the recompute is the cheaper plan). */
+    * recomputes (exact either way; a ball this large is no longer a
+    * "small append" — the recompute is the cheaper plan). The cap is
+    * enforced PER HOP of the ball expansion, not only on the finished
+    * ball: a high-degree touched node can inflate the ball at hop 1,
+    * and each hop's adjacency restriction would otherwise broadcast it
+    * ([[GraphArtifact.adjacencyFor]]) before the fallback ever ran.
+    * Override via `spark.graft.rank.maxDeltaBallNodes`. */
+  val MaxDeltaBallNodesKey = "spark.graft.rank.maxDeltaBallNodes"
   val MaxDeltaBallNodes: Long = 20000000L
+
+  private def maxBall(s: SparkSession): Long =
+    s.conf.getOption(MaxDeltaBallNodesKey).map(_.toLong)
+      .getOrElse(MaxDeltaBallNodes)
   private val gens = new graft.sources.GenStore(MetaName, "rank artifact",
     "build one with RankArtifact.writeRanks(spark, edgesDir, rankDir)")
 
@@ -249,7 +258,9 @@ object RankArtifact {
     // the graph (all incident edges deleted)
     val touched0 = GraphArtifact.touchedBy(s, edgesDir, newTags)
       .transform(Iterate.ckpt)
-    val touched = GraphArtifact.adjacencyFor(s, edgesDir, touched0)
+    val touched0N = touched0.count()
+    val touched = GraphArtifact
+      .adjacencyFor(s, edgesDir, touched0, Some(touched0N))
       .select(col("src").as("node")).distinct().transform(Iterate.ckpt)
     val removed = touched0.join(touched, Seq("node"), "left_anti")
       .transform(Iterate.ckpt)
@@ -262,29 +273,42 @@ object RankArtifact {
     // value, and every boundary neighbor u ∈ N(T)∖T is clean at every
     // level (u ∉ T ⊇ dirty_{i-1}), so its stored r_{i-1} IS the new one.
     // One adjacency read and one degree read serve all iterations.
+    // a ball approaching graph size means the delta-restricted reads
+    // (node-set semi-joins, O(ball) shuffles) stop paying for
+    // themselves. Recompute instead: it is both cheaper and the same
+    // exact answer. The cap is checked EVERY hop — each hop is one
+    // count over an already-materialized checkpoint (cheap) and gates
+    // the NEXT hop's adjacency restriction, so a hop-1 blow-up from a
+    // high-degree touched node bails out before any oversized node set
+    // is ever broadcast or shuffled a second time. Counts also buy the
+    // fixed-point exit: dirty_i is monotone increasing (N is symmetric,
+    // so dirty_{i-1} ⊆ dirty_i by induction), hence an unchanged count
+    // means the ball converged and the remaining hops are no-ops.
+    val ballCap = maxBall(s)
     var ball = touched
-    for (_ <- 1 to meta.iters)
-      ball = touched.union(
-          GraphArtifact.adjacencyFor(s, edgesDir, ball)
+    var ballN = ball.count()
+    var hop = 0
+    while (ballN <= ballCap && hop < meta.iters) {
+      val grown = touched.union(
+          GraphArtifact.adjacencyFor(s, edgesDir, ball, Some(ballN))
             .select(col("dst").as("node")))
         .distinct().transform(Iterate.ckpt)
-    // a ball approaching graph size means the delta-restricted reads
-    // (broadcast node sets, O(ball) shuffles) stop paying for
-    // themselves — and a ball of node IDS beyond broadcast size would
-    // OOM the driver. Recompute instead: it is both cheaper and the
-    // same exact answer (one driver scalar, the loop-convention cost)
-    val ballN = ball.count()
-    if (ballN > MaxDeltaBallNodes) {
+      val grownN = grown.count()
+      if (grownN == ballN) hop = meta.iters // fixed point: done early
+      else { ball = grown; ballN = grownN; hop += 1 }
+    }
+    if (ballN > ballCap) {
       writeRanks(s, edgesDir, rankDir, meta.iters, meta.scale,
         meta.nBuckets)
       return "recompute"
     }
-    val tAdj = GraphArtifact.adjacencyFor(s, edgesDir, ball)
+    val tAdj = GraphArtifact.adjacencyFor(s, edgesDir, ball, Some(ballN))
       .select(col("src").as("v"), col("dst").as("u"))
       .transform(Iterate.ckpt)
     val uSet = ball.union(tAdj.select(col("u").as("node"))).distinct()
       .transform(Iterate.ckpt)
-    val degU = GraphArtifact.adjacencyFor(s, edgesDir, uSet)
+    val uSetN = uSet.count()
+    val degU = GraphArtifact.adjacencyFor(s, edgesDir, uSet, Some(uSetN))
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .transform(Iterate.ckpt)
     var prevVals: DataFrame = null // exact r_{i-1} over the ball

@@ -37,12 +37,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *  - tmp durability: `create(tmp, overwrite = false)` (the CREATE_NEW
   *    exclusivity) + `hsync()` before close — a real fsync on HDFS;
   *    the local FS honors it as flush+sync of the file channel;
-  *  - atomic no-replace publish (was: hard link): `FileContext.rename`
-  *    WITHOUT Rename.OVERWRITE — atomic in the HDFS namenode and it
-  *    REFUSES an existing target, so a concurrent duplicate attempt
-  *    (speculative/zombie task) loses the race loudly-but-safely and
-  *    stands down, never replacing a published segment whose row order
-  *    is attempt-dependent;
+  *  - atomic no-replace publish: `FileContext.rename` WITHOUT
+  *    Rename.OVERWRITE on HDFS-class filesystems — atomic in the HDFS
+  *    namenode and it REFUSES an existing target — and a hard link
+  *    (`link(2)`, kernel-atomic, EEXIST on an existing target) on the
+  *    local filesystem, where Hadoop's no-replace rename is only an
+  *    exists-check + POSIX rename (which silently replaces). Either
+  *    way a concurrent duplicate attempt (speculative/zombie task)
+  *    loses the race loudly-but-safely and stands down, never
+  *    replacing a published segment whose row order is
+  *    attempt-dependent;
   *  - the POSIX directory-entry fsync has no FS-API equivalent and is
   *    unnecessary on HDFS (metadata is journaled by the namenode).
   *
@@ -232,8 +236,10 @@ object FileBus {
     * Single writer per partition assumed (see class doc); a concurrent
     * DUPLICATE attempt of the same append (speculative or zombie task)
     * is safe: each attempt writes its own tmp file and publishes with
-    * an atomic NO-REPLACE rename — exactly one attempt's bytes become
-    * the segment, the loser observes it and stands down. */
+    * an atomic NO-REPLACE primitive (hard link locally, no-overwrite
+    * rename on HDFS-class filesystems — see the class doc) — exactly
+    * one attempt's bytes become the segment, the loser observes it and
+    * stands down. */
   def appendSegment(path: String, p: Int, records: Seq[(String, String)],
       tag: String): Unit = {
     if (records.isEmpty) return
@@ -257,17 +263,32 @@ object FileBus {
         .mkString("", "\n", "\n").getBytes(UTF_8))
       out.hsync() // fsync-to-replicas on HDFS; flush+sync locally
     } finally out.close()
-    // publish by atomic NO-replace rename: FileContext.rename without
-    // Rename.OVERWRITE refuses an existing target (a concurrent attempt
-    // already published — and row order is attempt-dependent, so a
-    // replacement would rewrite history under a reader's feet)
+    // publish by an atomic NO-replace primitive: a concurrent duplicate
+    // attempt must never replace a published segment (row order is
+    // attempt-dependent — a replacement would rewrite history under a
+    // reader's feet). On HDFS-class filesystems FileContext.rename
+    // without Rename.OVERWRITE is namenode-atomic and refuses an
+    // existing target. On the LOCAL filesystem that same call is only
+    // best-effort (Hadoop implements it as exists-check + POSIX rename,
+    // which silently replaces), so local publishes take the hard-link
+    // path instead: link(2) is kernel-atomic and fails with EEXIST —
+    // the genuinely atomic no-replace primitive POSIX offers.
     val target = new Path(dir, name)
-    try fcOf(dir).rename(tmp, target)
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => () // lost the race: append already landed
-      case e: java.io.IOException
-          if fs.exists(target) => () // ditto, FS reported it as a plain IO error
-    } finally { fs.delete(tmp, false); () }
+    if (fs.getUri.getScheme == "file") {
+      try java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(target.toUri.getPath),
+        java.nio.file.Paths.get(tmp.toUri.getPath))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // lost the race: append already landed
+      } finally { fs.delete(tmp, false); () }
+    } else {
+      try fcOf(dir).rename(tmp, target)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => () // lost the race: append already landed
+        case e: java.io.IOException
+            if fs.exists(target) => () // ditto, FS reported it as a plain IO error
+      } finally { fs.delete(tmp, false); () }
+    }
   }
 
   /** Driver-side producer: route by key hash, one segment per touched

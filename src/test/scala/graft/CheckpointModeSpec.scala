@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{GraphAlgos, GraphOps, Iterate}
+import graft.operators.{GraphAlgos, GraphOps, Iterate, LangModelOps}
 
 /** The iterate-checkpoint knob (graft.operators.Iterate): local and
   * reliable modes must return BIT-IDENTICAL results on every iterative
@@ -52,7 +52,13 @@ class CheckpointModeSpec extends SparkSpecBase {
           concat(lit("L"), col("node") % 2)), iters = 3)),
       ("hits", () => GraphAlgos.hits(edges, iters = 3)),
       ("walks", () => GraphAlgos.randomWalks(edges, seeds,
-        walksPerSeed = 2, steps = 4)))
+        walksPerSeed = 2, steps = 4)),
+      // the one non-graph loop the knob governs: BPE training's k-deep
+      // merge loop checkpoints per iteration through Iterate too
+      ("bpe_train", () => LangModelOps.trainBpeMerges(
+        Seq("the cat sat on the mat", "the bat and the rat sat there",
+          "that cat and that rat chat", "the thin hen sat on the mat")
+          .toDF("text"), k = 6)))
     runs.foreach { case (name, run) =>
       val local = withMode("local") { sortedRows(run()) }
       val reliable = withMode("reliable") { sortedRows(run()) }

@@ -131,6 +131,47 @@ class RankArtifactSpec extends SparkSpecBase {
       reference(rebuilt, 3).last)
   }
 
+  test("hop-level ball cap bails to recompute before any expansion join") {
+    val dir = tmp()
+    val base = randomEdges(50, 120)
+    GraphArtifact.writeEdges(toDF(base), s"$dir/e")
+    RankArtifact.writeRanks(spark, s"$dir/e", s"$dir/r", iters = 3)
+    GraphArtifact.appendEdges(toDF(Seq((base.head._1, 990L))),
+      s"$dir/e", "b000001")
+    spark.conf.set(RankArtifact.MaxDeltaBallNodesKey, "1")
+    try {
+      // touched alone (2 nodes) already exceeds the cap: the refresh
+      // must fall back to the full recompute WITHOUT running a single
+      // ball-expansion hop — and the recompute is the same exact answer
+      assert(RankArtifact.refreshRanks(spark, s"$dir/e", s"$dir/r")
+        == "recompute")
+      assert(ranksOf(RankArtifact.readRanks(spark, s"$dir/r")) ==
+        ranksOf(GraphOps.pagerank(
+          GraphArtifact.readAdjacency(spark, s"$dir/e"), iters = 3)))
+    } finally spark.conf.unset(RankArtifact.MaxDeltaBallNodesKey)
+  }
+
+  test("shuffled (non-broadcast) node-set restriction is row-identical") {
+    // force every adjacencyFor restriction onto the shuffled semi-join
+    // path (broadcast threshold 0): the refresh must stay on the delta
+    // path and produce the identical overlay
+    val dir = tmp()
+    val base = randomEdges(60, 150)
+    GraphArtifact.writeEdges(toDF(base), s"$dir/e")
+    RankArtifact.writeRanks(spark, s"$dir/e", s"$dir/r", iters = 4)
+    val adds = randomEdges(60, 20).filterNot(base.contains) ++
+      Seq((500L, 501L), (501L, base.head._1))
+    GraphArtifact.appendEdges(toDF(adds), s"$dir/e", "b000001")
+    spark.conf.set(GraphArtifact.BroadcastMaxNodesKey, "0")
+    try {
+      assert(RankArtifact.refreshRanks(spark, s"$dir/e", s"$dir/r")
+        == "delta")
+      assert(ranksOf(RankArtifact.readRanks(spark, s"$dir/r")) ==
+        ranksOf(GraphOps.pagerank(
+          GraphArtifact.readAdjacency(spark, s"$dir/e"), iters = 4)))
+    } finally spark.conf.unset(GraphArtifact.BroadcastMaxNodesKey)
+  }
+
   test("a missing rank artifact fails loudly with the build hint") {
     val e = intercept[IllegalStateException] {
       RankArtifact.readRanks(spark, tmp() + "/nothing")

@@ -47,6 +47,9 @@ overall=0
 for name in $ORDER; do
   out="/tmp/sweep_$name"
   rm -rf "$out"
+  # reliable-mode checkpoints are not reference-cleaned by default; a
+  # stale dir otherwise grows without bound across sweep runs
+  [ "$name" = reliable_ckpt ] && rm -rf /tmp/graft_sweep_ckpt
   echo "=== sweep: $name (cpus=${CPUS[$name]} conf='${CONFS[$name]}') ==="
   if ! SPARK_GRAFT_CPUS="${CPUS[$name]}" SPARK_GRAFT_CONF="${CONFS[$name]}" \
       java $ADDOPENS -Xmx8g -cp "$CP" graft.Verify "$SF" "$out" \
