@@ -17,7 +17,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
-    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
+    ext.injectOptimizerRule { session =>
+      // the injected copy runs in the operator-optimization fixed point,
+      // which is BEFORE RewriteSubquery turns a range-EXISTS into the
+      // left-semi join the rule targets — so register a second copy in
+      // experimental.extraOptimizations ("User Provided Optimizers",
+      // the optimizer's final batch). The rule is idempotent (its own
+      // output carries an equi conjunct the matcher rejects), so the
+      // double registration costs one extra no-op pass, nothing more.
+      if (!session.experimental.extraOptimizations
+          .contains(graft.plans.BandJoinRewrite))
+        session.experimental.extraOptimizations ++=
+          Seq(graft.plans.BandJoinRewrite)
+      graft.plans.BandJoinRewrite
+    }
     ext.injectFunction((
       FunctionIdentifier("cosine_fast"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_fast"),

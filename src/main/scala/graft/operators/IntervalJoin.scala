@@ -232,6 +232,56 @@ object IntervalJoin {
     // (including empty/inverted intervals — spec-pinned hostile cases);
     // exactly-once by the canonical shared bin. Oracle = the naive
     // overlap predicate join in DuckDB.
+    // The NAIVE range-EXISTS shape — a LEFT SEMI band join with no
+    // library call: "lineitems shipped inside ANY active 3-day HIGH
+    // campaign window". The optimizer rule's semi orientation fires
+    // (the point side is the semi's output side; the interval side may
+    // explode freely because semi only tests match-existence), so the
+    // plan is a bin semi equijoin, zero BNLJ (PlanAuditSpec pins it).
+    // Oracle = the naive EXISTS predicate in DuckDB.
+    "q143_band_semi" -> ((s, d) => {
+      val camp = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "2-HIGH" &&
+          pmod(col("o_orderkey"), lit(6)) === lit(0))
+        .select(unix_timestamp(col("o_orderdate")).as("lo"),
+          (unix_timestamp(col("o_orderdate")) + lit(3L * 86400L)).as("hi"))
+      val pts = Tables.lineitem(s, d)
+        .select(unix_timestamp(col("l_shipdate")).as("x"),
+          col("l_returnflag"), col("l_quantity"))
+      pts.join(camp, col("x") >= col("lo") && col("x") < col("hi"),
+          "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_in_window"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // The NAIVE band join over FREE-FORM intervals — hi is data-derived
+    // (1..5 days per campaign), so there is NO structural span and NO
+    // configured width: the rewrite's planning-time sampled width
+    // (max(hi − lo) over a bounded scan of the interval side) is what
+    // rescues this shape from the nested loop. Same oracle discipline
+    // as q140; the rewrites_off sweep re-proves rows through the naive
+    // plan.
+    "q144_band_sampled" -> ((s, d) => {
+      val camp = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "5-LOW" &&
+          pmod(col("o_orderkey"), lit(8)) === lit(0))
+        .select(col("o_orderkey").as("camp_id"),
+          unix_timestamp(col("o_orderdate")).as("lo"),
+          (unix_timestamp(col("o_orderdate")) +
+            (lit(1L) + pmod(col("o_orderkey"), lit(5L))) * lit(86400L))
+            .as("hi"))
+      val pts = Tables.lineitem(s, d)
+        .select(unix_timestamp(col("l_shipdate")).as("x"),
+          col("l_quantity"))
+      pts.join(camp, col("x") >= col("lo") && col("x") < col("hi"))
+        .groupBy(col("camp_id"))
+        .agg(count(lit(1)).as("n_shipped"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("camp_id"))
+    }),
+
     "q142_overlap_auto" -> ((s, d) => {
       def windows(prio: String, mod: Int, days: Int,
           idc: String, loc: String, hic: String): DataFrame =
@@ -285,6 +335,28 @@ object IntervalJoin {
              o_orderdate + INTERVAL 4 DAY AS hi
            FROM orders
            WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 5 = 0)
+         SELECT camp_id, count(*) AS n_shipped,
+           ${sqlDsum("l_quantity")} AS sum_qty
+         FROM lineitem JOIN camp ON l_shipdate >= lo AND l_shipdate < hi
+         GROUP BY camp_id ORDER BY camp_id""",
+
+    "q143_band_semi" ->
+      s"""SELECT l_returnflag, count(*) AS n_in_window,
+           ${sqlDsum("l_quantity")} AS sum_qty
+         FROM lineitem
+         WHERE EXISTS (
+           SELECT 1 FROM orders
+           WHERE o_orderpriority = '2-HIGH' AND o_orderkey % 6 = 0
+             AND l_shipdate >= o_orderdate
+             AND l_shipdate < o_orderdate + INTERVAL 3 DAY)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q144_band_sampled" ->
+      s"""WITH camp AS (
+           SELECT o_orderkey AS camp_id, o_orderdate AS lo,
+             o_orderdate + (1 + o_orderkey % 5) * INTERVAL 1 DAY AS hi
+           FROM orders
+           WHERE o_orderpriority = '5-LOW' AND o_orderkey % 8 = 0)
          SELECT camp_id, count(*) AS n_shipped,
            ${sqlDsum("l_quantity")} AS sum_qty
          FROM lineitem JOIN camp ON l_shipdate >= lo AND l_shipdate < hi

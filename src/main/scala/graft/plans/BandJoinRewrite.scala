@@ -1,28 +1,57 @@
 package graft.plans
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{
   Add, Alias, And, Attribute, AttributeReference, BinaryComparison, Cast,
   EqualNullSafe, EqualTo, Explode, Expression, Greatest, GreaterThan,
   GreaterThanOrEqual, If, IntegralDivide, Least, LessThan,
-  LessThanOrEqual, Literal, Pmod, RaiseError, Sequence, Subtract}
-import org.apache.spark.sql.catalyst.plans.Inner
+  LessThanOrEqual, Literal, Pmod, RaiseError, Sequence, Subtract,
+  TimestampAddInterval}
+import org.apache.spark.sql.catalyst.expressions.aggregate.Max
+import org.apache.spark.sql.catalyst.plans.{
+  Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Filter, Generate, Join, LogicalPlan, Project, SubqueryAlias}
+  Aggregate, Filter, Generate, Join, Limit, LogicalPlan, Project,
+  SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{
-  ArrayType, ByteType, IntegerType, LongType, ShortType, TimestampType}
+  ArrayType, ByteType, DayTimeIntervalType, IntegerType, LongType,
+  ShortType, TimestampType}
 
-/** Optimizer rule: detect an inner join whose ONLY cross-side predicate
-  * is a pure band (`lo <= x AND x < hi` in any strictness combination,
-  * NO equi key) and rewrite it to the bin-bucketed equijoin shape of
+/** Optimizer rule: detect a join whose ONLY cross-side predicate is a
+  * pure band (`lo <= x AND x < hi` in any strictness combination, NO
+  * equi key) and rewrite it to the bin-bucketed equijoin shape of
   * [[graft.operators.IntervalJoin.pointInInterval]] — so the NAIVE
   * DataFrame/SQL form a user actually writes gets the scale-safe plan,
   * not just callers who know the library entry point by name. Without
   * the rewrite Spark plans BroadcastNestedLoopJoin (or a cartesian):
   * O(|points|·|intervals|) comparisons, the all-pairs scale killer.
   *
-  * Rewrite (semantics-preserving for INNER joins, see the IntervalJoin
-  * object doc for the exactly-once argument):
+  * Join types: the rewrite explodes the INTERVAL side, and exploding a
+  * side whose unmatched rows the join preserves (or whose rows ARE the
+  * output) would multiply them — so each type admits only the
+  * orientations where the exploded side is "safe":
+  *
+  *   - INNER: both orientations (each matching pair survives at
+  *     exactly one bin — the exactly-once argument below);
+  *   - LEFT SEMI / LEFT ANTI (the range-`EXISTS` / `NOT EXISTS` SQL
+  *     shapes): point side on the LEFT — the right side may explode
+  *     freely because semi/anti only test match-existence, which the
+  *     bin conjunct preserves (a point's bin is always in its covering
+  *     interval's exploded bins);
+  *   - LEFT OUTER: point side on the LEFT — matched pairs survive
+  *     exactly once and unmatched left rows null-extend exactly as
+  *     before (pre-filtered interval rows could never have matched);
+  *   - RIGHT OUTER: point side on the RIGHT (the mirror image).
+  *
+  * An outer/semi/anti band join with the INTERVAL side as the
+  * preserved/output side stays untouched (rewriting it would need a
+  * row-identity to dedup the exploded side — a match-then-anti-union
+  * plan — which costs more than it saves at the sizes where the
+  * preserved side is the dimension-like interval table).
+  *
+  * Rewrite (see the IntervalJoin object doc for the exactly-once
+  * argument):
   *
   *   - the band's point side gains one derived column
   *     `_gbin_p = floorDiv(x, w)`;
@@ -38,14 +67,37 @@ import org.apache.spark.sql.types.{
   *     when not, AQE-skew-splittable either way;
   *   - a top Project restores the original output schema.
   *
-  * Bin width: derived structurally when the interval side's `hi` is
-  * provably `lo + c` for a positive literal `c` (the common derived-
-  * window shape — then every interval covers ≤ 2 bins), else taken
-  * from `spark.graft.rewrite.bandJoin.binWidth` when set, else the
-  * join is left untouched (no stats = no safe width = no rewrite).
-  * An interval spanning ≥ `spark.graft.rewrite.bandJoin.maxBins`
-  * (default 4096) bins raises at runtime — the loud misconfiguration
-  * guard, same contract as the library form.
+  * Bin width, in priority order:
+  *
+  *   1. STRUCTURAL: the interval side's `hi` is provably `lo + c` for
+  *      a positive literal `c` (the common derived-window shape — then
+  *      every interval covers ≤ 2 bins). The span's unit is the unit
+  *      of the matched arithmetic itself: an integral `Add` is already
+  *      in the point's binning unit (timestamps bin on their
+  *      floor-SECONDS cast, and the only integral adds reachable under
+  *      a timestamp comparison are second-typed long arithmetic), and
+  *      a `ts + INTERVAL` (TimestampAddInterval with a literal
+  *      day-time interval) carries MICROseconds, scaled down to
+  *      seconds here. Deriving the unit from the point's type instead
+  *      (the old behavior) made a seconds span look like microseconds
+  *      — a 10⁶× under-width whose only symptom was the maxBins guard
+  *      failing at runtime a query that ran fine unrewritten.
+  *   2. CONFIG: `spark.graft.rewrite.bandJoin.binWidth` when set.
+  *   3. SAMPLED: when `spark.graft.rewrite.bandJoin.sampleWidth` is
+  *      true (the default), a bounded sample of the interval side
+  *      (`spark.graft.rewrite.bandJoin.sampleRows`, default 4096) is
+  *      scanned AT PLANNING TIME for max(hi − lo), which becomes the
+  *      width — so the naive band join over stored lo/hi columns (no
+  *      structural span, no config) still escapes the nested loop.
+  *      One small job per optimization of such a join; max (not a
+  *      quantile) because an under-width risks the maxBins guard.
+  *
+  *   Otherwise the join is left untouched (no derivable width = no
+  *   safe rewrite). An interval spanning ≥
+  *   `spark.graft.rewrite.bandJoin.maxBins` (default 4096) bins raises
+  *   at runtime — the loud misconfiguration guard, same contract as
+  *   the library form (reachable on the sampled path only when the
+  *   sample missed a ≥4096×-wider-than-max interval).
   *
   * Gated by `spark.graft.rewrite.bandJoin.enabled` (default true).
   * The rule runs inside the operator-optimization fixed point and is
@@ -57,6 +109,8 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
   private val EnabledKey = "spark.graft.rewrite.bandJoin.enabled"
   private val WidthKey = "spark.graft.rewrite.bandJoin.binWidth"
   private val MaxBinsKey = "spark.graft.rewrite.bandJoin.maxBins"
+  private val SampleKey = "spark.graft.rewrite.bandJoin.sampleWidth"
+  private val SampleRowsKey = "spark.graft.rewrite.bandJoin.sampleRows"
 
   /** One inequality conjunct normalized to "point op bound": `point`'s
     * refs live entirely in one child, `bound`'s entirely in the other. */
@@ -133,8 +187,20 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     case _ => e
   }
 
-  /** `hi ≡ lo + c` (or `c + lo`) for a positive integral literal after
-    * alias inlining → Some(c). */
+  /** `hi ≡ lo + c` for a positive constant span after alias inlining →
+    * Some(width), already in the point's BINNING unit (see the object
+    * doc's width section). Two shapes match:
+    *
+    *   - an integral `Add(lo, c)` / `Add(c, lo)`: `c` is in the same
+    *     unit [[binOf]] compares in — native integral units, or
+    *     seconds when the operands are a timestamp's long cast (casting
+    *     a timestamp to long yields seconds, the same floor [[asLong]]
+    *     bins on);
+    *   - `TimestampAddInterval(lo, INTERVAL-literal)` — the shape SQL
+    *     `lo + INTERVAL '5' DAY` resolves to on timestamp columns:
+    *     the literal carries MICROseconds, scaled to the seconds the
+    *     timestamp bins on (floor + min 1: over-wide never misses a
+    *     match, the exact predicate filters candidates either way). */
   private def structuralSpan(lo: Expression, hi: Expression,
       intervalSide: LogicalPlan): Option[Long] = {
     val loD = dealias(lo, intervalSide)
@@ -151,12 +217,21 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       case Cast(inner, _, _, _) => stripCast(inner)
       case other => other
     }
+    def integral(e: Expression): Boolean = e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
     stripCast(hiD) match {
-      case Add(a, b, _) =>
+      case add @ Add(a, b, _) if integral(add) =>
         litOf(b).filter(_ > 0)
           .filter(_ => stripCast(a).semanticEquals(stripCast(loD)))
           .orElse(litOf(a).filter(_ > 0)
             .filter(_ => stripCast(b).semanticEquals(stripCast(loD))))
+          .map(math.max(1L, _))
+      case TimestampAddInterval(start,
+          Literal(micros: Long, _: DayTimeIntervalType), _)
+          if micros > 0 && stripCast(start).semanticEquals(stripCast(loD)) =>
+        Some(math.max(1L, micros / 1000000L))
       case _ => None
     }
   }
@@ -169,17 +244,32 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     IntegralDivide(Subtract(eL, Pmod(eL, wL)), wL)
   }
 
+  /** Orientations where exploding the INTERVAL side is safe for the
+    * join type (see the object doc's join-type section). */
+  private def orientationOk(jt: JoinType, pointOnLeft: Boolean): Boolean =
+    jt match {
+      case Inner => true
+      case LeftSemi | LeftAnti | LeftOuter => pointOnLeft
+      case RightOuter => !pointOnLeft
+      case _ => false
+    }
+
+  private def rewritableType(jt: JoinType): Boolean = jt match {
+    case Inner | LeftSemi | LeftAnti | LeftOuter | RightOuter => true
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString(EnabledKey, "true") != "true") return plan
     plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), hint)
-          if cond.deterministic && !j.isStreaming =>
-        rewrite(j, left, right, cond, hint).getOrElse(j)
+      case j @ Join(left, right, jt, Some(cond), hint)
+          if rewritableType(jt) && cond.deterministic && !j.isStreaming =>
+        rewrite(j, left, right, jt, cond, hint).getOrElse(j)
     }
   }
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
-      cond: Expression,
+      jt: JoinType, cond: Expression,
       hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint)
       : Option[LogicalPlan] = {
     val split = splitConjuncts(cond)
@@ -197,8 +287,10 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
     if (hasEqui) return None
-    pointRewrite(j, left, right, cond, split, hint)
-      .orElse(overlapRewrite(j, left, right, cond, split, hint))
+    pointRewrite(j, left, right, jt, cond, split, hint)
+      .orElse(if (jt == Inner) // both sides explode: inner-only
+        overlapRewrite(j, left, right, cond, split, hint)
+      else None)
   }
 
   /** Covered-bin array `binLo .. binHi` with the loud maxBins guard. */
@@ -220,30 +312,37 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
   }
 
   private def pointRewrite(j: Join, left: LogicalPlan,
-      right: LogicalPlan, cond: Expression, split: Seq[Expression],
+      right: LogicalPlan, jt: JoinType, cond: Expression,
+      split: Seq[Expression],
       hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint)
       : Option[LogicalPlan] = {
     val bands = bandsOf(split, left, right)
     // pick a point expression that carries BOTH a lower and an upper
-    // bound from the opposite side
-    val candidate = bands.filter(!_.isLower).flatMap { up =>
-      bands.find(b => b.isLower && b.pointOnLeft == up.pointOnLeft &&
-        b.point.semanticEquals(up.point)).map(lo => (up, lo))
-    }.headOption
+    // bound from the opposite side, in an orientation the join type
+    // admits (the exploded interval side must not be a preserved or
+    // output side — see the object doc)
+    val candidate = bands
+      .filter(b => !b.isLower && orientationOk(jt, b.pointOnLeft))
+      .flatMap { up =>
+        bands.find(b => b.isLower && b.pointOnLeft == up.pointOnLeft &&
+          b.point.semanticEquals(up.point)).map(lo => (up, lo))
+      }.headOption
     candidate.flatMap { case (up, lo) =>
       val pointOnLeft = up.pointOnLeft
       val intervalSide = if (pointOnLeft) right else left
       val width = structuralSpan(lo.bound, up.bound, intervalSide)
-        .map(c => math.max(1L, spanWidth(c, up.point)))
         .orElse(confWidth())
+        .orElse(sampledWidth(intervalSide, lo.bound, up.bound))
       width.map { w =>
         val pointSide = if (pointOnLeft) left else right
         // point side: one derived bin column
         val pbinAlias = Alias(binOf(up.point, w), "_gbin_p")()
         val pPlan = Project(pointSide.output :+ pbinAlias, pointSide)
         // interval side: lo <= hi pre-filter (drops null bounds and
-        // empty intervals — rows the inner join can never match), then
-        // explode to covered bins with the loud maxBins guard
+        // empty intervals — rows that can match no point under ANY of
+        // the admitted join types, so dropping them changes neither
+        // the matched set nor which preserved-side rows go unmatched),
+        // then explode to covered bins with the loud maxBins guard
         val pre = Filter(LessThanOrEqual(lo.bound, up.bound), intervalSide)
         val gnr = Explode(
           guardedBins(binOf(lo.bound, w), binOf(up.bound, w), w))
@@ -254,9 +353,56 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
           generatorOutput = Seq(ibin), pre)
         val (nl, nr) = if (pointOnLeft) (pPlan, iPlan) else (iPlan, pPlan)
         val newCond = And(cond, EqualTo(pbinAlias.toAttribute, ibin))
-        Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+        Project(j.output, Join(nl, nr, jt, Some(newCond), hint))
       }
     }
+  }
+
+  // sampled widths memoized on the canonicalized (plan, lo, hi): the
+  // optimizer fixed point re-invokes the rule while OTHER rules still
+  // change the plan, and explain-then-execute optimizes twice — without
+  // the memo each pass would re-run the sampling job. Bounded LRU;
+  // width is a plan heuristic, so a stale hit is harmless.
+  private val sampleMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        (LogicalPlan, Expression, Expression), Option[Long]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[
+            (LogicalPlan, Expression, Expression), Option[Long]]): Boolean =
+        size > 64
+    })
+
+  /** Last-resort width: scan a bounded sample of the interval side at
+    * planning time for max(hi − lo) in the binning unit (see the
+    * object doc's width section — max, not a quantile, because an
+    * under-width risks the runtime maxBins guard). Returns None when
+    * sampling is disabled, the sample is empty, or anything about
+    * executing the subplan fails (a planning-time heuristic must never
+    * fail the query it is trying to speed up). */
+  private def sampledWidth(intervalSide: LogicalPlan, lo: Expression,
+      hi: Expression): Option[Long] = {
+    if (conf.getConfString(SampleKey, "true") != "true") return None
+    val memoKey = (intervalSide.canonicalized, lo.canonicalized,
+      hi.canonicalized)
+    val hit = sampleMemo.get(memoKey)
+    if (hit != null) return hit
+    try {
+      val n = conf.getConfString(SampleRowsKey, "4096").toInt
+      val span = Alias(Subtract(asLong(hi), asLong(lo)), "_gspan")()
+      val sample = Limit(Literal(n, IntegerType),
+        Project(Seq(span),
+          Filter(LessThanOrEqual(lo, hi), intervalSide)))
+      val agg = Aggregate(Nil,
+        Seq(Alias(Max(span.toAttribute).toAggregateExpression(), "_gmax")()),
+        sample)
+      val row = org.apache.spark.sql.GraftSqlShims
+        .ofRows(SparkSession.active, agg).head()
+      val w =
+        if (row.isNullAt(0)) None else Some(math.max(1L, row.getLong(0)))
+      sampleMemo.put(memoKey, w)
+      w
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Two-sided band ("overlap") rewrite: `aLo < bHi AND bLo < aHi`
@@ -287,7 +433,6 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       rUp <- ineqs.find(!_.pointOnLeft) // rLo < lHi
       w <- Seq(structuralSpan(lUp.point, rUp.bound, left),
           structuralSpan(rUp.point, lUp.bound, right)).flatten
-        .map(c => math.max(1L, spanWidth(c, lUp.point)))
         .reduceOption(_ min _)
         .orElse(confWidth())
     } yield {
@@ -313,16 +458,6 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       Project(j.output, Join(lPlan, rPlan, Inner, Some(newCond), hint))
     }
   }
-
-  /** A structural span `c` is in the POINT expression's comparison
-    * units; timestamps bin on floor seconds, so a span in microseconds
-    * (the timestamp literal-add unit) would over-explode — for
-    * timestamp points, scale the width down to seconds (min 1). */
-  private def spanWidth(c: Long, point: Expression): Long =
-    point.dataType match {
-      case TimestampType => math.max(1L, c / 1000000L)
-      case _ => c
-    }
 
   private def confWidth(): Option[Long] =
     scala.util.Try(conf.getConfString(WidthKey, "").toLong)

@@ -105,15 +105,36 @@ class BandJoinRewriteSpec extends SparkSpecBase {
       !p.contains("CartesianProduct"))
   }
 
-  test("no derivable width and no config => plan left untouched") {
-    // hi is an independent column, not lo + c
-    val free = Seq((0L, 7L, 1L), (5L, 30L, 2L)).toDF("lo", "hi", "iid")
-    val j = points.join(free,
+  test("free-form intervals: sampled width fires by default, rows identical") {
+    // hi is an independent column, not lo + c — no structural span and
+    // no config width, so the planning-time sample (max(hi - lo) over a
+    // bounded scan of the interval side) must supply the width
+    val free = Seq((0L, 7L, 1L), (5L, 30L, 2L), (95L, 101L, 3L))
+      .toDF("lo", "hi", "iid")
+    def joined = points.join(free,
       col("x") >= col("lo") && col("x") < col("hi"))
+    val expected = withRuleOff { rows(joined) }
+    val j = joined
     val p = planOf(j)
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("CartesianProduct"),
-      s"rewrite fired without a safe width:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"sampled-width rewrite did not fire:\n$p")
+    assert(rows(j) == expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("no width derivable anywhere (sampling off) => plan left untouched") {
+    val free = Seq((0L, 7L, 1L), (5L, 30L, 2L)).toDF("lo", "hi", "iid")
+    spark.conf.set("spark.graft.rewrite.bandJoin.sampleWidth", "false")
+    try {
+      val j = points.join(free,
+        col("x") >= col("lo") && col("x") < col("hi"))
+      val p = planOf(j)
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("CartesianProduct"),
+        s"rewrite fired without a safe width:\n$p")
+    } finally
+      spark.conf.unset("spark.graft.rewrite.bandJoin.sampleWidth")
   }
 
   test("config binWidth enables the rewrite for free-form intervals") {
@@ -230,6 +251,129 @@ class BandJoinRewriteSpec extends SparkSpecBase {
     }
     assert(j.as[(Long, Long)].collect().sorted.toSeq == expected)
     assert(expected.nonEmpty)
+  }
+
+  private def noNlj(df: DataFrame, what: String): Unit = {
+    val p = planOf(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"$what not rewritten:\n$p")
+  }
+
+  test("left-semi band join (the range-EXISTS shape) rewrites") {
+    val cond = col("x") >= col("lo") && col("x") < col("hi")
+    val j = pointsWithNull.join(intervals, cond, "left_semi")
+    noNlj(j, "left-semi band join")
+    val got = j.as[(Option[Long], Long)].collect().sorted.toSeq
+    val expected = withRuleOff {
+      pointsWithNull.join(intervals, cond, "left_semi")
+        .as[(Option[Long], Long)].collect().sorted.toSeq
+    }
+    assert(got == expected)
+    assert(got.nonEmpty)
+    assert(j.columns.toSeq == Seq("x", "pid"), "semi leaked columns")
+  }
+
+  test("left-anti band join (the range-NOT-EXISTS shape) rewrites") {
+    val cond = col("x") >= col("lo") && col("x") < col("hi")
+    val j = pointsWithNull.join(intervals, cond, "left_anti")
+    noNlj(j, "left-anti band join")
+    val got = j.as[(Option[Long], Long)].collect().sorted.toSeq
+    val expected = withRuleOff {
+      pointsWithNull.join(intervals, cond, "left_anti")
+        .as[(Option[Long], Long)].collect().sorted.toSeq
+    }
+    assert(got == expected)
+    // the null-x point matches nothing, so anti must keep it
+    assert(got.exists(_._1.isEmpty), "anti lost the null point")
+  }
+
+  test("left-outer band join with the point side on the left rewrites") {
+    val cond = col("x") >= col("lo") && col("x") < col("hi")
+    def run(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val j = pointsWithNull.join(intervals, cond, "left_outer")
+    noNlj(j, "left-outer band join")
+    val expected = withRuleOff {
+      run(pointsWithNull.join(intervals, cond, "left_outer"))
+    }
+    val got = run(j)
+    assert(got == expected)
+    // unmatched points must survive null-extended, exactly once
+    assert(got.exists(_.contains("null")), "no null-extended rows")
+  }
+
+  test("right-outer band join with the point side on the right rewrites") {
+    val cond = col("x") >= col("lo") && col("x") < col("hi")
+    def run(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val j = intervals.join(pointsWithNull, cond, "right_outer")
+    noNlj(j, "right-outer band join")
+    assert(run(j) == withRuleOff {
+      run(intervals.join(pointsWithNull, cond, "right_outer"))
+    })
+  }
+
+  test("semi/outer with the interval side preserved stay untouched") {
+    val cond = col("x") >= col("lo") && col("x") < col("hi")
+    // semi outputting interval rows: rewriting would need to explode
+    // the OUTPUT side — must stay on the naive plan
+    for ((j, what) <- Seq(
+        (intervals.join(points, cond, "left_semi"), "interval-left semi"),
+        (intervals.join(points, cond, "left_outer"), "interval-left outer"),
+        (points.join(intervals, cond, "right_outer"),
+          "interval-right right-outer"),
+        (points.join(intervals, cond, "full_outer"), "full outer"))) {
+      val p = planOf(j)
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("CartesianProduct"), s"$what was rewritten:\n$p")
+      assert(!p.contains("_gbin"), s"$what leaked bin columns:\n$p")
+    }
+  }
+
+  test("SQL EXISTS with a range predicate plans as a bin semi join") {
+    points.createOrReplaceTempView("bjr_ex_points")
+    intervals.createOrReplaceTempView("bjr_ex_intervals")
+    val sql = """SELECT pid FROM bjr_ex_points p
+                 WHERE EXISTS (SELECT 1 FROM bjr_ex_intervals i
+                               WHERE p.x >= i.lo AND p.x < i.hi)"""
+    val j = spark.sql(sql)
+    noNlj(j, "EXISTS range predicate")
+    val expected = withRuleOff {
+      spark.sql(sql).as[Long].collect().sorted.toSeq
+    }
+    assert(j.as[Long].collect().sorted.toSeq == expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("timestamp + INTERVAL structural span derives a SECONDS width") {
+    // hi = lo + INTERVAL 2 DAYS on timestamp columns: the span literal
+    // is in MICROseconds; the width must land in the seconds the
+    // timestamps bin on — a micros-unit mistake in either direction
+    // shows up here as the maxBins guard raising at runtime (span
+    // 172800 s over a 1-second-ish width) or as one giant bin
+    val tPoints = Seq(3600L, 90000L, 200000L, 250000L)
+      .toDF("secs").repartition(1)
+      .select(col("secs").cast("timestamp").as("x"),
+        col("secs").as("pid"))
+    val tIntervals = Seq(0L, 86400L, 172800L).toDF("s").repartition(1)
+      .select(col("s").cast("timestamp").as("lo"),
+        (col("s").cast("timestamp") + expr("INTERVAL 2 DAYS")).as("hi"),
+        col("s").as("iid"))
+    spark.conf.set("spark.graft.rewrite.bandJoin.maxBins", "8")
+    try {
+      val cond = col("x") >= col("lo") && col("x") < col("hi")
+      val j = tPoints.join(tIntervals, cond)
+      noNlj(j, "timestamp band join")
+      val got = j.select(col("pid"), col("iid")).as[(Long, Long)]
+        .collect().sorted.toSeq
+      val expected = withRuleOff {
+        tPoints.join(tIntervals, cond).select(col("pid"), col("iid"))
+          .as[(Long, Long)].collect().sorted.toSeq
+      }
+      assert(got == expected)
+      assert(expected.nonEmpty)
+    } finally
+      spark.conf.unset("spark.graft.rewrite.bandJoin.maxBins")
   }
 
   test("rewritten naive form agrees with the library pointInInterval") {

@@ -42,6 +42,9 @@ class IntervalJoinSpec extends SparkSpecBase {
     (113L, Some(-2000000L), Some(2000000L)) // covers almost everything
   ).toDF("iv_id", "lo", "hi")
 
+  // NOTE: with the BandJoinRewrite rule on (the suite default), this
+  // "naive" join may itself plan binned via the sampled width — tests
+  // whose point is the TRULY naive plan must wrap uses in rule-off
   private def naivePoint: DataFrame =
     points.join(intervals,
       col("x") >= col("lo") && col("x") < col("hi"))
@@ -51,7 +54,12 @@ class IntervalJoinSpec extends SparkSpecBase {
       .map { case (k, v) => (k, v.length) }
 
   test("pointInInterval ≡ naive predicate join at several bin widths") {
-    val expected = multiset(naivePoint)
+    // the oracle must be the TRULY naive nested-loop rows, not the
+    // rewrite's own output (which would make this test circular)
+    spark.conf.set("spark.graft.rewrite.bandJoin.enabled", "false")
+    val expected =
+      try multiset(naivePoint)
+      finally spark.conf.unset("spark.graft.rewrite.bandJoin.enabled")
     assert(expected.nonEmpty, "fixture must produce matches")
     for (w <- Seq(1L, 3L, 10L, 1000L, 5000000L)) {
       val got = multiset(IntervalJoin.pointInInterval(
@@ -126,13 +134,19 @@ class IntervalJoinSpec extends SparkSpecBase {
     assert(!bp.contains("BroadcastNestedLoopJoin") &&
       !bp.contains("CartesianProduct"),
       s"binned interval join fell back to a nested loop:\n$bp")
-    // the naive predicate-only join is exactly the plan the rewrite
-    // exists to avoid
-    val np = naivePoint.queryExecution.executedPlan.toString
-    assert(np.contains("BroadcastNestedLoopJoin") ||
-      np.contains("CartesianProduct"),
-      s"expected the naive form to nested-loop (did Spark learn band " +
-        s"joins? then the operator can retire):\n$np")
+    // the naive predicate-only join is exactly the plan this operator
+    // (and the BandJoinRewrite rule) exist to avoid — with the rule
+    // fully off, since its sampled-width path now rescues even these
+    // free-form fixtures
+    spark.conf.set("spark.graft.rewrite.bandJoin.enabled", "false")
+    try {
+      val np = naivePoint.queryExecution.executedPlan.toString
+      assert(np.contains("BroadcastNestedLoopJoin") ||
+        np.contains("CartesianProduct"),
+        s"expected the naive form to nested-loop (did Spark learn band " +
+          s"joins? then the operator can retire):\n$np")
+    } finally
+      spark.conf.unset("spark.graft.rewrite.bandJoin.enabled")
   }
 
   test("loud guards: bad width, wrong type, name clash, span explosion") {

@@ -84,6 +84,28 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("_gbin"), s"q142 missing the bin equijoin key:\n$p")
   }
 
+  test("q143: the NAIVE semi band join (range-EXISTS) plans as a bin semi equijoin") {
+    // the round-13 verdict ask: a semi join whose only cross-side
+    // predicate is a band (the WHERE EXISTS ... BETWEEN shape) must
+    // ride the rewrite's semi orientation — zero nested loops
+    val p = plan(q("q143_band_semi"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q143 kept the nested-loop plan (semi rewrite did not fire):\n$p")
+    assert(p.contains("_gbin"), s"q143 missing the bin equijoin key:\n$p")
+  }
+
+  test("q144: free-form intervals get a SAMPLED width, still a bin equijoin") {
+    // no structural span (hi is data-derived) and no configured width:
+    // the planning-time sample must supply one — this pin is what keeps
+    // the sampled path from silently regressing to the nested loop
+    val p = plan(q("q144_band_sampled"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q144 kept the nested-loop plan (sampled width did not fire):\n$p")
+    assert(p.contains("_gbin"), s"q144 missing the bin equijoin key:\n$p")
+  }
+
   test("q116: the native whole-operator top-k plans partial+final") {
     // tier-(c) machinery pin: the injected strategy must actually fire
     // (a lost registration means TopKPerKeyNode dies with "No plan for")
