@@ -12,7 +12,13 @@ import graft.operators.{GraphArtifact, GraphOps, Iterate, RankArtifact}
   *     small append — the delta-gated path must cost O(dirty), not
   *     O(graph), and the served ranks must equal the from-scratch
   *     recompute EXACTLY (distributed compare, zero collects of data);
-  *  2. price the reliable-checkpoint mode against the default local
+  *  2. price overlay-chain READ AMPLIFICATION (round-14: the
+  *     auto-compaction story) — serve the ranks at chain length 1,
+  *     grow the chain to 8 with further append+refresh batches, serve
+  *     again, FOLD ([[RankArtifact.compactRanks]]) and serve the
+  *     compacted base — the fold must restore chain-1 read cost and be
+  *     bit-identical to the chain it folded;
+  *  3. price the reliable-checkpoint mode against the default local
   *     mode on the same PageRank — the per-iteration cluster-FS write
   *     is the cost of surviving executor loss, and the results must be
   *     bit-identical.
@@ -54,11 +60,14 @@ object RankProbe {
       e1.select((col("src") + lit(i * off)).as("src"),
         (col("dst") + lit(i * off)).as("dst"))
     }.reduce(_ union _).cache()
-    // a SMALL delta, fixed-size-ish: a thin slice of copy 0 only
-    val deltaPred = col("src") < off && pmod(col("src") + col("dst"),
-      lit(101)) === 0
-    val delta = eM.filter(deltaPred).cache()
-    val base = eM.filter(!deltaPred)
+    // SMALL deltas, fixed-size-ish: thin slices of copy 0 only — slice
+    // 0 feeds the refresh-pricing leg, slices 1..7 grow the chain for
+    // the read-amplification leg, so every append is genuinely new
+    def slice(k: Int) = col("src") < off &&
+      pmod(col("src") + col("dst"), lit(101)) === k
+    val delta = eM.filter(slice(0)).cache()
+    val base = eM.filter(!(col("src") < off &&
+      pmod(col("src") + col("dst"), lit(101)) < 8))
     println(s"edges=${eM.count()} (${mult}x), delta=${delta.count()}")
 
     val dir = s"/tmp/graft_rankprobe_$mult"
@@ -78,6 +87,30 @@ object RankProbe {
       .localCheckpoint(true))
     timed("gate_exact")(sameRanks(served, truth, "refresh-vs-recompute"))
     println(s"refresh ≡ recompute on ${truth.count()} nodes")
+
+    // ── overlay-chain read amplification (the auto-compaction pricing):
+    // serving cost at chain length 1, at chain length 8, and after the
+    // fold — a maintained stream without compaction pays the middle
+    // number FOREVER, growing linearly with batches
+    def serveOnce(tag: String): Unit = timed(tag)(
+      RankArtifact.readRanks(spark, s"$dir/r")
+        .write.mode("overwrite").format("noop").save())
+    serveOnce("serve_chain1")
+    timed("grow_chain_to_8")(for (k <- 1 to 7) {
+      GraphArtifact.appendEdges(eM.filter(slice(k)), s"$dir/e",
+        f"b${k + 1}%06d")
+      val s = RankArtifact.refreshRanks(spark, s"$dir/e", s"$dir/r")
+      require(s == "delta", s"slice $k: expected delta, got `$s`")
+    })
+    serveOnce("serve_chain8")
+    val chainServed = RankArtifact.readRanks(spark, s"$dir/r")
+      .localCheckpoint(true)
+    timed("fold_compact")(RankArtifact.compactRanks(spark, s"$dir/r"))
+    serveOnce("serve_folded")
+    timed("gate_fold")(sameRanks(chainServed,
+      RankArtifact.readRanks(spark, s"$dir/r"), "fold-vs-chain"))
+    println(s"fold ≡ chain at length 8; chain after fold = " +
+      RankArtifact.chainLength(spark, s"$dir/r"))
 
     // checkpoint-mode pricing: same graph, same recurrence, both modes
     val prLocal = timed("pagerank_local")(

@@ -217,6 +217,36 @@ object GraphArtifact {
     resolve(layered(s, edgesGenDir(s, dir)))
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
 
+  /** Committed append tags of the CURRENT generation — the overlay
+    * chain length a maintenance policy bounds (every [[readEdges]]
+    * resolve unions base + ALL committed appends, so read amplification
+    * grows linearly with this number until a compaction). */
+  def chainLength(s: SparkSession, dir: String): Int =
+    coverage(s, dir)._2.length
+
+  /** Compact the artifact: rebuild the next generation from the
+    * RESOLVED edge set at the stored bucket count — appended history
+    * and tombstones are gone, the chain length resets to zero. One
+    * resolve scan + one bucketed write, O(artifact); publish is the
+    * atomic pointer flip, and the superseded generation keeps the
+    * one-cycle reader grace ([[graft.sources.GenStore]]).
+    *
+    * Mid-stream legality: compaction destroys the batch-tag ledger, so
+    * a crash AFTER it but before the stream checkpoint commits makes
+    * the replayed batch re-append — which is SAFE, because edge ops are
+    * idempotent on the resolved state (re-adding a present edge keeps
+    * it present; re-tombstoning an absent edge keeps it absent; adds
+    * and deletes of one batch are disjoint by the append conflict
+    * contract). Exactly-once therefore holds on CONTENT across the
+    * compaction boundary even though the physical ledger restarts —
+    * the contract [[graft.streaming.StreamGraph]] relies on. */
+  def compactEdges(s: SparkSession, dir: String): Unit = {
+    val nBuckets = readNBuckets(s, edgesGenDir(s, dir))
+    writeEdges(
+      readEdges(s, dir).select(col("a").as("src"), col("b").as("dst")),
+      dir, nBuckets)
+  }
+
   /** Coverage snapshot: (generation name, committed append tags in
     * layer order). A derived artifact ([[RankArtifact]]) records this to
     * know what it was computed from — take it BEFORE reading the edges

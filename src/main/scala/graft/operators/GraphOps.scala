@@ -84,6 +84,14 @@ object GraphOps {
       m
     }
 
+  /** Memoize an arbitrary once-per-(session, key) derivation or side
+    * effect — the general entry to the same store (and the same
+    * lifetime/eviction contract) as the named derivations below; the
+    * rank-artifact gate uses it to build its store once per harness
+    * process. Keys share one namespace: prefix with the caller's name. */
+  def memo[T <: AnyRef](s: SparkSession, key: String)(mk: => T): T =
+    memoFor(s).computeIfAbsent(key, _ => mk).asInstanceOf[T]
+
   /** Drop every memoized derivation for `s` — the explicit eviction
     * for rewritten source data or stranded checkpoint blocks (see the
     * memo contract above). */

@@ -258,7 +258,6 @@ object Retrieval {
     import spark.implicits._
     val genDir = postingsGenDir(spark, dir)
     val nBuckets = readNBuckets(spark, genDir)
-    val hfs = hfsOf(spark, dir)
     val k = phrase.length
     val slots = phrase.zipWithIndex.map { case (t, i) => (t, i.toLong) }
       .toDF("term", "idx")
@@ -267,6 +266,19 @@ object Retrieval {
     // bounded collect: ≤ k bucket ids — becomes the partition filter
     val buckets = slots.select(col("bucket")).distinct()
       .as[Long].collect().toSeq
+    val live = storedLive(spark, genDir, Some(buckets))
+    anchorAgg(live.join(broadcast(slots), Seq("term", "bucket")), k)
+  }
+
+  /** The LIVE posting rows of the CURRENT generation — base + every
+    * committed append, the appends' tombstones applied (a delete in
+    * append layer j shadows the doc's rows in layers < j; layer = tag
+    * sort order). `buckets`, when given, prunes every layer's scan to
+    * those `bucket=` partitions. The shared resolution of the probe
+    * path and the compaction. */
+  private def storedLive(spark: SparkSession, genDir: String,
+      buckets: Option[Seq[Long]]): DataFrame = {
+    val hfs = hfsOf(spark, genDir)
     val appendsRoot = new Path(genDir, "appends")
     // tag-sorted commit order defines tombstone layering; the listing is
     // bounded by the append count (driver metadata, never data)
@@ -281,11 +293,11 @@ object Retrieval {
       (s"$genDir/base", 0L) +:
         appendDirs.zipWithIndex.map { case (p, i) =>
           (s"$p/data", i + 1L) }
-    val rows = layers.map { case (p, l) =>
+    var rows = layers.map { case (p, l) =>
       spark.read.schema(postingSchema).parquet(p)
         .withColumn("layer", lit(l)) }
       .reduce(_ unionByName _)
-      .filter(col("bucket").isin(buckets: _*))
+    buckets.foreach(b => rows = rows.filter(col("bucket").isin(b: _*)))
     val delDirs = appendDirs.zipWithIndex.collect {
       case (p, i) if hfs.exists(new Path(p, "deletes")) =>
         (s"$p/deletes", i + 1L) }
@@ -304,7 +316,42 @@ object Retrieval {
         rows.join(dmax, Seq("doc_id"), "left")
           .filter(col("dmax").isNull || col("layer") >= col("dmax"))
       }
-    anchorAgg(live.join(broadcast(slots), Seq("term", "bucket")), k)
+    live.select(col("doc_id"), col("pos"), col("term"), col("bucket"))
+  }
+
+  /** Committed append tags of the CURRENT generation — the overlay
+    * chain length a maintenance policy bounds (every stored probe scans
+    * base + ALL committed appends plus their tombstone sets, so read
+    * amplification grows linearly with this number until a compaction). */
+  def chainLength(s: SparkSession, dir: String): Int = {
+    val hfs = hfsOf(s, dir)
+    val appends = new Path(postingsGenDir(s, dir), "appends")
+    if (!hfs.exists(appends)) 0
+    else hfs.listStatus(appends).count(_.isDirectory)
+  }
+
+  /** Compact the artifact: write the next generation's base from the
+    * RESOLVED live rows — appended history and tombstones are gone, the
+    * chain length resets to zero. One resolve scan + one bucketed write
+    * (the rows already carry their bucket, so no re-tokenization and no
+    * re-hash); publish is the atomic pointer flip with the one-cycle
+    * reader grace. A replayed batch whose tag died with the compacted
+    * generation re-UPSERTS — idempotent on content: its tombstones
+    * shadow the folded copies of exactly the rows it re-appends, so the
+    * resolved corpus is unchanged (the contract
+    * [[graft.streaming.StreamPostings]] relies on). */
+  def compactPostings(s: SparkSession, dir: String): Unit = {
+    val genDir = postingsGenDir(s, dir)
+    val nBuckets = readNBuckets(s, genDir)
+    val hfs = hfsOf(s, dir)
+    val genName = gens.nextGenName(s, dir)
+    val newDir = s"$dir/$genName"
+    storedLive(s, genDir, None)
+      .repartitionByRange(col("bucket"), col("term"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$newDir/base")
+    val out = hfs.create(new Path(newDir, MetaName), true)
+    try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+    gens.publish(s, dir, genName)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -28,13 +28,28 @@ import graft.operators.GraphArtifact
   * during a maintenance window (concurrent readers survive on the
   * superseded generation's grace cycle); only a FULL rebuild is legal
   * mid-stream — batch tags die with the old generation.
+  *
+  * AUTO-compaction (the IncrementalDedup `compactEvery` discipline):
+  * without it the chain grows one append per micro-batch FOREVER, and
+  * every resolve unions base + all of them — read amplification linear
+  * in stream age, the one scale liability of a long-maintained store.
+  * When the committed-tag count reaches `compactEvery`, the batch that
+  * crossed the threshold triggers [[GraphArtifact.compactEdges]] before
+  * returning. Crash-safety across the boundary: the check runs on
+  * REPLAYED batches too (a crash mid-compaction retries — the partial
+  * generation is unreferenced and GC'd), and a crash AFTER compaction
+  * but before the stream checkpoint makes the replay re-append into the
+  * fresh generation — exact on content because edge ops are idempotent
+  * on the resolved state (see [[GraphArtifact.compactEdges]]).
   */
 object StreamGraph {
 
   /** One micro-batch of maintenance; idempotent per (dir, batchId).
-    * Returns false iff this batch id was already committed (replay). */
+    * Returns false iff this batch id was already committed (replay).
+    * `compactEvery` bounds the append-chain length (0 disables — the
+    * caller owns compaction windows). */
   def maintainBatch(batch: DataFrame, batchId: Long, dir: String,
-      nBuckets: Int = 64): Boolean = {
+      nBuckets: Int = 64, compactEvery: Int = 8): Boolean = {
     val s = batch.sparkSession
     val hfs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -62,6 +77,11 @@ object StreamGraph {
     val published = GraphArtifact.appendEdges(
       adds, dir, f"b$batchId%012d", deletes = Some(dels))
     if (!published) batch.foreachPartition((_: Iterator[Row]) => ())
+    // auto-compaction: checked on replays too, so a crash mid-compaction
+    // retries (the torn attempt is an unreferenced partial generation)
+    if (compactEvery > 0 &&
+        GraphArtifact.chainLength(s, dir) >= compactEvery)
+      GraphArtifact.compactEdges(s, dir)
     published
   }
 
@@ -69,11 +89,12 @@ object StreamGraph {
     * `nBuckets` only matters when the first batch creates a fresh dir —
     * after that the bucket count travels with the generation. */
   def maintain(edgeOps: DataFrame, dir: String, checkpoint: String,
-      nBuckets: Int = 64): StreamingQuery =
+      nBuckets: Int = 64, compactEvery: Int = 8): StreamingQuery =
     edgeOps.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        maintainBatch(batch.toDF(), batchId, dir, nBuckets); ()
+        maintainBatch(batch.toDF(), batchId, dir, nBuckets, compactEvery)
+        ()
       }
       .start()
 }

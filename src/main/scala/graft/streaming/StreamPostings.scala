@@ -39,6 +39,19 @@ import graft.operators.Retrieval
   * maintenance continues; earlier batch tags are gone with the old
   * generation, so ONLY a full rebuild (never a partial one) is legal
   * mid-stream, same as IncrementalDedup's compaction contract.
+  *
+  * AUTO-compaction (the IncrementalDedup `compactEvery` discipline):
+  * without it the chain grows one append per micro-batch forever and
+  * every probe scans base + all of them — read amplification linear in
+  * stream age. When the committed-tag count reaches `compactEvery`, the
+  * batch that crossed the threshold folds the resolved live rows into a
+  * fresh generation ([[Retrieval.compactPostings]] — no re-tokenization,
+  * one resolve scan) before returning. The check runs on replayed
+  * batches too (crash mid-fold retries; the torn attempt is an
+  * unreferenced partial generation), and a crash AFTER the fold but
+  * before the stream checkpoint makes the replay re-upsert into the
+  * fresh generation — exact on content, because the upsert's tombstones
+  * shadow the folded copies of exactly the rows it re-appends.
   */
 object StreamPostings {
 
@@ -54,7 +67,7 @@ object StreamPostings {
     * publish — the StreamSemanticDedup conflict convention. Both
     * checks are batch-sized (deltas), never corpus-sized. */
   def maintainBatch(batch: DataFrame, batchId: Long, dir: String,
-      nBuckets: Int = 64): Boolean = {
+      nBuckets: Int = 64, compactEvery: Int = 8): Boolean = {
     val s = batch.sparkSession
     val hfs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -75,6 +88,11 @@ object StreamPostings {
     val published =
       Retrieval.upsertPostings(slim, dir, f"b$batchId%012d")
     if (!published) batch.foreachPartition((_: Iterator[Row]) => ())
+    // auto-compaction: checked on replays too, so a crash mid-fold
+    // retries (the torn attempt is an unreferenced partial generation)
+    if (compactEvery > 0 &&
+        Retrieval.chainLength(s, dir) >= compactEvery)
+      Retrieval.compactPostings(s, dir)
     published
   }
 
@@ -82,11 +100,12 @@ object StreamPostings {
     * `nBuckets` only matters when the first batch creates a fresh dir —
     * after that the bucket count travels with the generation. */
   def maintain(docs: DataFrame, dir: String, checkpoint: String,
-      nBuckets: Int = 64): StreamingQuery =
+      nBuckets: Int = 64, compactEvery: Int = 8): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        maintainBatch(batch.toDF(), batchId, dir, nBuckets); ()
+        maintainBatch(batch.toDF(), batchId, dir, nBuckets, compactEvery)
+        ()
       }
       .start()
 }

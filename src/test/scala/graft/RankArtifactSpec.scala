@@ -172,6 +172,87 @@ class RankArtifactSpec extends SparkSpecBase {
     } finally spark.conf.unset(GraphArtifact.BroadcastMaxNodesKey)
   }
 
+  test("compactRanks folds the chain: served ranks bit-identical, chain 0") {
+    val dir = tmp()
+    val base = randomEdges(50, 120)
+    GraphArtifact.writeEdges(toDF(base), s"$dir/e")
+    RankArtifact.writeRanks(spark, s"$dir/e", s"$dir/r", iters = 3)
+    // two chained deltas (adds + a delete) so the fold resolves real
+    // overlays and a removal tombstone, not just the base
+    val dels = Seq(base.head)
+    assert(GraphArtifact.appendEdges(
+      toDF(Seq((200L, 201L), (201L, base(1)._1))), s"$dir/e", "b000001",
+      deletes = Some(toDF(dels))))
+    assert(RankArtifact.refreshRanks(spark, s"$dir/e", s"$dir/r") == "delta")
+    assert(GraphArtifact.appendEdges(
+      toDF(Seq((202L, 203L), (203L, 200L))), s"$dir/e", "b000002"))
+    assert(RankArtifact.refreshRanks(spark, s"$dir/e", s"$dir/r") == "delta")
+    assert(RankArtifact.chainLength(spark, s"$dir/r") == 2)
+
+    val before = ranksOf(RankArtifact.readRanks(spark, s"$dir/r"))
+    val genBefore = RankArtifact.ranksGenDir(spark, s"$dir/r")
+    RankArtifact.compactRanks(spark, s"$dir/r")
+    assert(RankArtifact.ranksGenDir(spark, s"$dir/r") != genBefore,
+      "fold must publish a fresh generation")
+    assert(RankArtifact.chainLength(spark, s"$dir/r") == 0)
+    assert(ranksOf(RankArtifact.readRanks(spark, s"$dir/r")) == before,
+      "fold changed the served ranks")
+    // lineage is untouched: the folded base covers what the chain did,
+    // so the next refresh against an unchanged edge store no-ops...
+    assert(RankArtifact.refreshRanks(spark, s"$dir/e", s"$dir/r") == "noop")
+    // ...and a refresh after a NEW append is a delta over the folded base
+    assert(GraphArtifact.appendEdges(
+      toDF(Seq((204L, 205L), (205L, 202L))), s"$dir/e", "b000003"))
+    assert(RankArtifact.refreshRanks(spark, s"$dir/e", s"$dir/r") == "delta")
+    assert(ranksOf(RankArtifact.readRanks(spark, s"$dir/r")) ==
+      ranksOf(GraphOps.pagerank(
+        GraphArtifact.readAdjacency(spark, s"$dir/e"), iters = 3)))
+  }
+
+  test("compactRanks with a lineage restamp pairs with compactEdges exactly") {
+    val dir = tmp()
+    val base = randomEdges(40, 90)
+    GraphArtifact.writeEdges(toDF(base), s"$dir/e")
+    RankArtifact.writeRanks(spark, s"$dir/e", s"$dir/r", iters = 3)
+    assert(GraphArtifact.appendEdges(
+      toDF(Seq((300L, 301L), (301L, base.head._1))), s"$dir/e", "b000001",
+      deletes = Some(toDF(Seq(base.last)))))
+    assert(RankArtifact.refreshRanks(spark, s"$dir/e", s"$dir/r") == "delta")
+    val before = ranksOf(RankArtifact.readRanks(spark, s"$dir/r"))
+
+    // the joint step: compact the edges (same resolved set, fresh
+    // generation, no tags) and restamp the folded ranks onto it
+    GraphArtifact.compactEdges(spark, s"$dir/e")
+    RankArtifact.compactRanks(spark, s"$dir/r",
+      Some(GraphArtifact.coverage(spark, s"$dir/e")))
+    assert(GraphArtifact.chainLength(spark, s"$dir/e") == 0)
+    assert(RankArtifact.chainLength(spark, s"$dir/r") == 0)
+    assert(ranksOf(RankArtifact.readRanks(spark, s"$dir/r")) == before)
+    // the restamped lineage anchors the chain: no rebuild, a plain noop,
+    // and the next delta refreshes against the compacted pair
+    assert(RankArtifact.refreshRanks(spark, s"$dir/e", s"$dir/r") == "noop")
+    assert(GraphArtifact.appendEdges(
+      toDF(Seq((302L, 303L), (303L, 300L))), s"$dir/e", "b000001"))
+    assert(RankArtifact.refreshRanks(spark, s"$dir/e", s"$dir/r") == "delta")
+    assert(ranksOf(RankArtifact.readRanks(spark, s"$dir/r")) ==
+      ranksOf(GraphOps.pagerank(
+        GraphArtifact.readAdjacency(spark, s"$dir/e"), iters = 3)))
+  }
+
+  test("q141 is invocation-idempotent within a session (memoized build)") {
+    // the gate memoizes its store BUILD per (session, dataset) and each
+    // invocation appends the same delta under a fresh tag + folds — the
+    // served top-100 must be bit-identical across invocations (bench
+    // runs it three times in one JVM; Verify once in another)
+    val q = RankArtifact.queries("q141_rank_refresh")
+    def run(): Seq[(Long, Long)] =
+      q(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val first = run()
+    assert(first.nonEmpty)
+    assert(run() == first, "second invocation diverged (memoized build)")
+    assert(run() == first, "third invocation diverged")
+  }
+
   test("a missing rank artifact fails loudly with the build hint") {
     val e = intercept[IllegalStateException] {
       RankArtifact.readRanks(spark, tmp() + "/nothing")

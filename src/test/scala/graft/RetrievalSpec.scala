@@ -246,6 +246,52 @@ class RetrievalSpec extends SparkSpecBase {
     } finally hfs.delete(hp, true)
   }
 
+  test("compactPostings folds appends+tombstones; probes bit-identical") {
+    val dir = s"/tmp/graft_test_postings_cp_${System.nanoTime()}"
+    try {
+      import spark.implicits._
+      Retrieval.writePostings(docs, dir, nBuckets = 8)
+      // an upsert (re-post of doc 1) and a plain append: the fold must
+      // resolve a tombstone layer AND a fresh layer
+      assert(Retrieval.upsertPostings(
+        Seq(1L -> "b a b").toDF("doc_id", "text"), dir, "b000001"))
+      assert(Retrieval.appendPostings(
+        Seq(9L -> "a b a").toDF("doc_id", "text"), dir, "b000002"))
+      assert(Retrieval.chainLength(spark, dir) == 2)
+      val phrases = Seq(Seq("a", "b"), Seq("b", "a", "b"), Seq("a"))
+      val before = phrases.map(ph =>
+        asMap(Retrieval.phraseSearchStored(spark, dir, ph)))
+      val genBefore = Retrieval.postingsGenDir(spark, dir)
+      Retrieval.compactPostings(spark, dir)
+      assert(Retrieval.postingsGenDir(spark, dir) != genBefore,
+        "fold must publish a fresh generation")
+      assert(Retrieval.chainLength(spark, dir) == 0)
+      phrases.zip(before).foreach { case (ph, want) =>
+        assert(asMap(Retrieval.phraseSearchStored(spark, dir, ph)) == want,
+          s"fold changed the probe for $ph")
+      }
+      // the folded base still bucket-prunes (rows kept their bucket ids)
+      val p = Retrieval.phraseSearchStored(spark, dir, Seq("a", "b"))
+        .queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+        s"no bucket partition filter after the fold:\n$p")
+      // maintenance continues: a fresh tag namespace accepts appends
+      assert(Retrieval.upsertPostings(
+        Seq(9L -> "c c c").toDF("doc_id", "text"), dir, "b000001"))
+      assert(asMap(Retrieval.phraseSearchStored(spark, dir, Seq("a", "b")))
+        == asMap(Retrieval.phraseSearch(
+          docs.filter(col("doc_id") =!= 1L && col("doc_id") =!= 9L)
+            .unionByName(Seq(1L -> "b a b").toDF("doc_id", "text"))
+            .unionByName(Seq(9L -> "c c c").toDF("doc_id", "text")),
+          Seq("a", "b"))),
+        "post-fold maintenance diverged")
+    } finally {
+      val hp = new org.apache.hadoop.fs.Path(dir)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+    }
+  }
+
   test("probing a dir with no complete artifact fails loudly") {
     val dir = s"/tmp/graft_test_postings_bad_${System.nanoTime()}"
     val e = intercept[IllegalStateException] {

@@ -168,6 +168,41 @@ class StreamGraphSpec extends SparkSpecBase {
       tags.mkString(", "))
   }
 
+  test("auto-compaction bounds the chain; replay after it is content-exact") {
+    val dir = tmp()
+    val every = 3
+    var state = Set.empty[(Long, Long)]
+    var gens = Set.empty[String]
+    val batches: Seq[Seq[(Long, Long, String)]] =
+      (0 until 10).map { i =>
+        // churn: every batch adds two edges and deletes one added
+        // earlier, so compactions fold real tombstones, not just adds
+        Seq((i.toLong, i + 1L, "add"), (i.toLong, i + 50L, "add")) ++
+          (if (i >= 2) Seq((i - 2L, i - 1L, "del")) else Nil)
+      }
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamGraph.maintainBatch(b.toDF("src", "dst", "op"), i.toLong, dir,
+        nBuckets = 8, compactEvery = every)
+      state = refApply(state, b)
+      assert(readSet(dir) == state, s"state diverged after batch $i")
+      val chain = GraphArtifact.chainLength(spark, dir)
+      assert(chain < every,
+        s"chain $chain not bounded by compactEvery=$every after batch $i")
+      gens += new org.apache.hadoop.fs.Path(
+        GraphArtifact.edgesGenDir(spark, dir)).getName
+    }
+    // 10 batches at compactEvery=3 must have compacted ≥ 3 times
+    assert(gens.size >= 4, s"expected ≥4 generations, saw $gens")
+    // replay of the LAST batch: its tag died with the final compaction
+    // iff one just fired — either way the resolved content is unchanged
+    // (edge ops are idempotent on the resolved state)
+    StreamGraph.maintainBatch(
+      batches.last.toDF("src", "dst", "op"), 9L, dir,
+      nBuckets = 8, compactEvery = every)
+    assert(readSet(dir) == state, "replay after compaction changed content")
+    assert(GraphArtifact.chainLength(spark, dir) < every)
+  }
+
   test("maintained artifact feeds the batch operators (pagerank over readEdges)") {
     val dir = tmp()
     StreamGraph.maintainBatch(

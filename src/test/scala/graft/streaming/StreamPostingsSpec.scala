@@ -136,6 +136,44 @@ class StreamPostingsSpec extends SparkSpecBase {
     } finally hfs.delete(hp, true)
   }
 
+  test("auto-compaction bounds the chain; probes stay ≡ latest corpus") {
+    val dir = s"/tmp/graft_test_spost_ac_${System.nanoTime()}"
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val every = 3
+    try {
+      var corpus = Map.empty[Long, String]
+      var gens = Set.empty[String]
+      // 8 batches: fresh docs + re-posts (so folds carry real
+      // tombstones), checked against the latest-version corpus each time
+      for (i <- 0L until 8L) {
+        // i ≥ 1 keeps the re-post target distinct from the fresh doc
+        // (i/2 == i only at 0 — same id, two texts, a refused conflict)
+        val b = Seq(i -> s"doc d$i a b") ++
+          (if (i >= 1) Seq((i / 2) -> s"doc d${i / 2} z z v$i") else Nil)
+        StreamPostings.maintainBatch(b.toDF("doc_id", "text"), i, dir,
+          nBuckets = 8, compactEvery = every)
+        corpus = corpus ++ b.toMap
+        checkAll(dir, corpus.toSeq)
+        val chain = Retrieval.chainLength(spark, dir)
+        assert(chain < every,
+          s"chain $chain not bounded by compactEvery=$every after batch $i")
+        gens += new org.apache.hadoop.fs.Path(
+          Retrieval.postingsGenDir(spark, dir)).getName
+      }
+      assert(gens.size >= 3, s"expected ≥3 generations, saw $gens")
+      // replay of the last batch: if its tag died with a compaction it
+      // re-upserts — tombstoning the folded copies of exactly the rows
+      // it re-appends, so probes are unchanged
+      StreamPostings.maintainBatch(
+        Seq(7L -> "doc d7 a b", 3L -> "doc d3 z z v7")
+          .toDF("doc_id", "text"), 7L, dir,
+        nBuckets = 8, compactEvery = every)
+      checkAll(dir, corpus.toSeq)
+      assert(Retrieval.chainLength(spark, dir) < every)
+    } finally hfs.delete(hp, true)
+  }
+
   test("batch order wins over within-batch duplicates across updates") {
     // zero-padded tags: batch 10 must shadow batch 9 even though "b9"
     // sorts after "b10" unpadded

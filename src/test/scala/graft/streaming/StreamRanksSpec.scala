@@ -70,7 +70,9 @@ class StreamRanksSpec extends SparkSpecBase {
 
     // a mid-stream edge COMPACTION (full rebuild, the only legal one)
     // is absorbed: the next maintained batch reports "rebuild" and the
-    // chain restarts exactly
+    // chain restarts exactly — this is ALSO the crash window between
+    // the joint policy's compactEdges and its rank restamp (the ranks'
+    // lineage names a dead generation; one recompute re-anchors it)
     GraphArtifact.writeEdges(
       GraphArtifact.readEdges(spark, s"$root/e")
         .select(col("a").as("src"), col("b").as("dst")),
@@ -79,5 +81,54 @@ class StreamRanksSpec extends SparkSpecBase {
     assert(StreamRanks.maintainBatch(b2, 2L, s"$root/e", s"$root/r",
       iters = 3, nBuckets = 8) == "rebuild")
     assert(ranksOf(s"$root/r") == truthOf(s"$root/e", 3))
+  }
+
+  test("joint auto-compaction bounds both chains; ranks stay exact") {
+    val root = java.nio.file.Files.createTempDirectory("stream_ranks3")
+      .toString
+    val every = 3
+    var edgeGens = Set.empty[String]
+    // 6 batches: the chain traces 1,2,compact→0, 1,2,compact→0 — the
+    // LAST batch triggers a joint compaction, setting up the replay leg
+    for (i <- 0L until 6L) {
+      val b = (Seq((i, i + 1L, "add"), (i, i + 20L, "add")) ++
+          (if (i >= 2) Seq((i - 2L, i - 1L, "del")) else Nil))
+        .toDF("src", "dst", "op")
+      val st = StreamRanks.maintainBatch(b, i, s"$root/e", s"$root/r",
+        iters = 2, nBuckets = 8, compactEvery = every)
+      assert(st == (if (i == 0) "bootstrap" else "delta"),
+        s"batch $i: unexpected status $st")
+      assert(ranksOf(s"$root/r") == truthOf(s"$root/e", 2),
+        s"ranks diverged after batch $i")
+      val ec = GraphArtifact.chainLength(spark, s"$root/e")
+      val rc = RankArtifact.chainLength(spark, s"$root/r")
+      assert(ec < every && rc < every,
+        s"chains not bounded after batch $i: edges=$ec ranks=$rc")
+      edgeGens += new org.apache.hadoop.fs.Path(
+        GraphArtifact.edgesGenDir(spark, s"$root/e")).getName
+    }
+    // 6 batches at compactEvery=3 joint-compacted twice, and a joint
+    // compaction restamps the fold's lineage to the fresh edge
+    // generation with zero covered tags
+    assert(edgeGens.size >= 3, s"expected ≥3 edge generations, saw $edgeGens")
+    val (covGen, covTags) = RankArtifact.coverage(spark, s"$root/r")
+    val (curGen, curTags) = GraphArtifact.coverage(spark, s"$root/e")
+    assert(covGen == curGen && covTags.toSet == curTags.toSet,
+      "rank lineage out of step with the edge store")
+    assert(covTags.isEmpty, "a just-compacted pair must cover zero tags")
+
+    // replay of the last batch — its tag died with the compaction it
+    // triggered (the crash-before-checkpoint window): the re-append is
+    // idempotent on resolved content, the refresh sees exactly the one
+    // re-appended tag — "delta" — and the served ranks are unchanged
+    val before = ranksOf(s"$root/r")
+    val b5 = (Seq((5L, 6L, "add"), (5L, 25L, "add")) ++
+        Seq((3L, 4L, "del"))).toDF("src", "dst", "op")
+    val replaySt = StreamRanks.maintainBatch(b5, 5L, s"$root/e", s"$root/r",
+      iters = 2, nBuckets = 8, compactEvery = every)
+    assert(replaySt == "delta", s"replay status $replaySt")
+    assert(ranksOf(s"$root/r") == before,
+      "replay after joint compaction changed the served ranks")
+    assert(ranksOf(s"$root/r") == truthOf(s"$root/e", 2))
   }
 }
