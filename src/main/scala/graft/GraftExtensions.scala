@@ -17,6 +17,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // SQL surface for the native as-of join: the graft_asof TVF emits
+    // an UnresolvedAsofJoin; the resolution rule rebuilds it through
+    // the same core as the DataFrame surface once the relations resolve
+    ext.injectTableFunction(graft.plans.AsofSql.tvf)
+    ext.injectResolutionRule(_ => graft.plans.ResolveAsofTvf)
     ext.injectOptimizerRule { session =>
       // the injected copy runs in the operator-optimization fixed point,
       // which is BEFORE RewriteSubquery turns a range-EXISTS into the

@@ -51,7 +51,8 @@ object SparkEntry {
       SketchOps.queries ++ Analytic.queries ++ EventOps.queries ++
       Quality.queries ++ Temporal.queries ++ LangModelOps.queries ++
       IntervalJoin.queries ++ Retrieval.queries ++ ExportOps.queries ++
-      GraphOps.queries ++ GraphAlgos.queries ++ RankArtifact.queries
+      GraphOps.queries ++ GraphAlgos.queries ++ RankArtifact.queries ++
+      graft.plans.AsofSql.queries
 
   /** DuckDB-equivalent SQL for every SQL-expressible query above. */
   def oracleSql: Map[String, String] =
@@ -60,5 +61,6 @@ object SparkEntry {
       SketchOps.oracle ++ Analytic.oracle ++ EventOps.oracle ++
       Quality.oracle ++ Temporal.oracle ++ LangModelOps.oracle ++
       IntervalJoin.oracle ++ Retrieval.oracle ++ ExportOps.oracle ++
-      GraphOps.oracle ++ GraphAlgos.oracle ++ RankArtifact.oracle
+      GraphOps.oracle ++ GraphAlgos.oracle ++ RankArtifact.oracle ++
+      graft.plans.AsofSql.oracle
 }

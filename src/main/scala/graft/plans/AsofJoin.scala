@@ -322,19 +322,25 @@ object AsofJoinStrategy extends SparkStrategy {
   * `leftTsCol`. `joinType` is "inner" or "left_outer". Rename clashing
   * right columns BEFORE joining — the output carries both schemas. */
 object AsofJoin {
-  def apply(left: DataFrame, right: DataFrame,
-      leftKeyCols: Seq[String], rightKeyCols: Seq[String],
-      leftTsCol: String, rightTsCol: String,
-      rightTie: Seq[Column] = Nil,
-      joinType: String = "left_outer"): DataFrame = {
-    val isOuter = joinType match {
+
+  private[graft] def parseJoinType(joinType: String): Boolean =
+    joinType match {
       case "left_outer" => true
       case "inner" => false
       case t => throw new IllegalArgumentException(
         s"as-of join supports inner | left_outer, got $t")
     }
-    val l = left.queryExecution.analyzed
-    val r0 = right.queryExecution.analyzed
+
+  /** Build a born-resolved [[AsofJoinNode]] from ANALYZED children —
+    * the shared core of the DataFrame surface ([[apply]]) and the SQL
+    * TVF ([[ResolveAsofTvf]]); both get the same self-join dedup, name
+    * binding, loud type checks, and float-key normalization. `tieExprs`
+    * may carry unresolved attributes — they bind against the (deduped)
+    * right side here. */
+  private[graft] def node(l: LogicalPlan, r0: LogicalPlan,
+      leftKeyCols: Seq[String], rightKeyCols: Seq[String],
+      leftTsCol: String, rightTsCol: String,
+      tieExprs: Seq[Expression], isOuter: Boolean): AsofJoinNode = {
     // self-join safety: if the two sides share ANY exprIds (e.g. both
     // derive from one parent DataFrame), the output projection — which
     // binds by exprId — would silently resolve both sides' columns to
@@ -344,12 +350,10 @@ object AsofJoin {
       if (l.outputSet.intersect(r0.outputSet).isEmpty) r0
       else org.apache.spark.sql.catalyst.plans.logical.Project(
         r0.output.map(a => Alias(a, a.name)()), r0)
-    val tie = rightTie.map { c =>
-      GraftSqlShims.expr(c) match {
-        case so: SortOrder =>
-          so.copy(child = Resolve.bind(so.child, r, "as-of tie"))
-        case e => SortOrder(Resolve.bind(e, r, "as-of tie"), Ascending)
-      }
+    val tie = tieExprs.map {
+      case so: SortOrder =>
+        so.copy(child = Resolve.bind(so.child, r, "as-of tie"))
+      case e => SortOrder(Resolve.bind(e, r, "as-of tie"), Ascending)
     }
     val lKeys = leftKeyCols.map(Resolve.attr(l, _, "as-of left key"))
     val rKeys = rightKeyCols.map(Resolve.attr(r, _, "as-of right key"))
@@ -370,9 +374,19 @@ object AsofJoin {
     // ordering, and the broadcast index's byte-equality HashMap all
     // agree on -0.0/NaN (see the TopKPerKey note; without this the two
     // physical paths can return DIFFERENT results for the same query)
-    GraftSqlShims.ofRows(left.sparkSession, AsofJoinNode(
+    AsofJoinNode(
       lKeys.map(GraftSqlShims.normalizeFloats),
       rKeys.map(GraftSqlShims.normalizeFloats), lTs, rTs,
-      tie, isOuter, l, r))
+      tie, isOuter, l, r)
   }
+
+  def apply(left: DataFrame, right: DataFrame,
+      leftKeyCols: Seq[String], rightKeyCols: Seq[String],
+      leftTsCol: String, rightTsCol: String,
+      rightTie: Seq[Column] = Nil,
+      joinType: String = "left_outer"): DataFrame =
+    GraftSqlShims.ofRows(left.sparkSession, node(
+      left.queryExecution.analyzed, right.queryExecution.analyzed,
+      leftKeyCols, rightKeyCols, leftTsCol, rightTsCol,
+      rightTie.map(GraftSqlShims.expr), parseJoinType(joinType)))
 }

@@ -185,4 +185,65 @@ class AsofJoinSpec extends SparkSpecBase {
       assert(s.contains("BroadcastExchange"), s"no broadcast exchange:\n$s")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("graft_asof TVF: SQL plans the native node, rows ≡ DataFrame surface") {
+    val lefts = Seq[(Option[Long], Option[Long], Long)](
+      (Some(1L), Some(10L), 1L), (Some(1L), Some(20L), 2L),
+      (Some(2L), Some(15L), 3L), (Some(3L), Some(5L), 4L),
+      (None, Some(9L), 5L), (Some(1L), None, 6L))
+    val rights = Seq[(Option[Long], Option[Long], Long, String)](
+      (Some(1L), Some(10L), 1L, "a"), (Some(1L), Some(10L), 2L, "b"),
+      (Some(1L), Some(18L), 3L, "c"), (Some(2L), Some(16L), 4L, "d"),
+      (None, Some(1L), 5L, "e"), (Some(3L), None, 6L, "f"))
+    val (l, r) = dfs(lefts, rights)
+    l.createOrReplaceTempView("asof_tvf_l")
+    r.createOrReplaceTempView("asof_tvf_r")
+    for (mode <- Seq("left_outer", "inner")) {
+      val df = spark.sql(
+        s"""SELECT * FROM graft_asof('asof_tvf_l', 'asof_tvf_r',
+           |  'k', 'rk', 'lts', 'rts', 'rid', '$mode')""".stripMargin)
+      // the TVF plans the SAME whole-operator node as the DataFrame
+      // surface — one of the two physical variants, never a window
+      // fallback or a nested loop (string pin: AQE wraps the tree in
+      // an AdaptiveSparkPlan whose children a collect can't see until
+      // execution)
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("AsofJoin"),
+        s"TVF did not plan the native as-of:\n$s")
+      assert(!s.contains("BroadcastNestedLoopJoin") &&
+        !s.contains("CartesianProduct") && !s.contains("Window"),
+        s"TVF fell back off the native path:\n$s")
+      assert(df.collect().map(_.toSeq).toSet ==
+        expected(lefts, rights, outer = mode == "left_outer"),
+        s"TVF rows diverged from brute force in $mode")
+    }
+    // multi-key lists parse and bind: (k, k) vs (rk, rk) is the same
+    // join — rows must not change
+    assert(spark.sql(
+        """SELECT * FROM graft_asof('asof_tvf_l', 'asof_tvf_r',
+          |  'k, k', 'rk, rk', 'lts', 'rts', 'rid')""".stripMargin)
+      .collect().map(_.toSeq).toSet ==
+      expected(lefts, rights, outer = true))
+  }
+
+  test("graft_asof TVF: loud contracts on bad arguments") {
+    Seq((1L, 1L)).toDF("k", "lts").createOrReplaceTempView("asof_tvf_l2")
+    Seq((1L, 1L)).toDF("rk", "rts").createOrReplaceTempView("asof_tvf_r2")
+    def bad(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage != null && e.getMessage.contains(needle),
+        s"wanted `$needle` in: ${e.getMessage}")
+    }
+    bad("SELECT * FROM graft_asof('asof_tvf_l2', 'asof_tvf_r2', 'k')",
+      "6-8 string arguments")
+    bad("""SELECT * FROM graft_asof('asof_tvf_l2', 'asof_tvf_r2',
+         |  'k', 'rk', 'lts', 'rts', '', 'full_outer')""".stripMargin,
+      "inner | left_outer")
+    bad("""SELECT * FROM graft_asof('asof_tvf_l2', 'asof_tvf_r2',
+         |  'nope', 'rk', 'lts', 'rts')""".stripMargin,
+      "not in")
+    bad("""SELECT * FROM graft_asof('asof_tvf_l2', 'asof_tvf_r2',
+         |  'k, k', 'rk', 'lts', 'rts')""".stripMargin,
+      "same length")
+  }
 }
