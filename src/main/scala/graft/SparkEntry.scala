@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
 import graft.functions.{EmailFns => E}
-import graft.operators.{Analytic, EventOps, ExportOps, GraphAlgos, GraphOps, RankArtifact, Ingest, IntervalJoin, LangModelOps, Multimodal, PipelineOps, Quality, Relational, Retrieval, SketchOps, Temporal, TextOps, VectorOps}
+import graft.operators.{Analytic, EventOps, ExportOps, GraphAlgos, GraphOps, Hnsw, RankArtifact, Ingest, IntervalJoin, LangModelOps, Multimodal, PipelineOps, Quality, Relational, Retrieval, SketchOps, Temporal, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -52,7 +52,7 @@ object SparkEntry {
       Quality.queries ++ Temporal.queries ++ LangModelOps.queries ++
       IntervalJoin.queries ++ Retrieval.queries ++ ExportOps.queries ++
       GraphOps.queries ++ GraphAlgos.queries ++ RankArtifact.queries ++
-      graft.plans.AsofSql.queries
+      graft.plans.AsofSql.queries ++ Hnsw.queries
 
   /** DuckDB-equivalent SQL for every SQL-expressible query above. */
   def oracleSql: Map[String, String] =
@@ -62,5 +62,5 @@ object SparkEntry {
       Quality.oracle ++ Temporal.oracle ++ LangModelOps.oracle ++
       IntervalJoin.oracle ++ Retrieval.oracle ++ ExportOps.oracle ++
       GraphOps.oracle ++ GraphAlgos.oracle ++ RankArtifact.oracle ++
-      graft.plans.AsofSql.oracle
+      graft.plans.AsofSql.oracle ++ Hnsw.oracle
 }

@@ -1,0 +1,425 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+import graft.sources.Tables
+
+/** Sharded HNSW-style ANN index (SURVEY.md §2.11 similarity search —
+  * the graph-traversal alternative to the IVF family; round-13 verdict
+  * item #8, taken once items 1–7 shipped).
+  *
+  * Why a SECOND ANN shape: IVF's recall is bounded by the probed cells
+  * — a query near a cell boundary misses neighbors in unprobed cells no
+  * matter the budget — while a small-world graph walks TOWARD the
+  * query from any entry, so recall scales smoothly with the beam width
+  * (`ef`) instead of stepping with nprobe. The cost profile differs
+  * too: IVF reads whole cells; HNSW reads O(ef · M) vectors per shard.
+  *
+  * The distributed shape is SHARDED (the production form at scale —
+  * the same reason FAISS shards flat HNSW): a pointer-chasing graph
+  * cannot span executors, so vectors hash-partition into `nShards`
+  * self-contained shards, each shard builds its own layered graph in
+  * one task (genuine per-partition imperative logic — the documented
+  * §7.4 mapPartitions tier), and a query fans out to ALL shards in
+  * parallel, merging per-shard candidates with an EXACT decimal rerank
+  * ([[VectorFns.dotExact]]). Query latency = max over shards (they run
+  * in parallel); total distance evals ≈ nShards · O(ef · M · log n) ≪
+  * brute N. The per-shard memory contract is the IVF-cell contract:
+  * a shard must fit one executor's heap — size `nShards` accordingly.
+  *
+  * DETERMINISM (the md5/random-walk discipline — no RNG anywhere):
+  * insertion order is ascending vec_id; a node's level is the count of
+  * trailing one-bits of `xxhash-style` mixed id (geometric p = 1/2),
+  * capped; every tie breaks by vec_id. Two builds of the same corpus
+  * are bit-identical (spec-pinned), so stored artifacts are
+  * reproducible and auditable.
+  *
+  * CONNECTIVITY THEOREM (what makes the exactness gate possible): each
+  * inserted node records its FIRST (closest) discovered neighbor as a
+  * permanent SPANNING edge, kept in a separate per-node list that
+  * neighbor trims never touch and persisted in BOTH directions — every
+  * node links an earlier node, so the persisted level-0 graph contains
+  * a bidirectional spanning tree rooted at the shard's first node by
+  * construction. A beam
+  * search with `ef ≥ shard size` therefore visits EVERY node of the
+  * shard, and the exact rerank of everything visited IS the exact
+  * top-k: `ef = ∞` degenerates the index to brute force THROUGH the
+  * traversal machinery. q146 runs exactly that mode against a DuckDB
+  * brute-force oracle — artifact, shard routing, graph walk, merge and
+  * decimal rerank all sit inside the hash-compared path. Realistic-ef
+  * recall is spec-gated (HnswSpec) because approximate results can
+  * never hash-match an oracle.
+  *
+  * Layout (the [[graft.sources.GenStore]] `gen=/CURRENT` discipline):
+  * `gen=N/nodes/shard=K/` parquet rows (node, vec, levels) — levels =
+  * array of per-level neighbor-id arrays — plus the meta sidecar
+  * (nShards, m, efC) written LAST as the completeness sentinel.
+  */
+object Hnsw {
+  private val MetaName = "_graft_hnsw_meta"
+  private val gens = new graft.sources.GenStore(MetaName, "hnsw index",
+    "build one with Hnsw.writeIndex(vectors, dir)")
+
+  private def hfsOf(s: SparkSession, path: String) =
+    new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** splitmix64 — the deterministic, dependency-free mixer used across
+    * the engine (VectorFns, random walks). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic geometric level (p = 1/2), capped. */
+  private def levelOf(id: Long, maxLevel: Int): Int =
+    math.min(java.lang.Long.numberOfTrailingZeros(mix64(id) | (1L << 62)),
+      maxLevel)
+
+  /** One shard's in-memory graph under construction / traversal.
+    * Similarity = inner product (dot), larger is closer — the q42
+    * ranking convention; ties break by ascending node id. */
+  private final class ShardGraph(m: Int) {
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]
+    val vecs = new scala.collection.mutable.ArrayBuffer[Array[Double]]
+    // nbrs(node index)(level) = neighbor INDEX list (trimmable)
+    val nbrs = new scala.collection.mutable.ArrayBuffer[
+      Array[scala.collection.mutable.ArrayBuffer[Int]]]
+    // span(node index) = the permanent level-0 spanning adjacency (the
+    // node's first connection + every later node that picked IT first);
+    // exempt from trims, merged into the persisted level-0 lists — the
+    // connectivity theorem lives here
+    val span = new scala.collection.mutable.ArrayBuffer[
+      scala.collection.mutable.ArrayBuffer[Int]]
+    val levels = new scala.collection.mutable.ArrayBuffer[Int]
+    var entry: Int = -1 // index of the current top node
+
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+
+    /** Greedy 1-best descent at `level` from `start` toward `q`. */
+    def greedy(q: Array[Double], start: Int, level: Int): Int = {
+      var cur = start
+      var curSim = dot(q, vecs(cur))
+      var improved = true
+      while (improved) {
+        improved = false
+        val ns = nbrs(cur)(level)
+        var i = 0
+        while (i < ns.length) {
+          val cand = ns(i)
+          val s = dot(q, vecs(cand))
+          if (s > curSim || (s == curSim && ids(cand) < ids(cur))) {
+            cur = cand; curSim = s; improved = true
+          }
+          i += 1
+        }
+      }
+      cur
+    }
+
+    /** Beam search at `level`: returns up to `ef` best (visited) node
+      * indexes, best-first. Visits every reachable node when ef ≥ n. */
+    def beam(q: Array[Double], start: Int, level: Int,
+        ef: Int): scala.collection.mutable.ArrayBuffer[Int] = {
+      // orderings: best = (sim desc, id asc); worst-first for results
+      val cmpBest = new java.util.Comparator[(Double, Int)] {
+        def compare(a: (Double, Int), b: (Double, Int)): Int = {
+          val c = java.lang.Double.compare(b._1, a._1)
+          if (c != 0) c else java.lang.Long.compare(ids(a._2), ids(b._2))
+        }
+      }
+      val candidates = new java.util.PriorityQueue[(Double, Int)](cmpBest)
+      val results = new java.util.PriorityQueue[(Double, Int)](
+        cmpBest.reversed())
+      val seen = new java.util.HashSet[Integer]
+      val s0 = dot(q, vecs(start))
+      candidates.add((s0, start)); results.add((s0, start))
+      seen.add(start)
+      while (!candidates.isEmpty) {
+        val (cSim, c) = candidates.poll()
+        // expansion bound: stop when the best remaining candidate is
+        // worse than the worst kept result AND the beam is full
+        if (results.size() >= ef && cSim < results.peek()._1) {
+          candidates.clear()
+        } else {
+          val ns = nbrs(c)(level)
+          var i = 0
+          while (i < ns.length) {
+            val nb = ns(i)
+            if (seen.add(nb)) {
+              val s = dot(q, vecs(nb))
+              if (results.size() < ef || s > results.peek()._1 ||
+                  (s == results.peek()._1 && ids(nb) < ids(results.peek()._2))) {
+                candidates.add((s, nb))
+                results.add((s, nb))
+                if (results.size() > ef) results.poll()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[Int](results.size())
+      while (!results.isEmpty) out.prepend(results.poll()._2)
+      out
+    }
+
+    /** Insert (id, vec) — ids MUST arrive in ascending order (the
+      * deterministic build contract). */
+    def insert(id: Long, vec: Array[Double], level: Int, efC: Int): Unit = {
+      val idx = ids.length
+      ids += id; vecs += vec; levels += level
+      nbrs += Array.fill(level + 1)(
+        new scala.collection.mutable.ArrayBuffer[Int])
+      span += new scala.collection.mutable.ArrayBuffer[Int]
+      if (entry < 0) { entry = idx; return }
+      var cur = entry
+      val top = levels(entry)
+      // greedy descent through levels above the new node's level
+      var l = top
+      while (l > level) { cur = greedy(vec, cur, l); l -= 1 }
+      // connect at each shared level, top-down
+      l = math.min(level, top)
+      while (l >= 0) {
+        val found = beam(vec, cur, l, efC)
+        val chosen = found.take(m)
+        chosen.foreach { nb =>
+          nbrs(idx)(l) += nb
+          nbrs(nb)(l) += idx
+          trim(nb, l)
+        }
+        if (l == 0 && chosen.nonEmpty) {
+          // spanning edge: permanent in BOTH directions, outside the
+          // trimmable lists — links every node to an earlier one
+          span(idx) += chosen.head
+          span(chosen.head) += idx
+        }
+        if (found.nonEmpty) cur = found.head
+        l -= 1
+      }
+      if (level > levels(entry)) entry = idx
+    }
+
+    /** Keep a node's trimmable list at ≤ 2m best by similarity (the
+      * spanning adjacency lives in `span`, untouched). */
+    private def trim(node: Int, level: Int): Unit = {
+      val lst = nbrs(node)(level)
+      val cap = 2 * m
+      if (lst.length <= cap) return
+      nbrs(node)(level) = lst
+        .sortBy(nb => (-dot(vecs(node), vecs(nb)), ids(nb)))
+        .take(cap)
+    }
+
+    /** Persisted per-level neighbor id lists: level 0 = spanning
+      * adjacency ∪ trimmable list, deduplicated. */
+    def persistedLevels(i: Int): Seq[Seq[Long]] =
+      nbrs(i).zipWithIndex.map { case (lst, l) =>
+        val merged = if (l == 0) span(i) ++ lst else lst
+        merged.distinct.toSeq.map(ids(_))
+      }.toSeq
+  }
+
+  private def requireParams(nShards: Int, m: Int, efC: Int): Unit = {
+    require(nShards > 0 && nShards <= (1 << 16),
+      s"Hnsw: bad nShards $nShards")
+    require(m >= 1 && m <= 256, s"Hnsw: bad m $m")
+    require(efC >= m, s"Hnsw: efConstruction $efC must be >= m $m")
+  }
+
+  /** Persisted node row (public: Janino-generated encoder code
+    * constructs it reflectively — a private class forces the encoder
+    * into interpreted fallback on every build task). */
+  case class NodeRow(shard: Long, node: Long,
+    vec: Seq[Float], levels: Seq[Seq[Long]])
+
+  /** Build the sharded graph rows from (vec_id, embedding). One task
+    * per shard builds its graph sequentially (the per-partition
+    * imperative tier); everything else stays declarative. */
+  private def buildRows(vectors: DataFrame, nShards: Int, m: Int,
+      efC: Int): DataFrame = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    val maxLevel = 16
+    vectors
+      .select(col("vec_id").cast("long").as("node"),
+        col("embedding").as("vec"))
+      .filter(col("node").isNotNull && col("vec").isNotNull)
+      .withColumn("shard", pmod(xxhash64(col("node")), lit(nShards.toLong)))
+      .as[(Long, Seq[Float], Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (shard, rows) =>
+        // ascending-id insertion = the deterministic build order; the
+        // sort materializes the shard in memory, which IS the shard
+        // memory contract (size nShards so a shard fits a task)
+        val sorted = rows.toArray.sortBy(_._1)
+        val g = new ShardGraph(m)
+        sorted.foreach { case (id, vec, _) =>
+          g.insert(id, vec.toArray.map(_.toDouble),
+            levelOf(id, maxLevel), efC)
+        }
+        g.ids.indices.iterator.map { i =>
+          NodeRow(shard, g.ids(i), sorted(i)._2, g.persistedLevels(i))
+        }
+      }
+      .toDF()
+  }
+
+  /** Persist the index: `gen=N/nodes/shard=K/`, meta sidecar last. */
+  def writeIndex(vectors: DataFrame, dir: String, nShards: Int = 8,
+      m: Int = 8, efConstruction: Int = 32): Unit = {
+    requireParams(nShards, m, efConstruction)
+    val s = vectors.sparkSession
+    val genName = gens.nextGenName(s, dir)
+    val genDir = s"$dir/$genName"
+    buildRows(vectors, nShards, m, efConstruction)
+      .repartitionByRange(col("shard"), col("node"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$genDir/nodes")
+    val out = hfsOf(s, dir).create(new Path(genDir, MetaName), true)
+    try out.write(s"$nShards\n$m\n$efConstruction".getBytes("UTF-8"))
+    finally out.close()
+    gens.publish(s, dir, genName)
+  }
+
+  /** Directory of the CURRENT generation (specs assert layout). */
+  def indexGenDir(s: SparkSession, dir: String): String = gens.genDir(s, dir)
+
+  /** Search the stored index: for each (qid, qvec) in `queries` —
+    * BOUNDED, they broadcast — the top `k` corpus vectors by inner
+    * product. Every shard walks its graph with beam width `ef` (clamped
+    * to the shard size; `Int.MaxValue` = the exhaustive exactness mode
+    * q146 oracles); per-shard candidates then join the stored vectors
+    * for the EXACT decimal rerank, so the final ordering hash-matches
+    * DuckDB whenever the candidate set is complete. `excludeSelf` drops
+    * a corpus row whose id equals the query id (self-probes). */
+  def searchStored(s: SparkSession, dir: String, queries: DataFrame,
+      k: Int, ef: Int, excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1, s"Hnsw: bad k $k")
+    import s.implicits._
+    val genDir = indexGenDir(s, dir)
+    require(ef >= k, s"Hnsw: ef $ef must be >= k $k")
+    // bounded collect: the query set (the IVF probe convention — a
+    // query BATCH is small; the corpus is what scales). Vectors stay
+    // FLOAT here: the exact rerank's string→decimal route needs the
+    // float's shortest repr, which a double widening would corrupt
+    val qRows = queries
+      .select(col("qid").cast("long").as("qid"), col("qvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(qRows.nonEmpty, "Hnsw: empty query set")
+    val qB = s.sparkContext.broadcast(qRows)
+    val nodes = s.read.parquet(s"$genDir/nodes")
+      .select(col("shard").cast("long"), col("node"), col("vec"),
+        col("levels"))
+      .as[(Long, Long, Seq[Float], Seq[Seq[Long]])]
+    val excl = excludeSelf
+    val kk = k
+    val efv = ef
+    // one group per shard: rebuild the in-memory graph VIEW (id → row),
+    // walk it per query, emit candidate ids only — exact scoring
+    // happens declaratively below
+    val cands = nodes.groupByKey(_._1).flatMapGroups { (_, rows) =>
+      val arr = rows.toArray.sortBy(_._2)
+      val idToIdx = new java.util.HashMap[Long, Integer](arr.length * 2)
+      arr.zipWithIndex.foreach { case (r, i) => idToIdx.put(r._2, i) }
+      val g = new ShardGraph(1) // m unused on the read path
+      arr.foreach { case (_, id, vec, lv) =>
+        g.ids += id
+        g.vecs += vec.toArray.map(_.toDouble)
+        g.levels += lv.length - 1
+        g.nbrs += lv.map(l => {
+          val b = new scala.collection.mutable.ArrayBuffer[Int](l.length)
+          l.foreach(n => b += idToIdx.get(n).intValue())
+          b
+        }).toArray
+      }
+      // entry = highest level, ties by smallest id (the build rule)
+      g.entry = g.ids.indices.maxBy(i => (g.levels(i), -g.ids(i)))
+      val effEf = math.min(efv, arr.length)
+      qB.value.iterator.flatMap { case (qid, qvF) =>
+        val qv = qvF.map(_.toDouble)
+        var cur = g.entry
+        var l = g.levels(g.entry)
+        while (l > 0) { cur = g.greedy(qv, cur, l); l -= 1 }
+        g.beam(qv, cur, 0, effEf).iterator
+          .map(i => (qid, g.ids(i)))
+          .filter { case (q, n) => !excl || q != n }
+      }
+    }.toDF("qid", "cand")
+    // exact decimal rerank over the union of every shard's candidates:
+    // candidate count ≤ nShards · ef per query — delta-sized, and the
+    // vector fetch prunes to the candidates via the join
+    val vecs = s.read.parquet(s"$genDir/nodes")
+      .select(col("node").as("cand"), col("vec"))
+    val qDf = qRows.toSeq.map { case (q, v) => (q, v.toSeq) }
+      .toDF("qid", "qv")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dot").desc, col("cand"))
+    cands.join(vecs, "cand")
+      .join(broadcast(qDf), "qid")
+      .withColumn("dot", VectorFns.dotExact(col("qv"), col("vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kk)
+      .select(col("qid"), col("cand").as("vec_id"), col("dot"),
+        col("rank"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The sharded graph index end-to-end in EXHAUSTIVE mode: build the
+    // layered graphs, search 5 in-corpus queries with ef = ∞ — the beam
+    // visits every node via the spanning-edge connectivity theorem, so
+    // the exact rerank IS the exact top-5 and the DuckDB brute-force
+    // oracle hash-matches. Artifact, shard fan-out, graph traversal,
+    // candidate merge and decimal rerank all sit inside the compared
+    // path; realistic-ef recall is HnswSpec's gate (approximate output
+    // can never hash-match an oracle).
+    "q146_hnsw_exact" -> ((s, d) => {
+      val dir = s"/tmp/graft_hnsw_${new java.io.File(d).getName}"
+      val emb = Tables.embeddings(s, d)
+      GraphOps.memo(s, s"hnsw_store|$d") {
+        writeIndex(emb.select(col("vec_id"), col("embedding")), dir,
+          nShards = 4, m = 8, efConstruction = 32)
+        java.lang.Boolean.TRUE
+      }
+      searchStored(s, dir,
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        k = 5, ef = Int.MaxValue, excludeSelf = true)
+        .orderBy(col("qid"), col("rank"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q146_hnsw_exact" ->
+      """WITH flat_q AS (
+           SELECT vec_id AS qid, i,
+             CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,9)) AS qx
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+           WHERE vec_id < 5),
+         flat_c AS (
+           SELECT vec_id, i,
+             CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,9)) AS cx
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+         dots AS (
+           SELECT fq.qid, fc.vec_id,
+             CAST(CAST(round(sum(fq.qx * fc.cx), 12) AS DECIMAL(18,12))
+               AS DOUBLE) AS dot
+           FROM flat_q fq
+           JOIN flat_c fc ON fc.i = fq.i AND fc.vec_id <> fq.qid
+           GROUP BY fq.qid, fc.vec_id),
+         ranked AS (
+           SELECT qid, vec_id, dot,
+             row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+               AS rank
+           FROM dots)
+         SELECT qid, vec_id, dot, rank FROM ranked
+         WHERE rank <= 5 ORDER BY qid, rank""")
+}
