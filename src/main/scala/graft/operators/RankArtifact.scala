@@ -436,7 +436,7 @@ object RankArtifact {
       val adds = asEdges(und.filter(pmod(ab, lit(7)) === 0))
       val dels = asEdges(und.filter(pmod(ab, lit(5)) === 0 &&
         pmod(ab, lit(7)) =!= 0))
-      // 8 buckets and 3 iterations keep the Verify/bench cost honest
+      // 4 buckets and 2 iterations keep the Verify/bench cost honest
       // for a per-round gate (64-bucket partitionBy writes x 2 stores
       // x every iteration dominate wall otherwise); the machinery
       // exercised — layering, tombstones, overlay refresh, resolution —
@@ -449,9 +449,9 @@ object RankArtifact {
       // under a fresh tag; edge ops are idempotent on the resolved
       // state, so the refreshed ranks are bit-identical every time.
       GraphOps.memo(s, s"rankref_store|$d") {
-        GraphArtifact.writeEdges(base, s"$dir/edges", nBuckets = 8)
-        writeRanks(s, s"$dir/edges", s"$dir/ranks", iters = 3,
-          nBuckets = 8)
+        GraphArtifact.writeEdges(base, s"$dir/edges", nBuckets = 4)
+        writeRanks(s, s"$dir/edges", s"$dir/ranks", iters = 2,
+          nBuckets = 4)
         java.lang.Boolean.TRUE
       }
       val tag = f"b${GraphArtifact.chainLength(s, s"$dir/edges") + 1}%06d"
@@ -491,7 +491,7 @@ sym AS MATERIALIZED (
 nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
 deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym GROUP BY src),
 r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
-      val steps = (1 to 3).map { i =>
+      val steps = (1 to 2).map { i =>
         val p = i - 1
         s"""
 s$i AS (SELECT e.dst AS node, sum(r.rank // d.deg) AS s
@@ -502,7 +502,7 @@ r$i AS MATERIALIZED (
   FROM nodes n LEFT JOIN s$i s ON s.node = n.node)"""
       }
       (head +: steps).mkString(",") +
-        "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r3" +
+        "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r2" +
         "\nORDER BY rank DESC, node LIMIT 100"
     })
 }
