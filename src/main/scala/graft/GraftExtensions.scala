@@ -30,10 +30,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // the optimizer's final batch). The rule is idempotent (its own
       // output carries an equi conjunct the matcher rejects), so the
       // double registration costs one extra no-op pass, nothing more.
-      if (!session.experimental.extraOptimizations
-          .contains(graft.plans.BandJoinRewrite))
-        session.experimental.extraOptimizations ++=
-          Seq(graft.plans.BandJoinRewrite)
+      // check-then-append on a plain var: synchronize so two threads
+      // racing the session's first optimization can't lose the
+      // registration (a lost write would silently leave range-EXISTS
+      // band joins on the nested-loop plan for the session's lifetime)
+      session.experimental.synchronized {
+        if (!session.experimental.extraOptimizations
+            .contains(graft.plans.BandJoinRewrite))
+          session.experimental.extraOptimizations ++=
+            Seq(graft.plans.BandJoinRewrite)
+      }
       graft.plans.BandJoinRewrite
     }
     ext.injectFunction((

@@ -296,7 +296,9 @@ object GraphArtifact {
     * broadcast semi-join; above it a plain (shuffled) semi-join — a
     * forced broadcast of an arbitrarily large set is exactly the
     * driver/executor OOM the rank refresh's ball cap exists to prevent.
-    * With no count given the hint is left to Spark's own sizing. */
+    * With no count given the hint is left to Spark's own sizing (no
+    * forced broadcast: an unhinted unknown-size set must not be able
+    * to reintroduce the OOM the gate exists for). */
   def adjacencyFor(s: SparkSession, dir: String, nodes: DataFrame,
       nodeCount: Option[Long] = None): DataFrame = {
     val genDir = edgesGenDir(s, dir)
@@ -308,8 +310,8 @@ object GraphArtifact {
       .getOrElse(BroadcastMaxNodesDefault)
     val keys = nodes.select(col("node").as("src"))
     val keyed =
-      if (nodeCount.exists(_ > maxB)) keys // too big: shuffled semi-join
-      else broadcast(keys)
+      if (nodeCount.exists(_ <= maxB)) broadcast(keys) // known-small
+      else keys // too big or unknown: Spark's own stats decide
     resolve(layered(s, genDir).filter(col("bucket").isin(bks: _*))
       .join(keyed, Seq("src"), "left_semi"))
   }

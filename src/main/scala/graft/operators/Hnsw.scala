@@ -167,9 +167,11 @@ object Hnsw {
           }
         }
       }
+      // drain worst-first, then reverse once — prepend-in-a-loop is
+      // O(ef²) element shifts, quadratic on the exhaustive-mode path
       val out = new scala.collection.mutable.ArrayBuffer[Int](results.size())
-      while (!results.isEmpty) out.prepend(results.poll()._2)
-      out
+      while (!results.isEmpty) out += results.poll()._2
+      out.reverse
     }
 
     /** Insert (id, vec) — ids MUST arrive in ascending order (the

@@ -111,6 +111,7 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
   private val MaxBinsKey = "spark.graft.rewrite.bandJoin.maxBins"
   private val SampleKey = "spark.graft.rewrite.bandJoin.sampleWidth"
   private val SampleRowsKey = "spark.graft.rewrite.bandJoin.sampleRows"
+  private val SampleSlackKey = "spark.graft.rewrite.bandJoin.sampleSlack"
 
   /** One inequality conjunct normalized to "point op bound": `point`'s
     * refs live entirely in one child, `bound`'s entirely in the other. */
@@ -306,8 +307,9 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       seq,
       Cast(new RaiseError(Literal.create(
         s"BandJoinRewrite: interval spans >= $maxBins bins at " +
-          s"binWidth=$w — set $WidthKey nearer the typical span " +
-          s"(or raise $MaxBinsKey)")), seq.dataType,
+          s"binWidth=$w — set $WidthKey nearer the typical span, " +
+          s"raise $MaxBinsKey, or disable $SampleKey to fall back " +
+          "to the un-rewritten join")), seq.dataType,
         Some(conf.sessionLocalTimeZone)))
   }
 
@@ -373,22 +375,53 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
         size > 64
     })
 
+  /** Only plans whose planning-time execution is a bounded file/local
+    * read: leaves plus row-at-a-time unary shapes, so the Limit above
+    * really bounds the work. A Join/Aggregate/Window/Sort/Generate
+    * upstream would run its WHOLE input before the first row reaches
+    * the limit — planning (and every `.explain`) would silently launch
+    * that job, so those shapes fall back to no-width (= no rewrite)
+    * instead. */
+  private def cheapToSample(plan: LogicalPlan): Boolean =
+    plan.collectFirst {
+      case p if !(p.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.LeafNode] ||
+          p.isInstanceOf[Project] ||
+          p.isInstanceOf[Filter] ||
+          p.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias] ||
+          p.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.GlobalLimit] ||
+          p.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.LocalLimit]) => p
+    }.isEmpty
+
   /** Last-resort width: scan a bounded sample of the interval side at
     * planning time for max(hi − lo) in the binning unit (see the
     * object doc's width section — max, not a quantile, because an
-    * under-width risks the runtime maxBins guard). Returns None when
-    * sampling is disabled, the sample is empty, or anything about
+    * under-width risks the runtime maxBins guard), widened by a slack
+    * factor (`spark.graft.rewrite.bandJoin.sampleSlack`, default 4):
+    * the sample is a bounded PREFIX, not a random draw, so a store
+    * sorted by span would otherwise under-estimate — slack absorbs
+    * moderate head-vs-tail skew at the cost of coarser bins, and the
+    * residual pathological case fails LOUDLY at the maxBins guard
+    * naming its knobs. Returns None when sampling is disabled, the
+    * subplan is not cheap to execute at planning time
+    * ([[cheapToSample]]), the sample is empty, or anything about
     * executing the subplan fails (a planning-time heuristic must never
     * fail the query it is trying to speed up). */
   private def sampledWidth(intervalSide: LogicalPlan, lo: Expression,
       hi: Expression): Option[Long] = {
     if (conf.getConfString(SampleKey, "true") != "true") return None
+    if (!cheapToSample(intervalSide)) return None
     val memoKey = (intervalSide.canonicalized, lo.canonicalized,
       hi.canonicalized)
     val hit = sampleMemo.get(memoKey)
     if (hit != null) return hit
     try {
       val n = conf.getConfString(SampleRowsKey, "4096").toInt
+      val slack = math.max(1L,
+        conf.getConfString(SampleSlackKey, "4").toLong)
       val span = Alias(Subtract(asLong(hi), asLong(lo)), "_gspan")()
       val sample = Limit(Literal(n, IntegerType),
         Project(Seq(span),
@@ -399,7 +432,8 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       val row = org.apache.spark.sql.GraftSqlShims
         .ofRows(SparkSession.active, agg).head()
       val w =
-        if (row.isNullAt(0)) None else Some(math.max(1L, row.getLong(0)))
+        if (row.isNullAt(0)) None
+        else Some(math.max(1L, row.getLong(0)) * slack)
       sampleMemo.put(memoKey, w)
       w
     } catch { case scala.util.control.NonFatal(_) => None }

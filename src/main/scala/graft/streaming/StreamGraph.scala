@@ -35,7 +35,12 @@ import graft.operators.GraphArtifact
   * in stream age, the one scale liability of a long-maintained store.
   * When the committed-tag count reaches `compactEvery`, the batch that
   * crossed the threshold triggers [[GraphArtifact.compactEdges]] before
-  * returning. Crash-safety across the boundary: the check runs on
+  * returning. The knob is the write-vs-read amplification trade: a
+  * compaction rewrites the RESOLVED store (O(artifact)), so per batch
+  * it amortizes to O(artifact / compactEvery) of write work, against a
+  * read chain bounded at `compactEvery` layers instead of growing with
+  * stream age. Size it to the store's read/write ratio — a hot serving
+  * store wants it small, an archive-and-rarely-read store large. Crash-safety across the boundary: the check runs on
   * REPLAYED batches too (a crash mid-compaction retries — the partial
   * generation is unreferenced and GC'd), and a crash AFTER compaction
   * but before the stream checkpoint makes the replay re-append into the

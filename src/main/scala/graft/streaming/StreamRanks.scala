@@ -83,7 +83,14 @@ object StreamRanks {
           nBuckets = nBuckets)
         "bootstrap"
       } else RankArtifact.refreshRanks(s, edgesDir, rankDir)
-    if (compactEvery > 0) {
+    // a batch whose refresh just PAID a full writeRanks (recompute /
+    // rebuild / bootstrap) defers compaction one batch: the rank base
+    // is freshly written with a zero-length chain, and a joint
+    // compaction now would fold-copy that identical base a second time
+    // purely to restamp lineage — the next batch's delta refresh
+    // triggers it at fold-of-one-overlay cost instead
+    if (compactEvery > 0 && status != "recompute" && status != "rebuild"
+        && status != "bootstrap") {
       val (edgeGen, edgeTags) = GraphArtifact.coverage(s, edgesDir)
       val (covGen, covTags) = RankArtifact.coverage(s, rankDir)
       if (edgeTags.length >= compactEvery) {
