@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+import graft.operators.Hnsw
+
+/** Scale probe for the sharded HNSW index (round 14): on a mult×
+  * corpus of deterministically-perturbed embedding copies,
+  *
+  *  1. price the BUILD (one graph per shard, shards in parallel);
+  *  2. price a 20-query SEARCH at a realistic beam against the exact
+  *     brute-force flat scan over the same corpus (the baseline any
+  *     ANN structure must beat), and measure recall@10 against that
+  *     brute truth;
+  *  3. price the exhaustive mode (`ef = ∞`) — the correctness gate's
+  *     degenerate path, whose result must EQUAL brute force exactly
+  *     (distributed compare, the RankProbe gate discipline).
+  *
+  * Usage: runMain graft.HnswProbe [sfDir] [mult]
+  */
+object HnswProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(64)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed[T](tag: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"HNSW $tag%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // mult× corpus: copy c of vec v gets a deterministic per-(copy,dim)
+    // perturbation (the splitmix discipline — no RNG, bit-reproducible)
+    // so copies are NEAR the original but distinct: realistic ANN
+    // geometry instead of exact-duplicate ties
+    val e1 = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val off = 1000000L
+    val corpus = (0 until mult).map { c =>
+      e1.select((col("vec_id") + lit(c * off)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + (pmod(xxhash64(lit(c), i, col("vec_id")), lit(2001L))
+            .cast("float") - 1000.0f) / 10000.0f).cast("float"))
+          .as("embedding"))
+    }.reduce(_ union _).cache()
+    val n = corpus.count()
+    println(s"corpus=$n vectors (${mult}x), dim=64")
+
+    val dir = s"/tmp/graft_hnswprobe_$mult"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val nShards = 32
+    timed("build")(Hnsw.writeIndex(corpus, dir, nShards = nShards,
+      m = 8, efConstruction = 32))
+
+    val qids = (0L until 20L).toSeq
+    val queries = corpus.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .cache()
+    queries.count()
+
+    val k = 10
+    // brute truth: exact decimal top-k over the whole corpus — the
+    // flat-scan baseline (what a 100 TB query pays WITHOUT the index)
+    def brute(): DataFrame = {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("dot").desc, col("vec_id"))
+      corpus.crossJoin(broadcast(
+          queries.select(col("qid"), col("qvec").as("qv"))))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dot", VectorFns.dotExact(col("qv"), col("embedding")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("vec_id"), col("rank"))
+    }
+    val truth = timed("brute_flat_scan")(brute().localCheckpoint(true))
+
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("qid"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val approx = timed("search_ef64")(
+      Hnsw.searchStored(spark, dir, queries, k = k, ef = 64,
+        excludeSelf = true).localCheckpoint(true))
+    val truthPairs = pairs(truth)
+    val recall = (truthPairs & pairs(approx)).size.toDouble / truthPairs.size
+    println(f"recall@$k (ef=64) = $recall%.3f over ${qids.length} queries")
+
+    // the exactness gate at probe scale: exhaustive mode ≡ brute force
+    val exact = timed("search_exhaustive")(
+      Hnsw.searchStored(spark, dir, queries, k = k, ef = Int.MaxValue,
+        excludeSelf = true).localCheckpoint(true))
+    val mism = truth.select(col("qid"), col("vec_id"), col("rank"))
+      .exceptAll(exact.select(col("qid"), col("vec_id"), col("rank")))
+      .count()
+    require(mism == 0L,
+      s"exhaustive mode diverged from brute force on $mism rows")
+    println(s"exhaustive ≡ brute force on ${truthPairs.size} truth rows")
+    spark.stop()
+  }
+}
