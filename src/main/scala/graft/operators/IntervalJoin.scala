@@ -282,6 +282,32 @@ object IntervalJoin {
         .orderBy(col("camp_id"))
     }),
 
+    // The naive DATE-range band join — `d >= lo AND d < hi` on DATE
+    // columns, the single most common band shape in a warehouse. Both
+    // bounds are DateType (days-since-epoch internally), so the rewrite
+    // bins on the exact day integer; the structural span comes from the
+    // date_add arithmetic (4 DAYS), scaled to the DAY unit the dates
+    // bin in — not the µs/seconds a timestamp band would use (the
+    // TimestampAddInterval unit lesson, now per-arithmetic). Before
+    // round 15 this shape silently planned BroadcastNestedLoopJoin
+    // (PlanAuditSpec pins zero BNLJ now); the rewrites_off sweep
+    // re-proves the rows through the naive plan.
+    "q147_band_date" -> ((s, d) => {
+      val camp = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "4-NOT SPECIFIED" &&
+          pmod(col("o_orderkey"), lit(7)) === lit(0))
+        .select(col("o_orderkey").as("camp_id"),
+          to_date(col("o_orderdate")).as("lo"),
+          date_add(to_date(col("o_orderdate")), 4).as("hi"))
+      val pts = Tables.lineitem(s, d)
+        .select(to_date(col("l_shipdate")).as("d"), col("l_quantity"))
+      pts.join(camp, col("d") >= col("lo") && col("d") < col("hi"))
+        .groupBy(col("camp_id"))
+        .agg(count(lit(1)).as("n_shipped"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("camp_id"))
+    }),
+
     "q142_overlap_auto" -> ((s, d) => {
       def windows(prio: String, mod: Int, days: Int,
           idc: String, loc: String, hic: String): DataFrame =
@@ -360,6 +386,19 @@ object IntervalJoin {
          SELECT camp_id, count(*) AS n_shipped,
            ${sqlDsum("l_quantity")} AS sum_qty
          FROM lineitem JOIN camp ON l_shipdate >= lo AND l_shipdate < hi
+         GROUP BY camp_id ORDER BY camp_id""",
+
+    "q147_band_date" ->
+      s"""WITH camp AS (
+           SELECT o_orderkey AS camp_id, CAST(o_orderdate AS DATE) AS lo,
+             CAST(o_orderdate AS DATE) + 4 AS hi
+           FROM orders
+           WHERE o_orderpriority = '4-NOT SPECIFIED' AND o_orderkey % 7 = 0)
+         SELECT camp_id, count(*) AS n_shipped,
+           ${sqlDsum("l_quantity")} AS sum_qty
+         FROM lineitem JOIN camp
+           ON CAST(l_shipdate AS DATE) >= lo
+           AND CAST(l_shipdate AS DATE) < hi
          GROUP BY camp_id ORDER BY camp_id""",
 
     "q142_overlap_auto" ->

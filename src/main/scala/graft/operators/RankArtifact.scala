@@ -415,13 +415,13 @@ object RankArtifact {
     // the edge artifact, refresh INCREMENTALLY (the O(dirty) overlay
     // path — the require pins that the delta path ran, not a rebuild),
     // FOLD-compact the overlay chain, and serve top-100. The oracle
-    // recomputes 3 undirected PageRank iterations over the FINAL edge
+    // recomputes 2 undirected PageRank iterations over the FINAL edge
     // set from scratch — so the oracle row holds only if refresh ≡
     // recompute AND fold ≡ chain, bit-for-bit.
     "q141_rank_refresh" -> ((s, d) => {
       val dir = s"/tmp/graft_rankref_${new java.io.File(d).getName}"
       // a deterministic quarter of the co-purchase graph: the full
-      // store lifecycle (build + 3 rank iterations + append + refresh)
+      // store lifecycle (build + 2 rank iterations + append + refresh)
       // multiplies every stage cost, so the gate runs on a subgraph —
       // the machinery exercised is size-independent
       val und = GraphOps.copurchaseEdgesFor(s, d)

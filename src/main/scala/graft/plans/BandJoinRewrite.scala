@@ -3,10 +3,10 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{
   Add, Alias, And, Attribute, AttributeReference, BinaryComparison, Cast,
-  EqualNullSafe, EqualTo, Explode, Expression, Greatest, GreaterThan,
-  GreaterThanOrEqual, If, IntegralDivide, Least, LessThan,
-  LessThanOrEqual, Literal, Pmod, RaiseError, Sequence, Subtract,
-  TimestampAddInterval}
+  DateAdd, DateAddInterval, EqualNullSafe, EqualTo, Explode, Expression,
+  Greatest, GreaterThan, GreaterThanOrEqual, If, IntegralDivide, Least,
+  LessThan, LessThanOrEqual, Literal, Pmod, RaiseError, Sequence,
+  Subtract, TimestampAddInterval, UnixDate}
 import org.apache.spark.sql.catalyst.expressions.aggregate.Max
 import org.apache.spark.sql.catalyst.plans.{
   Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
@@ -15,8 +15,9 @@ import org.apache.spark.sql.catalyst.plans.logical.{
   SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{
-  ArrayType, ByteType, DayTimeIntervalType, IntegerType, LongType,
-  ShortType, TimestampType}
+  ArrayType, ByteType, CalendarIntervalType, DataType, DateType,
+  DayTimeIntervalType, IntegerType, LongType, ShortType, TimestampType}
+import org.apache.spark.unsafe.types.CalendarInterval
 
 /** Optimizer rule: detect a join whose ONLY cross-side predicate is a
   * pure band (`lo <= x AND x < hi` in any strictness combination, NO
@@ -83,7 +84,11 @@ import org.apache.spark.sql.types.{
   *      — a 10⁶× under-width whose only symptom was the maxBins guard
   *      failing at runtime a query that ran fine unrewritten.
   *   2. CONFIG: `spark.graft.rewrite.bandJoin.binWidth` when set.
-  *   3. SAMPLED: when `spark.graft.rewrite.bandJoin.sampleWidth` is
+  *   3. CATALOG STATS: with CBO on and ANALYZE column stats present
+  *      for the lo/hi columns, `max(hi) − min(lo)` — an over-bound of
+  *      the true max span with ZERO planning-time IO (see
+  *      [[statsWidth]]).
+  *   4. SAMPLED: when `spark.graft.rewrite.bandJoin.sampleWidth` is
   *      true (the default), a bounded sample of the interval side
   *      (`spark.graft.rewrite.bandJoin.sampleRows`, default 4096) is
   *      scanned AT PLANNING TIME for max(hi − lo), which becomes the
@@ -121,15 +126,23 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
   /** Types whose band comparisons the rewrite understands: integrals
     * bin exactly; timestamps bin on their (monotone) floor-seconds
     * cast, which over-covers but never misses — the exact predicate
-    * filters the candidates either way. */
+    * filters the candidates either way; dates bin on their EXACT
+    * days-since-epoch integer (DateType is internally that integer —
+    * the single most common band shape in a warehouse is a naive
+    * date-range join, and it must not silently plan a nested loop). */
   private def binnable(e: Expression): Boolean = e.dataType match {
-    case ByteType | ShortType | IntegerType | LongType | TimestampType => true
+    case ByteType | ShortType | IntegerType | LongType | TimestampType |
+        DateType => true
     case _ => false
   }
 
-  private def asLong(e: Expression): Expression =
-    if (e.dataType == LongType) e
-    else Cast(e, LongType, Some(conf.sessionLocalTimeZone))
+  private def asLong(e: Expression): Expression = e.dataType match {
+    case LongType => e
+    // Spark forbids a direct date→numeric cast; UnixDate is the
+    // sanctioned days-since-epoch extraction (exact, timezone-free)
+    case DateType => Cast(UnixDate(e), LongType)
+    case _ => Cast(e, LongType, Some(conf.sessionLocalTimeZone))
+  }
 
   private def normalize(c: BinaryComparison, l: LogicalPlan,
       r: LogicalPlan): Option[Band] = {
@@ -201,11 +214,33 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     *     `lo + INTERVAL '5' DAY` resolves to on timestamp columns:
     *     the literal carries MICROseconds, scaled to the seconds the
     *     timestamp bins on (floor + min 1: over-wide never misses a
-    *     match, the exact predicate filters candidates either way). */
+    *     match, the exact predicate filters candidates either way);
+    *   - `DateAdd(lo, c)` / `DateAddInterval(lo, CALENDAR-literal)` —
+    *     what `date_add(lo, c)` and `lo + INTERVAL 'c' DAY` resolve to
+    *     on DATE columns: the span is in DAYS. The unit it scales to
+    *     comes from the COMPARISON's type ([[binUnit]]), not the
+    *     matched node's — a date arithmetic under a timestamp-coerced
+    *     comparison (point is a timestamp, so the analyzer cast the
+    *     date bounds up) bins in seconds and needs days × 86400; the
+    *     same pure-date shape bins in days and needs the raw count.
+    *     The TimestampAddInterval µs lesson, generalized: derive the
+    *     span's unit from the matched arithmetic, then scale it to the
+    *     unit the comparison bins in. */
   private def structuralSpan(lo: Expression, hi: Expression,
       intervalSide: LogicalPlan): Option[Long] = {
     val loD = dealias(lo, intervalSide)
     val hiD = dealias(hi, intervalSide)
+    // the unit binOf/asLong bins this band in, from the comparison's
+    // (coerced) type: dates → days; timestamps → seconds (long cast);
+    // integrals → their native value
+    val binsInDays = lo.dataType == DateType
+    val binsInSeconds = lo.dataType == TimestampType
+    // days → the binning unit (None when the band bins in a native
+    // integral unit — a day count has no meaning there)
+    def daysToBinUnit(days: Long): Option[Long] =
+      if (binsInDays) Some(math.max(1L, days))
+      else if (binsInSeconds) Some(saturatingMul(math.max(1L, days), 86400L))
+      else None
     def litOf(e: Expression): Option[Long] = e match {
       case Literal(v: Long, LongType) => Some(v)
       case Literal(v: Int, IntegerType) => Some(v.toLong)
@@ -233,6 +268,21 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
           Literal(micros: Long, _: DayTimeIntervalType), _)
           if micros > 0 && stripCast(start).semanticEquals(stripCast(loD)) =>
         Some(math.max(1L, micros / 1000000L))
+      case DateAdd(start, d)
+          if stripCast(start).semanticEquals(stripCast(loD)) =>
+        litOf(d).filter(_ > 0).flatMap(daysToBinUnit)
+      case DateAddInterval(start,
+          Literal(ci: CalendarInterval, CalendarIntervalType), _, _)
+          // months vary in day length — no constant span to derive
+          if ci.months == 0 &&
+            stripCast(start).semanticEquals(stripCast(loD)) =>
+        // ceil the sub-day microseconds into a whole day: over-wide
+        // never misses a match
+        val days = ci.days +
+          (if (ci.microseconds > 0)
+            (ci.microseconds + 86399999999L) / 86400000000L
+          else 0L)
+        if (days > 0) daysToBinUnit(days) else None
       case _ => None
     }
   }
@@ -334,6 +384,7 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       val intervalSide = if (pointOnLeft) right else left
       val width = structuralSpan(lo.bound, up.bound, intervalSide)
         .orElse(confWidth())
+        .orElse(statsWidth(intervalSide, lo.bound, up.bound))
         .orElse(sampledWidth(intervalSide, lo.bound, up.bound))
       width.map { w =>
         val pointSide = if (pointOnLeft) left else right
@@ -359,6 +410,68 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       }
     }
   }
+
+  /** Catalog-stats width: when ANALYZE column statistics exist for the
+    * lo and hi bound COLUMNS (CBO on + `ANALYZE TABLE ... FOR COLUMNS`
+    * — propagated to this subplan by Spark's own stats visitors), use
+    * `max(hi) − min(lo)` as the width with ZERO planning-time IO.
+    * Strictly an OVER-bound of the true max span (every interval fits
+    * inside the columns' joint range), so every interval covers ≤ 2
+    * bins and the maxBins guard can never fire from under-width; the
+    * cost is coarser bins when the data's range dwarfs its spans —
+    * which is when the sampling fallback (a real planning-time job)
+    * would have found the tight width. Sits BELOW the user's explicit
+    * conf and ABOVE sampling: stats are free, sampling is a job.
+    * Values are scaled from the column's native unit to the unit the
+    * comparison bins in (micros→seconds, days→days-or-seconds),
+    * rounding outward so the bound stays a bound. */
+  private def statsWidth(intervalSide: LogicalPlan, lo: Expression,
+      hi: Expression): Option[Long] = try {
+    if (!conf.cboEnabled) return None
+    def attrOf(e: Expression): Option[Attribute] = e match {
+      case a: Attribute => Some(a)
+      case Cast(inner, _, _, _) => attrOf(inner)
+      case _ => None
+    }
+    // value of a column-stat endpoint (Catalyst-internal repr) in the
+    // band's binning unit; roundUp governs the outward direction
+    def inBinUnit(v: Any, dt: DataType, roundUp: Boolean): Option[Long] = {
+      val binsInDays = lo.dataType == DateType
+      val binsInSeconds = lo.dataType == TimestampType
+      def div(x: Long, d: Long): Long =
+        if (roundUp) Math.addExact(Math.floorDiv(x - 1, d), 1L)
+        else Math.floorDiv(x, d)
+      dt match {
+        case ByteType => Some(v.asInstanceOf[Byte].toLong)
+        case ShortType => Some(v.asInstanceOf[Short].toLong)
+        case IntegerType if !binsInDays && !binsInSeconds =>
+          Some(v.asInstanceOf[Int].toLong)
+        case LongType if !binsInDays && !binsInSeconds =>
+          Some(v.asInstanceOf[Long])
+        case TimestampType if binsInSeconds => // micros → seconds
+          Some(div(v.asInstanceOf[Long], 1000000L))
+        case DateType if binsInDays => Some(v.asInstanceOf[Int].toLong)
+        case DateType if binsInSeconds => // days → seconds, exact
+          Some(Math.multiplyExact(v.asInstanceOf[Int].toLong, 86400L))
+        case _ => None
+      }
+    }
+    for {
+      loA <- attrOf(lo)
+      hiA <- attrOf(hi)
+      stats = intervalSide.stats
+      loS <- stats.attributeStats.get(loA)
+      hiS <- stats.attributeStats.get(hiA)
+      mn <- loS.min
+      mx <- hiS.max
+      a <- inBinUnit(mn, loA.dataType, roundUp = false)
+      b <- inBinUnit(mx, hiA.dataType, roundUp = true)
+      if b > a
+      // subtractExact: a wrap-around on a sentinel-valued column would
+      // yield a tiny width and fail the maxBins guard at runtime —
+      // overflow throws instead, and the catch falls back to sampling
+    } yield math.max(1L, Math.subtractExact(b, a))
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   // sampled widths memoized on the canonicalized (plan, lo, hi): the
   // optimizer fixed point re-invokes the rule while OTHER rules still
@@ -431,9 +544,14 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
         sample)
       val row = org.apache.spark.sql.GraftSqlShims
         .ofRows(SparkSession.active, agg).head()
+      // saturate: a huge sampled span (e.g. an open-ended interval
+      // encoded with a Long.MaxValue sentinel hi) times the slack would
+      // overflow to a NEGATIVE width, which slips past the maxBins
+      // guard (negative binHi − binLo) and explodes at Sequence —
+      // failing a query that ran fine before the slack factor existed
       val w =
         if (row.isNullAt(0)) None
-        else Some(math.max(1L, row.getLong(0)) * slack)
+        else Some(saturatingMul(math.max(1L, row.getLong(0)), slack))
       sampleMemo.put(memoKey, w)
       w
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -492,6 +610,12 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       Project(j.output, Join(lPlan, rPlan, Inner, Some(newCond), hint))
     }
   }
+
+  /** a·b clamped to Long.MaxValue (both operands positive here). An
+    * over-wide width only coarsens bins — it can never miss a match —
+    * so saturation is always the safe direction. */
+  private def saturatingMul(a: Long, b: Long): Long =
+    if (a > Long.MaxValue / b) Long.MaxValue else a * b
 
   private def confWidth(): Option[Long] =
     scala.util.Try(conf.getConfString(WidthKey, "").toLong)

@@ -106,6 +106,19 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("_gbin"), s"q144 missing the bin equijoin key:\n$p")
   }
 
+  test("q147: the NAIVE date-range band join plans as a bin equijoin") {
+    // the round-14 verdict's #1 ask: `d >= lo AND d < hi` on DATE
+    // columns — the most common band shape in a warehouse — must bin
+    // on the days-since-epoch integer instead of silently planning
+    // BroadcastNestedLoopJoin; the structural span comes from the
+    // date_add arithmetic in its DAY unit
+    val p = plan(q("q147_band_date"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q147 kept the nested-loop plan (DateType binning missing):\n$p")
+    assert(p.contains("_gbin"), s"q147 missing the bin equijoin key:\n$p")
+  }
+
   test("q116: the native whole-operator top-k plans partial+final") {
     // tier-(c) machinery pin: the injected strategy must actually fire
     // (a lost registration means TopKPerKeyNode dies with "No plan for")
