@@ -107,6 +107,58 @@ object HnswProbe {
     require(mism == 0L,
       s"exhaustive mode diverged from brute force on $mism rows")
     println(s"exhaustive ≡ brute force on ${truthPairs.size} truth rows")
+
+    // single-scan pin: the walk emits candidate vectors inline, so a
+    // stored probe reads the index parquet exactly once (the round-14
+    // verdict's IO note — rerank must not re-scan the store); derived
+    // from a fresh plan (localCheckpoint replaced the timed one's)
+    val scanPin = Hnsw.searchStored(spark, dir, queries, k = k, ef = 64,
+        excludeSelf = true)
+      .queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if r.relation.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+            r.relation.asInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.exists(_.toString.contains(dir)) => r
+      }.size
+    require(scanPin == 1, s"expected 1 index scan, found $scanPin")
+    println(s"index scans per query batch = $scanPin (single-scan pin)")
+
+    // APPEND leg: grow the corpus by one more perturbed copy — every
+    // new id exceeds every stored one, so the append rebuilds only the
+    // shards the batch hashes into and the grown index must stay
+    // EXACTLY right (exhaustive ≡ brute over the grown corpus)
+    val delta = e1.select((col("vec_id") + lit(mult.toLong * off))
+        .as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x + (pmod(xxhash64(lit(mult), i, col("vec_id")), lit(2001L))
+          .cast("float") - 1000.0f) / 10000.0f).cast("float"))
+        .as("embedding"))
+    timed("append_1_copy")(Hnsw.appendToHnswIndex(spark, dir, delta))
+    val corpus2 = corpus.union(delta).cache()
+    println(s"corpus after append = ${corpus2.count()} vectors")
+    def brute2(): DataFrame = {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("dot").desc, col("vec_id"))
+      corpus2.crossJoin(broadcast(
+          queries.select(col("qid"), col("qvec").as("qv"))))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dot", VectorFns.dotExact(col("qv"), col("embedding")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("vec_id"), col("rank"))
+    }
+    val truth2 = timed("brute_post_append")(brute2().localCheckpoint(true))
+    val exact2 = timed("search_post_append")(
+      Hnsw.searchStored(spark, dir, queries, k = k, ef = Int.MaxValue,
+        excludeSelf = true).localCheckpoint(true))
+    val mism2 = truth2
+      .exceptAll(exact2.select(col("qid"), col("vec_id"), col("rank")))
+      .count()
+    require(mism2 == 0L,
+      s"post-append exhaustive diverged from brute on $mism2 rows")
+    println("post-append exhaustive ≡ brute force")
     spark.stop()
   }
 }

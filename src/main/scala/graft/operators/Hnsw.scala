@@ -32,8 +32,9 @@ import graft.sources.Tables
   *
   * DETERMINISM (the md5/random-walk discipline — no RNG anywhere):
   * insertion order is ascending vec_id; a node's level is the count of
-  * trailing one-bits of `xxhash-style` mixed id (geometric p = 1/2),
-  * capped; every tie breaks by vec_id. Two builds of the same corpus
+  * trailing ZERO-bits of the splitmix64-mixed id (each uniform bit is
+  * zero with p = 1/2, so the count is geometric), capped; every tie
+  * breaks by vec_id. Two builds of the same corpus
   * are bit-identical (spec-pinned), so stored artifacts are
   * reproducible and auditable.
   *
@@ -53,10 +54,42 @@ import graft.sources.Tables
   * recall is spec-gated (HnswSpec) because approximate results can
   * never hash-match an oracle.
   *
+  * IO POSTURE at 100 TB (graded honestly): the sharded graph prunes
+  * DISTANCE EVALUATIONS (nShards · O(ef·M·log n) ≪ brute N), not bytes
+  * read — a stored probe must materialize every shard's rows to
+  * rebuild its walk view, so per-query-batch IO ≈ one full index scan
+  * (exactly one: the walk emits each candidate's vector inline, so the
+  * rerank never re-reads the parquet — spec-pinned). FAISS answers
+  * this with memory residency, which stateless Spark executors don't
+  * have; the IVF family ([[VectorOps]]) stays the IO-bound 100 TB
+  * story (directory-pruned cell reads), and HNSW is the
+  * COMPUTE-bound-regime tool. The per-shard memory contract: a shard
+  * must fit one task's heap — size `nShards` so it does; the build
+  * fails LOUDLY past `spark.graft.hnsw.maxShardRows` (default 2M)
+  * instead of letting an undersized `nShards` die as a task OOM.
+  *
+  * LIFECYCLE (the IVF discipline, [[VectorOps.appendToIvfIndex]]):
+  *  - [[appendToHnswIndex]]: new vectors hash to their shards; ONLY
+  *    the affected shards rebuild (ascending-vec_id insertion makes
+  *    append ≡ full rebuild, row-for-row — spec-pinned), untouched
+  *    shards byte-copy into the next generation. New ids must exceed
+  *    their shard's current max (loud contract — an out-of-order id
+  *    would silently break the append ≡ rebuild equivalence).
+  *  - [[deleteFromHnswIndex]]: O(deleted) tombstone ledger; probes
+  *    keep walking through dead nodes (connectivity) but never emit
+  *    them, with the beam widened by the shard's dead count; past
+  *    `rewriteThreshold` the affected shards rebuild over live rows.
+  *  - [[requireFresh]] / `searchStored(verifyCorpus = ...)`: LOUD
+  *    staleness guard — a probe against a corpus that grew past the
+  *    index refuses with the fix by name instead of silently serving
+  *    partial neighbors.
+  *
   * Layout (the [[graft.sources.GenStore]] `gen=/CURRENT` discipline):
   * `gen=N/nodes/shard=K/` parquet rows (node, vec, levels) — levels =
   * array of per-level neighbor-id arrays — plus the meta sidecar
-  * (nShards, m, efC) written LAST as the completeness sentinel.
+  * (nShards, m, efC) written LAST as the completeness sentinel; an
+  * optional `gen=N/tombstones/` deletion ledger rides inside its
+  * generation (append copies it forward; compaction drops it).
   */
 object Hnsw {
   private val MetaName = "_graft_hnsw_meta"
@@ -243,14 +276,26 @@ object Hnsw {
   case class NodeRow(shard: Long, node: Long,
     vec: Seq[Float], levels: Seq[Seq[Long]])
 
+  private val MaxShardRowsKey = "spark.graft.hnsw.maxShardRows"
+
   /** Build the sharded graph rows from (vec_id, embedding). One task
     * per shard builds its graph sequentially (the per-partition
-    * imperative tier); everything else stays declarative. */
+    * imperative tier); everything else stays declarative. Two loud
+    * in-task contracts:
+    *  - a shard larger than `spark.graft.hnsw.maxShardRows` fails
+    *    NAMING the knob before the in-memory materialization finishes
+    *    — an undersized `nShards` must be an actionable error, not a
+    *    task-kill OOM mystery (the `maxBins` convention);
+    *  - duplicate vec_ids fail loudly: the build would insert both
+    *    copies but the read path's id→row view can only keep one, so
+    *    a shadowed node's neighbor refs would resolve to the WRONG row
+    *    and silently break the exhaustive-exactness contract. */
   private def buildRows(vectors: DataFrame, nShards: Int, m: Int,
       efC: Int): DataFrame = {
     val s = vectors.sparkSession
     import s.implicits._
     val maxLevel = 16
+    val maxRows = s.conf.get(MaxShardRowsKey, "2000000").toLong
     vectors
       .select(col("vec_id").cast("long").as("node"),
         col("embedding").as("vec"))
@@ -260,9 +305,29 @@ object Hnsw {
       .groupByKey(_._3)
       .flatMapGroups { (shard, rows) =>
         // ascending-id insertion = the deterministic build order; the
-        // sort materializes the shard in memory, which IS the shard
-        // memory contract (size nShards so a shard fits a task)
-        val sorted = rows.toArray.sortBy(_._1)
+        // buffer materializes the shard in memory, which IS the shard
+        // memory contract (size nShards so a shard fits a task) —
+        // guarded as it fills, before the heap is already gone
+        val buf = new scala.collection.mutable.ArrayBuffer[
+          (Long, Seq[Float], Long)]
+        rows.foreach { r =>
+          buf += r
+          if (buf.length > maxRows) throw new IllegalStateException(
+            s"Hnsw: shard $shard exceeds $MaxShardRowsKey=$maxRows — " +
+              s"nShards=$nShards is too small for this corpus; raise " +
+              s"nShards (preferred: a shard must fit one task's heap) " +
+              s"or $MaxShardRowsKey")
+        }
+        val sorted = buf.toArray.sortBy(_._1)
+        var d = 1
+        while (d < sorted.length) {
+          if (sorted(d)._1 == sorted(d - 1)._1)
+            throw new IllegalArgumentException(
+              s"Hnsw: duplicate vec_id ${sorted(d)._1} in shard $shard " +
+                "— vec_ids must be unique (a duplicate would silently " +
+                "corrupt the read path's id→row view)")
+          d += 1
+        }
         val g = new ShardGraph(m)
         sorted.foreach { case (id, vec, _) =>
           g.insert(id, vec.toArray.map(_.toDouble),
@@ -273,6 +338,21 @@ object Hnsw {
         }
       }
       .toDF()
+  }
+
+  private def writeMeta(s: SparkSession, genDir: String, nShards: Int,
+      m: Int, efC: Int): Unit = {
+    val out = hfsOf(s, genDir).create(new Path(genDir, MetaName), true)
+    try out.write(s"$nShards\n$m\n$efC".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readMeta(s: SparkSession, genDir: String): (Int, Int, Int) = {
+    val in = hfsOf(s, genDir).open(new Path(genDir, MetaName))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
+      finally in.close()
+    (lines(0).trim.toInt, lines(1).trim.toInt, lines(2).trim.toInt)
   }
 
   /** Persist the index: `gen=N/nodes/shard=K/`, meta sidecar last. */
@@ -286,29 +366,226 @@ object Hnsw {
       .repartitionByRange(col("shard"), col("node"))
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"$genDir/nodes")
-    val out = hfsOf(s, dir).create(new Path(genDir, MetaName), true)
-    try out.write(s"$nShards\n$m\n$efConstruction".getBytes("UTF-8"))
-    finally out.close()
+    writeMeta(s, genDir, nShards, m, efConstruction)
     gens.publish(s, dir, genName)
   }
 
   /** Directory of the CURRENT generation (specs assert layout). */
   def indexGenDir(s: SparkSession, dir: String): String = gens.genDir(s, dir)
 
+  /** Drop every generation except CURRENT — the explicit end of the
+    * one-publish-cycle reader grace (the IVF convention). */
+  def expireHnswGenerations(s: SparkSession, dir: String): Int =
+    gens.expire(s, dir)
+
+  /** The generation's deletion ledger, if any rows are tombstoned. */
+  private def tombstonesOf(s: SparkSession, genDir: String)
+      : Option[DataFrame] = {
+    val p = new Path(s"$genDir/tombstones")
+    val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (hfs.exists(p) &&
+        hfs.listStatus(p).exists(!_.getPath.getName.startsWith("_")))
+      Some(s.read.parquet(p.toString).select(col("vec_id")))
+    else None
+  }
+
+  /** Live ids of the CURRENT generation (tombstones applied). */
+  private def liveIds(s: SparkSession, genDir: String): DataFrame = {
+    val ids = s.read.parquet(s"$genDir/nodes")
+      .select(col("node").as("vec_id"))
+    tombstonesOf(s, genDir)
+      .fold(ids)(t => ids.join(t, Seq("vec_id"), "left_anti"))
+  }
+
+  /** LOUD staleness guard: refuse to serve an index the corpus has
+    * outgrown. O(|corpus| id scan + delta-bounded anti-join) — cheap
+    * next to any probe, and the alternative is silently-partial
+    * neighbors. */
+  def requireFresh(s: SparkSession, dir: String, corpus: DataFrame): Unit = {
+    val genDir = indexGenDir(s, dir)
+    val missing = corpus.select(col("vec_id").cast("long").as("vec_id"))
+      .join(liveIds(s, genDir), Seq("vec_id"), "left_anti")
+      .limit(1).collect()
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"Hnsw index at $dir is STALE: corpus vec_id " +
+        s"${missing.head.get(0)} is not in the index — " +
+        "appendToHnswIndex the new vectors (or rebuild with " +
+        "writeIndex) before probing")
+  }
+
+  /** Byte-copy `names` (shard dirs / the tombstone ledger) from the
+    * current generation into the next — untouched shards carry over
+    * bit-identical, so an append/compact pays only for the shards it
+    * actually changed. */
+  private def copyForward(s: SparkSession, fromGen: String, toGen: String,
+      names: Seq[String]): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val hfs = hfsOf(s, fromGen)
+    names.foreach { n =>
+      val src = new Path(s"$fromGen/$n")
+      if (hfs.exists(src))
+        org.apache.hadoop.fs.FileUtil.copy(
+          hfs, src, hfs, new Path(s"$toGen/$n"), false, true, conf)
+    }
+  }
+
+  /** Physical shard partition dirs of a generation's nodes store. */
+  private def shardDirs(s: SparkSession, genDir: String): Seq[Long] =
+    hfsOf(s, genDir).listStatus(new Path(s"$genDir/nodes"))
+      .map(_.getPath.getName).toSeq
+      .collect { case d if d.startsWith("shard=") =>
+        d.stripPrefix("shard=").toLong }
+
+  /** Append new (vec_id, embedding) vectors WITHOUT a full rebuild:
+    * each lands in its hash shard, ONLY the affected shards rebuild
+    * (old physical rows + batch, in ascending-vec_id insertion order —
+    * so append ≡ a full writeIndex of the grown corpus, row-for-row,
+    * spec-pinned), and untouched shards byte-copy into the next
+    * generation, published with one atomic pointer flip.
+    *
+    * ID CONTRACT (what makes append ≡ rebuild an identity, not a
+    * heuristic): every appended vec_id must exceed its shard's current
+    * max — ascending ids append to the END of the deterministic
+    * insertion sequence, so the incremental build replays exactly what
+    * a from-scratch build would do. An out-of-order id fails LOUDLY
+    * (it would have to be inserted mid-sequence — that IS a rebuild;
+    * the error says so). A tombstoned id likewise refuses (the IVF
+    * rule: compact first, then re-add). */
+  def appendToHnswIndex(s: SparkSession, dir: String,
+      newVecs: DataFrame): Unit = {
+    val genDir = indexGenDir(s, dir)
+    val (nShards, m, efC) = readMeta(s, genDir)
+    val batch = newVecs
+      .select(col("vec_id").cast("long").as("node"),
+        col("embedding").as("vec"))
+      .filter(col("node").isNotNull && col("vec").isNotNull)
+      .withColumn("shard", pmod(xxhash64(col("node")), lit(nShards.toLong)))
+      .persist()
+    try {
+      if (batch.isEmpty) return // nothing to do — don't churn a gen
+      tombstonesOf(s, genDir).foreach { t =>
+        val clash = batch.select(col("node").as("vec_id"))
+          .join(t, Seq("vec_id"), "left_semi").limit(1).collect()
+        if (clash.nonEmpty) throw new IllegalArgumentException(
+          s"appendToHnswIndex: vec_id ${clash.head.get(0)} is " +
+            "tombstoned in this index; run compactHnswIndex first to " +
+            "apply deletions physically, then re-add the id")
+      }
+      val shardMax = s.read.parquet(s"$genDir/nodes")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(max(col("node")).as("max_node"))
+      val bad = batch.join(shardMax, Seq("shard"), "left")
+        .filter(col("max_node").isNotNull &&
+          col("node") <= col("max_node"))
+        .limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"appendToHnswIndex: vec_id ${bad.head.getAs[Long]("node")} " +
+          s"does not exceed shard ${bad.head.getAs[Long]("shard")}'s " +
+          "current max — appends must use fresh, increasing ids (the " +
+          "deterministic insertion order is ascending vec_id; an " +
+          "out-of-order id means a rebuild: writeIndex)")
+      val affected = batch.select(col("shard")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val old = s.read.parquet(s"$genDir/nodes")
+        .filter(col("shard").isin(affected.toSeq: _*))
+        .select(col("node").as("vec_id"), col("vec").as("embedding"))
+      val add = batch.select(col("node").as("vec_id"),
+        col("vec").as("embedding"))
+      val genName = gens.nextGenName(s, dir)
+      val newGen = s"$dir/$genName"
+      buildRows(old.union(add), nShards, m, efC)
+        .repartitionByRange(col("shard"), col("node"))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$newGen/nodes")
+      val untouched = shardDirs(s, genDir).filterNot(affected)
+      copyForward(s, genDir, newGen,
+        untouched.map(k => s"nodes/shard=$k") :+ "tombstones")
+      writeMeta(s, newGen, nShards, m, efC)
+      gens.publish(s, dir, genName)
+    } finally batch.unpersist()
+  }
+
+  /** Delete vectors by id: O(deleted) — a tombstone ledger every probe
+    * filters (dead nodes stay in the graph for CONNECTIVITY, the walk
+    * just never emits them and widens its beam by the dead count);
+    * past `rewriteThreshold` of the physical corpus the affected
+    * shards rebuild over live rows ([[compactHnswIndex]] — one shard
+    * rewrite amortized over many deletes, the IVF economics). Unknown
+    * ids tombstone harmlessly. Returns true iff the rewrite ran. */
+  def deleteFromHnswIndex(s: SparkSession, dir: String, ids: DataFrame,
+      rewriteThreshold: Double = 0.2): Boolean = {
+    val genDir = indexGenDir(s, dir)
+    val incoming = ids.select(col("vec_id").cast("long").as("vec_id"))
+      .distinct()
+    val novel = tombstonesOf(s, genDir)
+      .fold(incoming)(t => incoming.join(t, Seq("vec_id"), "left_anti"))
+    // skip empty appends: a zero-row ledger would tax every later
+    // probe's broadcast and every append's clash scan forever
+    if (!novel.isEmpty)
+      novel.write.mode("append").parquet(s"$genDir/tombstones")
+    val nDead = tombstonesOf(s, genDir).map(_.count()).getOrElse(0L)
+    if (nDead == 0L) return false
+    val total = s.read.parquet(s"$genDir/nodes").count()
+    val rewrite = nDead.toDouble / total > rewriteThreshold
+    if (rewrite) compactHnswIndex(s, dir)
+    rewrite
+  }
+
+  /** Apply tombstones physically: shards holding dead nodes rebuild
+    * from their LIVE rows (≡ a fresh build over the live corpus,
+    * row-for-row — the same determinism argument as append), untouched
+    * shards byte-copy, and the new generation carries NO ledger. Also
+    * the prerequisite for re-using a deleted vec_id. No-op without a
+    * ledger. */
+  def compactHnswIndex(s: SparkSession, dir: String): Unit = {
+    val genDir = indexGenDir(s, dir)
+    val dead = tombstonesOf(s, genDir).getOrElse(return)
+    val (nShards, m, efC) = readMeta(s, genDir)
+    val nodes = s.read.parquet(s"$genDir/nodes")
+    val affected = nodes.join(dead, col("node") === dead("vec_id"),
+        "left_semi")
+      .select(col("shard").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val genName = gens.nextGenName(s, dir)
+    val newGen = s"$dir/$genName"
+    if (affected.nonEmpty) {
+      val live = nodes.filter(col("shard").isin(affected.toSeq: _*))
+        .join(dead, col("node") === dead("vec_id"), "left_anti")
+        .select(col("node").as("vec_id"), col("vec").as("embedding"))
+      buildRows(live, nShards, m, efC)
+        .repartitionByRange(col("shard"), col("node"))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$newGen/nodes")
+    }
+    val untouched = shardDirs(s, genDir).filterNot(affected)
+    copyForward(s, genDir, newGen,
+      untouched.map(k => s"nodes/shard=$k"))
+    writeMeta(s, newGen, nShards, m, efC)
+    gens.publish(s, dir, genName)
+  }
+
   /** Search the stored index: for each (qid, qvec) in `queries` —
-    * BOUNDED, they broadcast — the top `k` corpus vectors by inner
-    * product. Every shard walks its graph with beam width `ef` (clamped
-    * to the shard size; `Int.MaxValue` = the exhaustive exactness mode
-    * q146 oracles); per-shard candidates then join the stored vectors
-    * for the EXACT decimal rerank, so the final ordering hash-matches
-    * DuckDB whenever the candidate set is complete. `excludeSelf` drops
-    * a corpus row whose id equals the query id (self-probes). */
+    * BOUNDED, they broadcast — the top `k` LIVE corpus vectors by
+    * inner product. Every shard walks its graph with beam width `ef`
+    * (clamped to the shard size; `Int.MaxValue` = the exhaustive
+    * exactness mode q146 oracles), widened by the shard's tombstoned
+    * count so dead nodes — walked for connectivity, never emitted —
+    * don't consume beam slots; each emitted candidate carries its
+    * stored FLOAT vector, so the exact decimal rerank below needs NO
+    * second read of the index (ONE scan per query batch —
+    * spec-pinned) and the final ordering hash-matches DuckDB whenever
+    * the candidate set is complete. `excludeSelf` drops a corpus row
+    * whose id equals the query id (self-probes). `verifyCorpus`, when
+    * given, is the loud staleness guard ([[requireFresh]]): refuse to
+    * serve a corpus that grew past the index. */
   def searchStored(s: SparkSession, dir: String, queries: DataFrame,
-      k: Int, ef: Int, excludeSelf: Boolean = false): DataFrame = {
+      k: Int, ef: Int, excludeSelf: Boolean = false,
+      verifyCorpus: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"Hnsw: bad k $k")
     import s.implicits._
     val genDir = indexGenDir(s, dir)
     require(ef >= k, s"Hnsw: ef $ef must be >= k $k")
+    verifyCorpus.foreach(c => requireFresh(s, dir, c))
     // bounded collect: the query set (the IVF probe convention — a
     // query BATCH is small; the corpus is what scales). Vectors stay
     // FLOAT here: the exact rerank's string→decimal route needs the
@@ -319,6 +596,12 @@ object Hnsw {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     require(qRows.nonEmpty, "Hnsw: empty query set")
     val qB = s.sparkContext.broadcast(qRows)
+    // tombstones: bounded by the rewrite threshold (the IVF contract),
+    // so a broadcast set is delta-sized
+    val deadB = s.sparkContext.broadcast(
+      tombstonesOf(s, genDir)
+        .map(_.collect().map(_.getLong(0)).toSet)
+        .getOrElse(Set.empty[Long]))
     val nodes = s.read.parquet(s"$genDir/nodes")
       .select(col("shard").cast("long"), col("node"), col("vec"),
         col("levels"))
@@ -327,12 +610,19 @@ object Hnsw {
     val kk = k
     val efv = ef
     // one group per shard: rebuild the in-memory graph VIEW (id → row),
-    // walk it per query, emit candidate ids only — exact scoring
-    // happens declaratively below
-    val cands = nodes.groupByKey(_._1).flatMapGroups { (_, rows) =>
+    // walk it per query, emit (candidate id, candidate vector) — exact
+    // scoring happens declaratively below, with no second index read
+    val cands = nodes.groupByKey(_._1).flatMapGroups { (shard, rows) =>
       val arr = rows.toArray.sortBy(_._2)
       val idToIdx = new java.util.HashMap[Long, Integer](arr.length * 2)
       arr.zipWithIndex.foreach { case (r, i) => idToIdx.put(r._2, i) }
+      // defense in depth: the build refuses duplicate ids, but a
+      // hand-assembled store must not DEGRADE silently (a shadowed
+      // node's neighbor refs would resolve to the wrong row)
+      if (idToIdx.size != arr.length)
+        throw new IllegalStateException(
+          s"Hnsw: shard $shard holds duplicate vec_ids — the stored " +
+            "graph is corrupt; rebuild with writeIndex")
       val g = new ShardGraph(1) // m unused on the read path
       arr.foreach { case (_, id, vec, lv) =>
         g.ids += id
@@ -346,28 +636,30 @@ object Hnsw {
       }
       // entry = highest level, ties by smallest id (the build rule)
       g.entry = g.ids.indices.maxBy(i => (g.levels(i), -g.ids(i)))
-      val effEf = math.min(efv, arr.length)
+      val dead = deadB.value
+      val deadInShard =
+        if (dead.isEmpty) 0 else arr.count(r => dead.contains(r._2))
+      val effEf = math.min(
+        efv.toLong + deadInShard, arr.length.toLong).toInt
       qB.value.iterator.flatMap { case (qid, qvF) =>
         val qv = qvF.map(_.toDouble)
         var cur = g.entry
         var l = g.levels(g.entry)
         while (l > 0) { cur = g.greedy(qv, cur, l); l -= 1 }
         g.beam(qv, cur, 0, effEf).iterator
-          .map(i => (qid, g.ids(i)))
-          .filter { case (q, n) => !excl || q != n }
+          .filter(i => !dead.contains(g.ids(i)))
+          .map(i => (qid, g.ids(i), arr(i)._3))
+          .filter { case (q, n, _) => !excl || q != n }
       }
-    }.toDF("qid", "cand")
+    }.toDF("qid", "cand", "vec")
     // exact decimal rerank over the union of every shard's candidates:
-    // candidate count ≤ nShards · ef per query — delta-sized, and the
-    // vector fetch prunes to the candidates via the join
-    val vecs = s.read.parquet(s"$genDir/nodes")
-      .select(col("node").as("cand"), col("vec"))
+    // candidate count ≤ nShards · ef per query — delta-sized, each row
+    // already carrying its stored float vector from the walk
     val qDf = qRows.toSeq.map { case (q, v) => (q, v.toSeq) }
       .toDF("qid", "qv")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("dot").desc, col("cand"))
-    cands.join(vecs, "cand")
-      .join(broadcast(qDf), "qid")
+    cands.join(broadcast(qDf), "qid")
       .withColumn("dot", VectorFns.dotExact(col("qv"), col("vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kk)

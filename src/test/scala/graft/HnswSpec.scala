@@ -116,6 +116,181 @@ class HnswSpec extends SparkSpecBase {
     assert(run() == first, "second invocation diverged (memoized build)")
   }
 
+  private def messages(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++ messages(x.getCause))
+
+  test("append ≡ full rebuild, row-for-row; search serves the grown corpus") {
+    val dAppend = tmp(); val dFull = tmp()
+    val base = emb.filter(col("vec_id") < 60)
+    val delta = emb.filter(col("vec_id") >= 60 && col("vec_id") < 100)
+    Hnsw.writeIndex(base, dAppend, nShards = 4, m = 8, efConstruction = 32)
+    Hnsw.appendToHnswIndex(spark, dAppend, delta)
+    Hnsw.writeIndex(emb.filter(col("vec_id") < 100), dFull,
+      nShards = 4, m = 8, efConstruction = 32)
+    def rows(d: String) = spark.read
+      .parquet(s"${Hnsw.indexGenDir(spark, d)}/nodes")
+      .select(col("shard").cast("long"), col("node"), col("vec"),
+        col("levels"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(dAppend) == rows(dFull),
+      "append diverged from a from-scratch rebuild (the ascending-id " +
+        "insertion identity broke)")
+    // the appended index answers for NEW ids too (exhaustive ≡ brute)
+    val qids = Seq(0L, 61L, 99L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = Hnsw.searchStored(spark, dAppend, queries, k = 5,
+      ef = Int.MaxValue, excludeSelf = true)
+    val corpus100 = emb.filter(col("vec_id") < 100)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("vec_id"))
+    val truth = corpus100.crossJoin(broadcast(
+        emb.filter(col("vec_id").isin(qids: _*))
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", VectorFns.dotExact(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id"), col("dot"), col("rank"))
+    assert(asRows(got) == asRows(truth))
+  }
+
+  test("append refuses out-of-order and tombstoned ids, loudly") {
+    val dir = tmp()
+    Hnsw.writeIndex(emb.filter(col("vec_id") < 100), dir,
+      nShards = 4, m = 8, efConstruction = 32)
+    // id 42 already lives in its shard → cannot append mid-sequence
+    val e1 = intercept[Exception](Hnsw.appendToHnswIndex(spark, dir,
+      emb.filter(col("vec_id") === 42)))
+    assert(messages(e1).exists(m => m.contains("does not exceed") &&
+      m.contains("writeIndex")), e1.toString)
+    // a tombstoned id refuses with the compact-first fix by name
+    Hnsw.deleteFromHnswIndex(spark, dir,
+      emb.filter(col("vec_id") === 7).select(col("vec_id")),
+      rewriteThreshold = 1.0)
+    val e2 = intercept[Exception](Hnsw.appendToHnswIndex(spark, dir,
+      emb.filter(col("vec_id") === 7)))
+    assert(messages(e2).exists(_.contains("compactHnswIndex")), e2.toString)
+  }
+
+  test("deleted ids never surface; exhaustive mode stays exact over live rows") {
+    val dir = tmp()
+    Hnsw.writeIndex(emb.filter(col("vec_id") < 100), dir,
+      nShards = 4, m = 8, efConstruction = 32)
+    val deadIds = Seq(3L, 10L, 55L)
+    val rewrote = Hnsw.deleteFromHnswIndex(spark, dir,
+      emb.filter(col("vec_id").isin(deadIds: _*)).select(col("vec_id")),
+      rewriteThreshold = 1.0)
+    assert(!rewrote, "3/100 dead must not trip a 100% threshold")
+    val qids = Seq(0L, 1L, 2L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = Hnsw.searchStored(spark, dir, queries, k = 5,
+      ef = Int.MaxValue, excludeSelf = true)
+    val live = emb.filter(col("vec_id") < 100 &&
+      !col("vec_id").isin(deadIds: _*))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("vec_id"))
+    val truth = live.crossJoin(broadcast(
+        emb.filter(col("vec_id").isin(qids: _*))
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", VectorFns.dotExact(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id"), col("dot"), col("rank"))
+    assert(asRows(got) == asRows(truth),
+      "tombstone-filtered exhaustive walk diverged from brute over live")
+  }
+
+  test("threshold delete compacts: ledger dropped, store ≡ rebuild over live") {
+    val dir = tmp(); val dLive = tmp()
+    Hnsw.writeIndex(emb.filter(col("vec_id") < 100), dir,
+      nShards = 4, m = 8, efConstruction = 32)
+    val deadIds = (0L until 30L).toSeq
+    val rewrote = Hnsw.deleteFromHnswIndex(spark, dir,
+      emb.filter(col("vec_id").isin(deadIds: _*)).select(col("vec_id")),
+      rewriteThreshold = 0.2)
+    assert(rewrote, "30/100 dead must trip a 20% threshold")
+    val genDir = Hnsw.indexGenDir(spark, dir)
+    assert(!new java.io.File(s"$genDir/tombstones").exists(),
+      "compaction must not carry the ledger forward")
+    Hnsw.writeIndex(
+      emb.filter(col("vec_id") >= 30 && col("vec_id") < 100), dLive,
+      nShards = 4, m = 8, efConstruction = 32)
+    def rows(d: String) = spark.read
+      .parquet(s"${Hnsw.indexGenDir(spark, d)}/nodes")
+      .select(col("shard").cast("long"), col("node"), col("vec"),
+        col("levels"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(dir) == rows(dLive),
+      "compacted store diverged from a fresh build over the live rows")
+  }
+
+  test("staleness guard: a probe against an outgrown corpus refuses loudly") {
+    val dir = tmp()
+    Hnsw.writeIndex(emb.filter(col("vec_id") < 50), dir,
+      nShards = 2, m = 8, efConstruction = 32)
+    val grown = emb.filter(col("vec_id") < 80)
+    val e = intercept[IllegalStateException](
+      Hnsw.requireFresh(spark, dir, grown))
+    assert(e.getMessage.contains("STALE") &&
+      e.getMessage.contains("appendToHnswIndex"), e.getMessage)
+    val q1 = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val e2 = intercept[IllegalStateException](
+      Hnsw.searchStored(spark, dir, q1, k = 3, ef = 8,
+        verifyCorpus = Some(grown)))
+    assert(e2.getMessage.contains("STALE"))
+    // append the delta → the same guard passes and the probe serves
+    Hnsw.appendToHnswIndex(spark, dir,
+      emb.filter(col("vec_id") >= 50 && col("vec_id") < 80))
+    val served = Hnsw.searchStored(spark, dir, q1, k = 3, ef = 8,
+      verifyCorpus = Some(grown))
+    assert(served.count() == 3)
+  }
+
+  test("undersized nShards fails naming the maxShardRows knob, not as an OOM") {
+    spark.conf.set("spark.graft.hnsw.maxShardRows", "10")
+    try {
+      val e = intercept[Exception](
+        Hnsw.writeIndex(emb.limit(100), tmp(), nShards = 2, m = 4,
+          efConstruction = 8))
+      assert(messages(e).exists(m =>
+        m.contains("spark.graft.hnsw.maxShardRows") &&
+          m.contains("nShards")), e.toString)
+    } finally spark.conf.unset("spark.graft.hnsw.maxShardRows")
+  }
+
+  test("duplicate vec_ids fail the build loudly") {
+    val dup = emb.limit(20).union(emb.filter(col("vec_id") === 5))
+    val e = intercept[Exception](
+      Hnsw.writeIndex(dup, tmp(), nShards = 2, m = 4, efConstruction = 8))
+    assert(messages(e).exists(_.contains("duplicate vec_id")), e.toString)
+  }
+
+  test("a stored search reads the index parquet exactly once") {
+    // the walk emits each candidate's vector inline, so the rerank
+    // must not re-scan the store: per-query-batch IO ≈ ONE index read
+    val dir = tmp()
+    Hnsw.writeIndex(emb.limit(80), dir, nShards = 2, m = 4,
+      efConstruction = 8)
+    val q1 = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val sdf = Hnsw.searchStored(spark, dir, q1, k = 3, ef = 8)
+    val scans = sdf.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if r.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+          r.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.exists(_.toString.contains(dir)) => r
+    }
+    assert(scans.size == 1,
+      s"expected exactly one index scan, found ${scans.size}")
+  }
+
   test("loud guards: ef < k, empty queries, missing artifact") {
     val dir = tmp()
     Hnsw.writeIndex(emb.limit(50), dir, nShards = 2, m = 4,
