@@ -22,6 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the same core as the DataFrame surface once the relations resolve
     ext.injectTableFunction(graft.plans.AsofSql.tvf)
     ext.injectResolutionRule(_ => graft.plans.ResolveAsofTvf)
+    // SQL surface for the ANN family: graft_knn splices the library's
+    // IVF kNN-join plan (the q105 path) through the same two-phase TVF
+    // resolution discipline
+    ext.injectTableFunction(graft.plans.KnnSql.tvf)
+    ext.injectResolutionRule(_ => graft.plans.ResolveKnnTvf)
     ext.injectOptimizerRule { session =>
       // the injected copy runs in the operator-optimization fixed point,
       // which is BEFORE RewriteSubquery turns a range-EXISTS into the

@@ -52,7 +52,8 @@ object SparkEntry {
       Quality.queries ++ Temporal.queries ++ LangModelOps.queries ++
       IntervalJoin.queries ++ Retrieval.queries ++ ExportOps.queries ++
       GraphOps.queries ++ GraphAlgos.queries ++ RankArtifact.queries ++
-      graft.plans.AsofSql.queries ++ Hnsw.queries
+      graft.plans.AsofSql.queries ++ Hnsw.queries ++
+      graft.plans.KnnSql.queries
 
   /** DuckDB-equivalent SQL for every SQL-expressible query above. */
   def oracleSql: Map[String, String] =
@@ -62,5 +63,6 @@ object SparkEntry {
       Quality.oracle ++ Temporal.oracle ++ LangModelOps.oracle ++
       IntervalJoin.oracle ++ Retrieval.oracle ++ ExportOps.oracle ++
       GraphOps.oracle ++ GraphAlgos.oracle ++ RankArtifact.oracle ++
-      graft.plans.AsofSql.oracle ++ Hnsw.oracle
+      graft.plans.AsofSql.oracle ++ Hnsw.oracle ++
+      graft.plans.KnnSql.oracle
 }

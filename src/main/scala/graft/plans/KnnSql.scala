@@ -1,0 +1,124 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedException, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType}
+
+import graft.operators.VectorOps
+import graft.sources.Tables
+
+/** SQL surface for the ANN family (round-14 verdict task #5):
+  * `graft_asof` proved the two-phase TVF pattern ([[AsofSql]]); this
+  * extends it to k-nearest-neighbors, so a SQL user can reach the
+  * IVF corpus×corpus kNN join (the q105 path) without the DataFrame
+  * API:
+  *
+  * {{{
+  *   SELECT * FROM graft_knn('corpus_view', 3)           -- k
+  *   SELECT * FROM graft_knn('corpus_view', 3, 2, 0)     -- k, nprobe, cells
+  * }}}
+  *
+  * The named relation must expose `(vec_id, embedding)` — checked
+  * LOUDLY at resolution, naming what's missing. Resolution is the
+  * [[ResolveAsofTvf]] discipline: the TVF builder sees only literals
+  * (the relation isn't resolved yet), so it emits an
+  * [[UnresolvedKnnTvf]] with an `UnresolvedRelation` child; once the
+  * analyzer resolves the child, [[ResolveKnnTvf]] splices in the SAME
+  * plan [[VectorOps.ivfKnnJoin]] builds for DataFrame callers — one
+  * library path for both surfaces (plan-pinned in SqlSurfaceSpec).
+  *
+  * Note the quantizer TRAINS when the query is ANALYZED (ivfKnnJoin's
+  * contract — training is an eager two-pass Lloyd over the corpus),
+  * exactly the cost the DataFrame caller pays at call time. For
+  * pay-per-query economics over a train-once artifact, use
+  * [[VectorOps.writeIvfIndex]] + [[VectorOps.ivfKnnJoinStored]].
+  */
+case class UnresolvedKnnTvf(k: Int, nprobe: Int, cells: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] = throw new UnresolvedException("output")
+  override protected def withNewChildInternal(c: LogicalPlan)
+      : UnresolvedKnnTvf = copy(child = c)
+}
+
+/** Rewrites [[UnresolvedKnnTvf]] into the library's kNN-join plan the
+  * moment its relation resolves — before that the node reports
+  * unresolved, so the analyzer keeps iterating. */
+object ResolveKnnTvf extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u: UnresolvedKnnTvf if u.childrenResolved =>
+        val cols = u.child.output.map(_.name)
+        val missing = Seq("vec_id", "embedding").filterNot(cols.contains)
+        if (missing.nonEmpty) throw new IllegalArgumentException(
+          s"graft_knn: the corpus relation must expose " +
+            s"(vec_id, embedding); missing ${missing.mkString(", ")} " +
+            s"— it has (${cols.mkString(", ")})")
+        val corpus = org.apache.spark.sql.GraftSqlShims
+          .ofRows(SparkSession.active, u.child)
+          .select(col("vec_id"), col("embedding"))
+        VectorOps.ivfKnnJoin(corpus, u.k, u.nprobe, u.cells)
+          .queryExecution.analyzed
+    }
+}
+
+object KnnSql {
+
+  /** The `graft_knn` table-function description for
+    * `SparkSessionExtensions.injectTableFunction`. */
+  def tvf: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_knn"),
+    new ExpressionInfo(classOf[UnresolvedKnnTvf].getName, "graft_knn"),
+    (args: Seq[Expression]) => {
+      require(args.length >= 2 && args.length <= 4,
+        "graft_knn(corpus, k[, nprobe[, cells]]) takes 2-4 arguments, " +
+          s"got ${args.length}")
+      val corpusName = args(0) match {
+        case Literal(v, StringType) if v != null => v.toString
+        case e => throw new IllegalArgumentException(
+          s"graft_knn: argument 1 (corpus) must be a string literal, " +
+            s"got $e")
+      }
+      def intArg(i: Int, what: String): Int = args(i) match {
+        case Literal(v: Int, IntegerType) => v
+        case e => throw new IllegalArgumentException(
+          s"graft_knn: argument ${i + 1} ($what) must be an integer " +
+            s"literal, got $e")
+      }
+      val k = intArg(1, "k")
+      val nprobe = if (args.length >= 3) intArg(2, "nprobe") else 2
+      val cells = if (args.length == 4) intArg(3, "cells") else 0
+      require(k >= 1, s"graft_knn: k must be >= 1, got $k")
+      require(nprobe >= 1, s"graft_knn: nprobe must be >= 1, got $nprobe")
+      require(cells >= 0, s"graft_knn: cells must be >= 0 (0 = ~sqrt(N) " +
+        s"auto-sizing), got $cells")
+      UnresolvedKnnTvf(k, nprobe, cells,
+        UnresolvedRelation(corpusName.split('.').toSeq))
+    })
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q105's semantics reached from PURE SQL: the TVF splices the same
+    // ivfKnnJoin plan the DataFrame surface builds (plan-pinned in
+    // SqlSurfaceSpec), so the oracle — the full trained-quantizer
+    // replay — is the same row law q105 passes.
+    "q148_knn_sql" -> ((s, d) => {
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .createOrReplaceTempView("graft_knn_corpus")
+      s.sql("""
+        SELECT qid, vec_id, dot, rank
+        FROM graft_knn('graft_knn_corpus', 3, 2, 0)
+        ORDER BY qid, rank""")
+    }))
+
+  /** q148 computes EXACTLY what q105 computes (same corpus, same
+    * k/nprobe/cells, same library plan), so its oracle IS q105's —
+    * shared by reference, not by copy, so the two can never drift. */
+  def oracle: Map[String, String] = Map(
+    "q148_knn_sql" -> VectorOps.oracle("q105_ann_knn_join"))
+}

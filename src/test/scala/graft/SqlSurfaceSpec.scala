@@ -82,4 +82,53 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
       viaCol.map(x => (x.getLong(0), x.getLong(1))).toSeq)
   }
+
+  test("graft_knn TVF ≡ the library ivfKnnJoin, row for row") {
+    import org.apache.spark.sql.functions.col
+    Tables.registerAll(spark, sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val viaSql = spark.sql(
+      """SELECT qid, vec_id, dot, rank
+         FROM graft_knn('embeddings', 3, 2, 8)""")
+    val p = viaSql.queryExecution.executedPlan.toString
+    // the library path's scale signature: partial top-k before the qid
+    // exchange, and never a nested loop
+    assert(p.contains("WindowGroupLimit"),
+      s"TVF lost the partial window-group-limit plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"TVF planned a nested loop:\n$p")
+    val got = viaSql.collect().map(key).sorted.toSeq
+    val lib = graft.operators.VectorOps
+      .ivfKnnJoin(Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding")), k = 3, nprobe = 2,
+        cells = 8)
+      .collect().map(key).sorted.toSeq
+    assert(got.nonEmpty && got == lib,
+      "SQL TVF diverged from the DataFrame surface")
+  }
+
+  test("graft_knn loud argument contracts") {
+    Tables.registerAll(spark, sf)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // wrong arity
+    val e1 = intercept[Exception](
+      spark.sql("SELECT * FROM graft_knn('embeddings')").collect())
+    assert(messages(e1).exists(_.contains("takes 2-4")), e1.toString)
+    // non-literal argument
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM graft_knn('embeddings', 1 + 1)").collect())
+    assert(messages(e2).exists(_.contains("integer literal")), e2.toString)
+    // out-of-range k
+    val e3 = intercept[Exception](
+      spark.sql("SELECT * FROM graft_knn('embeddings', 0)").collect())
+    assert(messages(e3).exists(_.contains("k must be >= 1")), e3.toString)
+    // a relation without the corpus columns, named loudly
+    val e4 = intercept[Exception](
+      spark.sql("SELECT * FROM graft_knn('nation', 3)").collect())
+    assert(messages(e4).exists(_.contains("vec_id, embedding")),
+      e4.toString)
+  }
 }
