@@ -444,6 +444,30 @@ class BandJoinRewriteSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("DATE-typed overlap join rewrites through the two-sided pattern") {
+    // the two-sided band (a_lo < b_hi && b_lo < a_hi) on DATE columns:
+    // DateType binnability + the DateAdd structural span flow through
+    // the overlap path too (width = the smaller side's span, in days)
+    val base = lit("2024-01-01").cast("date")
+    val a = Seq(0, 5, 20, 100).toDF("m").repartition(1)
+      .select(date_add(base, col("m")).as("a_lo"),
+        date_add(date_add(base, col("m")), 10).as("a_hi"),
+        col("m").cast("long").as("a_id"))
+    val b = Seq(3, 8, 90, -5).toDF("m").repartition(1)
+      .select(date_add(base, col("m")).as("b_lo"),
+        date_add(date_add(base, col("m")), 7).as("b_hi"),
+        col("m").cast("long").as("b_id"))
+    val cond = col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi")
+    def rows2(df: DataFrame): Seq[(Long, Long)] =
+      df.select(col("a_id"), col("b_id")).as[(Long, Long)]
+        .collect().sorted.toSeq
+    val j = a.join(b, cond)
+    noNlj(j, "date overlap join")
+    val got = rows2(j)
+    assert(got == withRuleOff { rows2(a.join(b, cond)) })
+    assert(got.nonEmpty)
+  }
+
   test("catalog column stats supply the width with zero planning jobs") {
     // ANALYZE ... FOR COLUMNS + CBO: the width comes from
     // max(hi) − min(lo) in the catalog — no planning-time sampling job
