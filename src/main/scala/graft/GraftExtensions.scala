@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // resolution discipline
     ext.injectTableFunction(graft.plans.KnnSql.tvf)
     ext.injectResolutionRule(_ => graft.plans.ResolveKnnTvf)
+    ext.injectTableFunction(graft.plans.KnnSql.tvfStored)
+    ext.injectResolutionRule(_ => graft.plans.ResolveKnnStoredTvf)
     ext.injectOptimizerRule { session =>
       // the injected copy runs in the operator-optimization fixed point,
       // which is BEFORE RewriteSubquery turns a range-EXISTS into the

@@ -67,6 +67,37 @@ object ResolveKnnTvf extends Rule[LogicalPlan] {
     }
 }
 
+/** The STORED-index probe from SQL — the pay-per-query, IO-bound form:
+  * [[VectorOps.probeIvfIndex]] reads only the probed `cell=` partition
+  * directories of a written IVF generation (the 100 TB economics; the
+  * train-per-query [[UnresolvedKnnTvf]] is the ad-hoc form). External
+  * query vectors come from a named relation, resolved two-phase. */
+case class UnresolvedKnnStoredTvf(path: String, k: Int, nprobe: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] = throw new UnresolvedException("output")
+  override protected def withNewChildInternal(c: LogicalPlan)
+      : UnresolvedKnnStoredTvf = copy(child = c)
+}
+
+object ResolveKnnStoredTvf extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u: UnresolvedKnnStoredTvf if u.childrenResolved =>
+        val cols = u.child.output.map(_.name)
+        val missing = Seq("qid", "embedding").filterNot(cols.contains)
+        if (missing.nonEmpty) throw new IllegalArgumentException(
+          s"graft_knn_stored: the queries relation must expose " +
+            s"(qid, embedding); missing ${missing.mkString(", ")} — " +
+            s"it has (${cols.mkString(", ")})")
+        val queries = org.apache.spark.sql.GraftSqlShims
+          .ofRows(SparkSession.active, u.child)
+          .select(col("qid"), col("embedding"))
+        VectorOps.probeIvfIndex(SparkSession.active, u.path, queries,
+          u.k, u.nprobe).queryExecution.analyzed
+    }
+}
+
 object KnnSql {
 
   /** The `graft_knn` table-function description for
@@ -102,6 +133,70 @@ object KnnSql {
         UnresolvedRelation(corpusName.split('.').toSeq))
     })
 
+  /** The `graft_knn_stored` TVF: probe a WRITTEN IVF index
+    * ([[VectorOps.writeIvfIndex]]) from SQL — only the probed cell
+    * directories are read (directory-pruned, the IO-bound 100 TB
+    * shape), no training, no corpus scan. Two forms, distinguished by
+    * the second argument's literal type:
+    *
+    * {{{
+    *   -- corpus self-probe (the q42 shape: queries = vec_id < n,
+    *   -- self-excluded):
+    *   SELECT * FROM graft_knn_stored('/idx/path', 5, 5, 3)
+    *                                   -- nQueries, k, nprobe
+    *   -- external query vectors from a relation (qid, embedding):
+    *   SELECT * FROM graft_knn_stored('/idx/path', 'queries_view', 5, 3)
+    *                                   --           k, nprobe
+    * }}}
+    *
+    * A missing/torn index fails loudly through the GenStore contract
+    * naming writeIvfIndex. */
+  def tvfStored: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_knn_stored"),
+    new ExpressionInfo(classOf[UnresolvedKnnStoredTvf].getName,
+      "graft_knn_stored"),
+    (args: Seq[Expression]) => {
+      require(args.length == 4,
+        "graft_knn_stored(path, nQueries|queriesView, k, nprobe) takes " +
+          s"exactly 4 arguments, got ${args.length}")
+      def strArg(i: Int, what: String): String = args(i) match {
+        case Literal(v, StringType) if v != null => v.toString
+        case e => throw new IllegalArgumentException(
+          s"graft_knn_stored: argument ${i + 1} ($what) must be a " +
+            s"string literal, got $e")
+      }
+      def intArg(i: Int, what: String): Int = args(i) match {
+        case Literal(v: Int, IntegerType) => v
+        case e => throw new IllegalArgumentException(
+          s"graft_knn_stored: argument ${i + 1} ($what) must be an " +
+            s"integer literal, got $e")
+      }
+      val path = strArg(0, "index path")
+      val k = intArg(2, "k")
+      val nprobe = intArg(3, "nprobe")
+      require(k >= 1, s"graft_knn_stored: k must be >= 1, got $k")
+      require(nprobe >= 1,
+        s"graft_knn_stored: nprobe must be >= 1, got $nprobe")
+      args(1) match {
+        case Literal(v: Int, IntegerType) => // corpus self-probe form
+          require(v >= 1,
+            s"graft_knn_stored: nQueries must be >= 1, got $v")
+          // no relation to resolve — the plan is fully determined here
+          // (the index must already exist; GenStore fails loudly if not)
+          VectorOps.probeIvfIndex(SparkSession.active, path,
+            nQueries = v, k = k, nprobe = nprobe)
+            .queryExecution.analyzed
+        case Literal(view, StringType) if view != null => // external form
+          UnresolvedKnnStoredTvf(path, k, nprobe,
+            UnresolvedRelation(view.toString.split('.').toSeq))
+        case e => throw new IllegalArgumentException(
+          "graft_knn_stored: argument 2 must be an integer literal " +
+            "(nQueries — corpus self-probe) or a string literal (a " +
+            s"queries relation with (qid, embedding)), got $e")
+      }
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q105's semantics reached from PURE SQL: the TVF splices the same
     // ivfKnnJoin plan the DataFrame surface builds (plan-pinned in
@@ -114,11 +209,34 @@ object KnnSql {
         SELECT qid, vec_id, dot, rank
         FROM graft_knn('graft_knn_corpus', 3, 2, 0)
         ORDER BY qid, rank""")
+    }),
+
+    // The STORED-artifact probe from pure SQL: write the IVF index once
+    // (memoized per session — the train-once artifact), then
+    // graft_knn_stored reads ONLY the probed cell directories. Writing
+    // with cells=8 and probing (5, 5, 3) reproduces q42's in-memory
+    // pipeline exactly (IvfIndexSpec pins stored ≡ in-memory), so the
+    // oracle IS q42's trained-quantizer replay — shared by reference.
+    "q149_knn_stored_sql" -> ((s, d) => {
+      val dir = s"/tmp/graft_ivfsql_${new java.io.File(d).getName}"
+      graft.operators.GraphOps.memo(s, s"ivfsql_store|$d") {
+        VectorOps.writeIvfIndex(
+          Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+          dir, cells = 8)
+        java.lang.Boolean.TRUE
+      }
+      s.sql(s"""
+        SELECT qid, vec_id, dot, rank
+        FROM graft_knn_stored('$dir', 5, 5, 3)
+        ORDER BY qid, rank""")
     }))
 
   /** q148 computes EXACTLY what q105 computes (same corpus, same
     * k/nprobe/cells, same library plan), so its oracle IS q105's —
     * shared by reference, not by copy, so the two can never drift. */
   def oracle: Map[String, String] = Map(
-    "q148_knn_sql" -> VectorOps.oracle("q105_ann_knn_join"))
+    "q148_knn_sql" -> VectorOps.oracle("q105_ann_knn_join"),
+    // stored probe (cells=8, nQueries=5, k=5, nprobe=3) ≡ q42's
+    // in-memory pipeline (IvfIndexSpec) ⇒ q42's oracle verbatim
+    "q149_knn_stored_sql" -> VectorOps.oracle("q42_ann_ivf"))
 }

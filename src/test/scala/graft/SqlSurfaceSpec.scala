@@ -108,6 +108,63 @@ class SqlSurfaceSpec extends SparkSpecBase {
       "SQL TVF diverged from the DataFrame surface")
   }
 
+  test("graft_knn_stored probes a written index from SQL, directory-pruned") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("ivf_sql").toString
+    graft.operators.VectorOps.writeIvfIndex(
+      Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")),
+      path, cells = 8)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    // self-probe form ≡ the DataFrame surface
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_knn_stored('$path', 5, 5, 3)")
+    val got = viaSql.collect().map(key).sorted.toSeq
+    val lib = graft.operators.VectorOps
+      .probeIvfIndex(spark, path, nQueries = 5, k = 5, nprobe = 3)
+      .collect().map(key).sorted.toSeq
+    assert(got.nonEmpty && got == lib,
+      "stored-probe SQL diverged from the DataFrame surface")
+    // the scan is partition-pruned: only probed cell dirs are read
+    val p = viaSql.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"stored probe from SQL lost directory pruning:\n$p")
+    // external-queries form through a named relation
+    Tables.embeddings(spark, sf).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding"))
+      .createOrReplaceTempView("knn_sql_queries")
+    val ext = spark.sql(
+      s"""SELECT * FROM graft_knn_stored('$path', 'knn_sql_queries',
+            4, 2)""")
+      .collect().map(key).sorted.toSeq
+    val extLib = graft.operators.VectorOps
+      .probeIvfIndex(spark, path,
+        Tables.embeddings(spark, sf).filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding")),
+        k = 4, nprobe = 2)
+      .collect().map(key).sorted.toSeq
+    assert(ext.nonEmpty && ext == extLib,
+      "external-queries stored probe diverged from the DataFrame surface")
+  }
+
+  test("graft_knn_stored loud contracts: bad args and a missing index") {
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val e1 = intercept[Exception](
+      spark.sql("SELECT * FROM graft_knn_stored('/tmp/x', 5)").collect())
+    assert(messages(e1).exists(_.contains("exactly 4")), e1.toString)
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_knn_stored('/tmp/x', 5.5, 5, 3)").collect())
+    assert(messages(e2).exists(_.contains("argument 2")), e2.toString)
+    // a path with no written index names the build entry point
+    val none = java.nio.file.Files
+      .createTempDirectory("ivf_sql_none").toString
+    val e3 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_knn_stored('$none', 5, 5, 3)").collect())
+    assert(messages(e3).exists(_.contains("writeIvfIndex")), e3.toString)
+  }
+
   test("graft_knn loud argument contracts") {
     Tables.registerAll(spark, sf)
     def messages(t: Throwable): Seq[String] =
