@@ -471,7 +471,14 @@ object Hnsw {
             "tombstoned in this index; run compactHnswIndex first to " +
             "apply deletions physically, then re-add the id")
       }
+      val affected = batch.select(col("shard")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      // max only over the shards the batch touches — the partition
+      // filter prunes the read to those directories (an unfiltered max
+      // would scan every shard of the store, violating the append's
+      // own pay-only-for-affected contract)
       val shardMax = s.read.parquet(s"$genDir/nodes")
+        .filter(col("shard").isin(affected.toSeq: _*))
         .groupBy(col("shard").cast("long").as("shard"))
         .agg(max(col("node")).as("max_node"))
       val bad = batch.join(shardMax, Seq("shard"), "left")
@@ -484,8 +491,6 @@ object Hnsw {
           "current max — appends must use fresh, increasing ids (the " +
           "deterministic insertion order is ascending vec_id; an " +
           "out-of-order id means a rebuild: writeIndex)")
-      val affected = batch.select(col("shard")).distinct()
-        .collect().map(_.getLong(0)).toSet
       val old = s.read.parquet(s"$genDir/nodes")
         .filter(col("shard").isin(affected.toSeq: _*))
         .select(col("node").as("vec_id"), col("vec").as("embedding"))
@@ -511,7 +516,13 @@ object Hnsw {
     * past `rewriteThreshold` of the physical corpus the affected
     * shards rebuild over live rows ([[compactHnswIndex]] — one shard
     * rewrite amortized over many deletes, the IVF economics). Unknown
-    * ids tombstone harmlessly. Returns true iff the rewrite ran. */
+    * ids tombstone harmlessly. Returns true iff the rewrite ran.
+    *
+    * The ledger appends IN PLACE into the current generation (the IVF
+    * ledger convention — a delete must not pay a generation publish):
+    * a crash mid-append can leave the batch PARTIALLY applied.
+    * Deletes are idempotent (the novel-only filter converges), so the
+    * repair is simply re-issuing the same delete. */
   def deleteFromHnswIndex(s: SparkSession, dir: String, ids: DataFrame,
       rewriteThreshold: Double = 0.2): Boolean = {
     val genDir = indexGenDir(s, dir)
@@ -548,16 +559,26 @@ object Hnsw {
       .collect().map(_.getLong(0)).toSet
     val genName = gens.nextGenName(s, dir)
     val newGen = s"$dir/$genName"
+    val untouched = shardDirs(s, genDir).filterNot(affected)
     if (affected.nonEmpty) {
       val live = nodes.filter(col("shard").isin(affected.toSeq: _*))
         .join(dead, col("node") === dead("vec_id"), "left_anti")
         .select(col("node").as("vec_id"), col("vec").as("embedding"))
+      // loud empty-store guard: compacting away EVERY row would publish
+      // a generation whose nodes dir holds no parquet at all — every
+      // later read would die with an opaque schema-inference error
+      // instead of a contract message
+      if (untouched.isEmpty && live.isEmpty)
+        throw new IllegalStateException(
+          s"compactHnswIndex: every row of the index at $dir is " +
+            "tombstoned — compaction would publish an empty store; " +
+            "delete the index directory (or writeIndex a new corpus) " +
+            "instead")
       buildRows(live, nShards, m, efC)
         .repartitionByRange(col("shard"), col("node"))
         .write.mode("overwrite").partitionBy("shard")
         .parquet(s"$newGen/nodes")
     }
-    val untouched = shardDirs(s, genDir).filterNot(affected)
     copyForward(s, genDir, newGen,
       untouched.map(k => s"nodes/shard=$k"))
     writeMeta(s, newGen, nShards, m, efC)

@@ -85,9 +85,12 @@ import org.apache.spark.unsafe.types.CalendarInterval
   *      failing at runtime a query that ran fine unrewritten.
   *   2. CONFIG: `spark.graft.rewrite.bandJoin.binWidth` when set.
   *   3. CATALOG STATS: with CBO on and ANALYZE column stats present
-  *      for the lo/hi columns, `max(hi) − min(lo)` — an over-bound of
-  *      the true max span with ZERO planning-time IO (see
-  *      [[statsWidth]]).
+  *      for the lo/hi AND point columns, `max(hi) − min(lo)` — an
+  *      over-bound of the true max span with ZERO planning-time IO,
+  *      accepted only when the point column's stats range spans ≥
+  *      `spark.graft.rewrite.bandJoin.statsMinBins` bins at that
+  *      width (a degenerate 1–2-bin "equijoin" would be worse than
+  *      the nested loop — see [[statsWidth]]).
   *   4. SAMPLED: when `spark.graft.rewrite.bandJoin.sampleWidth` is
   *      true (the default), a bounded sample of the interval side
   *      (`spark.graft.rewrite.bandJoin.sampleRows`, default 4096) is
@@ -382,12 +385,13 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     candidate.flatMap { case (up, lo) =>
       val pointOnLeft = up.pointOnLeft
       val intervalSide = if (pointOnLeft) right else left
+      val pointSide = if (pointOnLeft) left else right
       val width = structuralSpan(lo.bound, up.bound, intervalSide)
         .orElse(confWidth())
-        .orElse(statsWidth(intervalSide, lo.bound, up.bound))
+        .orElse(statsWidth(intervalSide, lo.bound, up.bound,
+          pointSide, up.point))
         .orElse(sampledWidth(intervalSide, lo.bound, up.bound))
       width.map { w =>
-        val pointSide = if (pointOnLeft) left else right
         // point side: one derived bin column
         val pbinAlias = Alias(binOf(up.point, w), "_gbin_p")()
         val pPlan = Project(pointSide.output :+ pbinAlias, pointSide)
@@ -411,22 +415,36 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  private val StatsMinBinsKey = "spark.graft.rewrite.bandJoin.statsMinBins"
+
   /** Catalog-stats width: when ANALYZE column statistics exist for the
     * lo and hi bound COLUMNS (CBO on + `ANALYZE TABLE ... FOR COLUMNS`
     * — propagated to this subplan by Spark's own stats visitors), use
-    * `max(hi) − min(lo)` as the width with ZERO planning-time IO.
-    * Strictly an OVER-bound of the true max span (every interval fits
-    * inside the columns' joint range), so every interval covers ≤ 2
-    * bins and the maxBins guard can never fire from under-width; the
-    * cost is coarser bins when the data's range dwarfs its spans —
-    * which is when the sampling fallback (a real planning-time job)
-    * would have found the tight width. Sits BELOW the user's explicit
-    * conf and ABOVE sampling: stats are free, sampling is a job.
-    * Values are scaled from the column's native unit to the unit the
+    * `max(hi) − min(lo)` as the width with ZERO planning-time IO — an
+    * over-bound of the true max span, so every interval covers ≤ 2
+    * bins (assuming the stats reflect the data: STALE stats that
+    * under-estimate a later-appended wider interval fail LOUDLY at the
+    * runtime maxBins guard naming its knobs, never silently).
+    *
+    * The over-bound cuts both ways: width = the interval columns'
+    * whole joint range, so when the POINTS spread over a similar range
+    * the "equijoin" would collapse into 1–2 bins — a skewed
+    * pseudo-cross-join WORSE than the nested loop it replaces. The
+    * width is therefore accepted only when the point column's OWN
+    * stats prove the rewrite non-degenerate:
+    * `(max(point) − min(point)) / width ≥ statsMinBins` (default 64).
+    * A range-compact interval table (current campaign windows, a
+    * recent-partition dimension) against a years-wide point column
+    * passes and skips the sampling job entirely; an interval table
+    * spanning the whole timeline — where only measuring actual spans
+    * can find a useful width — falls through to [[sampledWidth]].
+    * Sits BELOW the user's explicit conf and ABOVE sampling. Values
+    * are scaled from each column's native unit to the unit the
     * comparison bins in (micros→seconds, days→days-or-seconds),
     * rounding outward so the bound stays a bound. */
   private def statsWidth(intervalSide: LogicalPlan, lo: Expression,
-      hi: Expression): Option[Long] = try {
+      hi: Expression, pointSide: LogicalPlan, point: Expression)
+      : Option[Long] = try {
     if (!conf.cboEnabled) return None
     def attrOf(e: Expression): Option[Attribute] = e match {
       case a: Attribute => Some(a)
@@ -456,21 +474,33 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
         case _ => None
       }
     }
+    val minBins = conf.getConfString(StatsMinBinsKey, "64").toLong
     for {
       loA <- attrOf(lo)
       hiA <- attrOf(hi)
+      pA <- attrOf(point)
       stats = intervalSide.stats
       loS <- stats.attributeStats.get(loA)
       hiS <- stats.attributeStats.get(hiA)
+      pStats = pointSide.stats
+      pS <- pStats.attributeStats.get(pA)
       mn <- loS.min
       mx <- hiS.max
+      pMin <- pS.min
+      pMax <- pS.max
       a <- inBinUnit(mn, loA.dataType, roundUp = false)
       b <- inBinUnit(mx, hiA.dataType, roundUp = true)
       if b > a
       // subtractExact: a wrap-around on a sentinel-valued column would
       // yield a tiny width and fail the maxBins guard at runtime —
       // overflow throws instead, and the catch falls back to sampling
-    } yield math.max(1L, Math.subtractExact(b, a))
+      w = math.max(1L, Math.subtractExact(b, a))
+      pLo <- inBinUnit(pMin, pA.dataType, roundUp = false)
+      pHi <- inBinUnit(pMax, pA.dataType, roundUp = true)
+      // degeneracy gate: the points must spread over enough bins for
+      // the equijoin to prune — otherwise fall through to sampling
+      if Math.subtractExact(pHi, pLo) / w >= minBins
+    } yield w
   } catch { case scala.util.control.NonFatal(_) => None }
 
   // sampled widths memoized on the canonicalized (plan, lo, hi): the

@@ -54,7 +54,10 @@ object ResolveKnnTvf extends Rule[LogicalPlan] {
     plan.resolveOperatorsUp {
       case u: UnresolvedKnnTvf if u.childrenResolved =>
         val cols = u.child.output.map(_.name)
-        val missing = Seq("vec_id", "embedding").filterNot(cols.contains)
+        // the analyzer's own resolver: case-insensitive by default, so
+        // a VEC_ID column must not be falsely rejected
+        val missing = Seq("vec_id", "embedding")
+          .filterNot(want => cols.exists(conf.resolver(_, want)))
         if (missing.nonEmpty) throw new IllegalArgumentException(
           s"graft_knn: the corpus relation must expose " +
             s"(vec_id, embedding); missing ${missing.mkString(", ")} " +
@@ -85,7 +88,8 @@ object ResolveKnnStoredTvf extends Rule[LogicalPlan] {
     plan.resolveOperatorsUp {
       case u: UnresolvedKnnStoredTvf if u.childrenResolved =>
         val cols = u.child.output.map(_.name)
-        val missing = Seq("qid", "embedding").filterNot(cols.contains)
+        val missing = Seq("qid", "embedding")
+          .filterNot(want => cols.exists(conf.resolver(_, want)))
         if (missing.nonEmpty) throw new IllegalArgumentException(
           s"graft_knn_stored: the queries relation must expose " +
             s"(qid, embedding); missing ${missing.mkString(", ")} — " +

@@ -469,16 +469,22 @@ class BandJoinRewriteSpec extends SparkSpecBase {
   }
 
   test("catalog column stats supply the width with zero planning jobs") {
-    // ANALYZE ... FOR COLUMNS + CBO: the width comes from
-    // max(hi) − min(lo) in the catalog — no planning-time sampling job
-    // (listener-counted), and the rewrite still fires with sampling
-    // left at its default
+    // ANALYZE ... FOR COLUMNS + CBO: a range-COMPACT interval table
+    // against a wide point column — the width comes from
+    // max(hi) − min(lo) in the catalog, the point column's own stats
+    // prove the rewrite non-degenerate (range/width ≥ statsMinBins),
+    // and NO planning-time sampling job runs (listener-counted)
     spark.sql("DROP TABLE IF EXISTS bjr_stats_intervals")
-    Seq((0L, 7L, 1L), (5L, 30L, 2L), (95L, 101L, 3L))
+    spark.sql("DROP TABLE IF EXISTS bjr_stats_points")
+    Seq((0L, 45L, 1L), (980L, 1030L, 2L), (1980L, 2030L, 3L))
       .toDF("lo", "hi", "iid")
       .write.mode("overwrite").saveAsTable("bjr_stats_intervals")
+    (0L to 256L).map(i => (i * 1000L, i)).toDF("x", "pid")
+      .write.mode("overwrite").saveAsTable("bjr_stats_points")
     spark.sql("ANALYZE TABLE bjr_stats_intervals COMPUTE STATISTICS " +
       "FOR COLUMNS lo, hi")
+    spark.sql("ANALYZE TABLE bjr_stats_points COMPUTE STATISTICS " +
+      "FOR COLUMNS x")
     spark.conf.set("spark.sql.cbo.enabled", "true")
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -488,7 +494,9 @@ class BandJoinRewriteSpec extends SparkSpecBase {
     }
     try {
       val cond = col("x") >= col("lo") && col("x") < col("hi")
-      val j = points.join(spark.table("bjr_stats_intervals"), cond)
+      def joined = spark.table("bjr_stats_points")
+        .join(spark.table("bjr_stats_intervals"), cond)
+      val j = joined
       spark.sparkContext.addSparkListener(listener)
       val p = planOf(j) // optimize + plan, no execution
       org.apache.spark.GraftTestShims
@@ -501,13 +509,47 @@ class BandJoinRewriteSpec extends SparkSpecBase {
       assert(planned == 0,
         s"planning launched $planned job(s) despite catalog stats")
       val got = rows(j)
-      assert(got == withRuleOff {
-        rows(points.join(spark.table("bjr_stats_intervals"), cond))
-      })
+      assert(got == withRuleOff { rows(joined) })
       assert(got.nonEmpty)
     } finally {
       spark.conf.unset("spark.sql.cbo.enabled")
       spark.sql("DROP TABLE IF EXISTS bjr_stats_intervals")
+      spark.sql("DROP TABLE IF EXISTS bjr_stats_points")
+    }
+  }
+
+  test("degenerate catalog stats are rejected, not planned as a 1-bin join") {
+    // an interval table whose joint range ≈ the point range: width =
+    // the whole range would collapse every row into 1-2 bins — a
+    // skewed pseudo-cross-join WORSE than the nested loop. The stats
+    // source must refuse (range/width < statsMinBins) and fall through
+    // — here sampling is off, so the plan must stay untouched
+    spark.sql("DROP TABLE IF EXISTS bjr_stats_wide")
+    spark.sql("DROP TABLE IF EXISTS bjr_stats_points2")
+    Seq((0L, 250000L, 1L), (1000L, 240000L, 2L))
+      .toDF("lo", "hi", "iid")
+      .write.mode("overwrite").saveAsTable("bjr_stats_wide")
+    (0L to 256L).map(i => (i * 1000L, i)).toDF("x", "pid")
+      .write.mode("overwrite").saveAsTable("bjr_stats_points2")
+    spark.sql("ANALYZE TABLE bjr_stats_wide COMPUTE STATISTICS " +
+      "FOR COLUMNS lo, hi")
+    spark.sql("ANALYZE TABLE bjr_stats_points2 COMPUTE STATISTICS " +
+      "FOR COLUMNS x")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.graft.rewrite.bandJoin.sampleWidth", "false")
+    try {
+      val cond = col("x") >= col("lo") && col("x") < col("hi")
+      val p = planOf(spark.table("bjr_stats_points2")
+        .join(spark.table("bjr_stats_wide"), cond))
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("CartesianProduct"),
+        s"degenerate stats width was accepted:\n$p")
+      assert(!p.contains("_gbin"), s"bin columns leaked:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.graft.rewrite.bandJoin.sampleWidth")
+      spark.sql("DROP TABLE IF EXISTS bjr_stats_wide")
+      spark.sql("DROP TABLE IF EXISTS bjr_stats_points2")
     }
   }
 

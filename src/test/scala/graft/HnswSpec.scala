@@ -116,10 +116,6 @@ class HnswSpec extends SparkSpecBase {
     assert(run() == first, "second invocation diverged (memoized build)")
   }
 
-  private def messages(t: Throwable): Seq[String] =
-    Option(t).toSeq.flatMap(x =>
-      Option(x.getMessage).toSeq ++ messages(x.getCause))
-
   test("append ≡ full rebuild, row-for-row; search serves the grown corpus") {
     val dAppend = tmp(); val dFull = tmp()
     val base = emb.filter(col("vec_id") < 60)
@@ -226,6 +222,15 @@ class HnswSpec extends SparkSpecBase {
       .collect().map(_.toString).sorted.toSeq
     assert(rows(dir) == rows(dLive),
       "compacted store diverged from a fresh build over the live rows")
+  }
+
+  test("compacting away every row refuses loudly (no empty-store publish)") {
+    val dir = tmp()
+    Hnsw.writeIndex(emb.limit(20), dir, nShards = 2, m = 4,
+      efConstruction = 8)
+    val e = intercept[Exception](Hnsw.deleteFromHnswIndex(spark, dir,
+      emb.limit(20).select(col("vec_id")), rewriteThreshold = 0.1))
+    assert(messages(e).exists(_.contains("empty store")), e.toString)
   }
 
   test("staleness guard: a probe against an outgrown corpus refuses loudly") {

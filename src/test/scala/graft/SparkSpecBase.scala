@@ -19,4 +19,11 @@ object TestSpark {
 abstract class SparkSpecBase extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   lazy val sf: String = "/root/testdata/sf0.001"
+
+  /** Every message down the cause chain — Spark wraps contract errors
+    * in SparkException/AnalysisException layers, so asserting on one
+    * getMessage misses the interesting one. */
+  protected def messages(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++ messages(x.getCause))
 }

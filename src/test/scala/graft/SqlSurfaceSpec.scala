@@ -148,9 +148,6 @@ class SqlSurfaceSpec extends SparkSpecBase {
   }
 
   test("graft_knn_stored loud contracts: bad args and a missing index") {
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x =>
-        Option(x.getMessage).toSeq ++ messages(x.getCause))
     val e1 = intercept[Exception](
       spark.sql("SELECT * FROM graft_knn_stored('/tmp/x', 5)").collect())
     assert(messages(e1).exists(_.contains("exactly 4")), e1.toString)
@@ -165,11 +162,20 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(messages(e3).exists(_.contains("writeIvfIndex")), e3.toString)
   }
 
+  test("graft_knn accepts case-differing column names (resolver semantics)") {
+    import org.apache.spark.sql.functions.col
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("VEC_ID"), col("embedding").as("EMBEDDING"))
+      .createOrReplaceTempView("knn_upper")
+    val r = spark.sql(
+      "SELECT * FROM graft_knn('knn_upper', 2, 2, 8)").limit(5).collect()
+    assert(r.nonEmpty,
+      "uppercase corpus columns falsely rejected under the default " +
+        "case-insensitive resolver")
+  }
+
   test("graft_knn loud argument contracts") {
     Tables.registerAll(spark, sf)
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x =>
-        Option(x.getMessage).toSeq ++ messages(x.getCause))
     // wrong arity
     val e1 = intercept[Exception](
       spark.sql("SELECT * FROM graft_knn('embeddings')").collect())
