@@ -308,6 +308,64 @@ object IntervalJoin {
         .orderBy(col("camp_id"))
     }),
 
+    // The naive overlap join over STORED (data-derived) bounds — no
+    // structural span on either side and no configured width: the
+    // per-side planning-time samples (max unordered span of each side,
+    // min of the two) supply the width, so the shape escapes the
+    // nested loop exactly as q144 does for one-sided bands (round-16
+    // parity: before it, this silently planned BNLJ). Spans are
+    // data-dependent (1..4 days × 2..6 days); the rewrites_off sweep
+    // re-proves the rows through the naive plan.
+    "q150_overlap_stored" -> ((s, d) => {
+      def windows(prio: String, mod: Int, base: Int, spanMod: Int,
+          idc: String, loc: String, hic: String): DataFrame =
+        Tables.orders(s, d)
+          .filter(col("o_orderpriority") === prio &&
+            pmod(col("o_orderkey"), lit(mod)) === lit(0))
+          .select(col("o_orderkey").as(idc),
+            unix_timestamp(col("o_orderdate")).as(loc),
+            (unix_timestamp(col("o_orderdate")) +
+              (lit(base.toLong) + pmod(col("o_orderkey"), lit(spanMod.toLong)))
+                * lit(86400L)).as(hic))
+      val a = windows("5-LOW", 12, 1, 4, "a_id", "a_lo", "a_hi")
+      val b = windows("1-URGENT", 14, 2, 5, "b_id", "b_lo", "b_hi")
+      a.join(b, col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+        .select(col("a_id"), col("b_id"),
+          (least(col("a_hi"), col("b_hi")) -
+            greatest(col("a_lo"), col("b_lo"))).as("overlap_s"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // The naive DECIMAL band join — a price band `x >= lo AND x < hi`
+    // on DECIMAL(p,2) money columns, derived exactly from integer keys
+    // (never from doubles: a double→decimal cast rounds, and two
+    // engines' rounding needn't agree). Decimals bin exactly on their
+    // unscaled long at the band's widest scale; the structural span
+    // comes from the decimal Add (`hi = lo + 0.05` → width 5 unscaled
+    // units). Before round 16 this shape silently planned
+    // BroadcastNestedLoopJoin (PlanAuditSpec pins zero BNLJ now); the
+    // rewrites_off sweep re-proves the rows through the naive plan.
+    "q151_band_decimal" -> ((s, d) => {
+      val bands = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "2-HIGH" &&
+          pmod(col("o_orderkey"), lit(16)) === lit(0))
+        .select(col("o_orderkey").as("band_id"),
+          (pmod(col("o_orderkey"), lit(100000L)).cast("decimal(10,0)")
+            * lit(BigDecimal("0.01"))).as("lo"))
+        .select(col("band_id"), col("lo"),
+          (col("lo") + lit(BigDecimal("0.05"))).as("hi"))
+      val pts = Tables.lineitem(s, d)
+        .select((pmod(col("l_orderkey") * 7 + col("l_suppkey"),
+            lit(100000L)).cast("decimal(10,0)")
+            * lit(BigDecimal("0.01"))).as("x"),
+          col("l_quantity"))
+      pts.join(bands, col("x") >= col("lo") && col("x") < col("hi"))
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n_in_band"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("band_id"))
+    }),
+
     "q142_overlap_auto" -> ((s, d) => {
       def windows(prio: String, mod: Int, days: Int,
           idc: String, loc: String, hic: String): DataFrame =
@@ -400,6 +458,39 @@ object IntervalJoin {
            ON CAST(l_shipdate AS DATE) >= lo
            AND CAST(l_shipdate AS DATE) < hi
          GROUP BY camp_id ORDER BY camp_id""",
+
+    "q150_overlap_stored" ->
+      """WITH a AS (
+           SELECT o_orderkey AS a_id, o_orderdate AS a_lo,
+             o_orderdate + (1 + o_orderkey % 4) * INTERVAL 1 DAY AS a_hi
+           FROM orders
+           WHERE o_orderpriority = '5-LOW' AND o_orderkey % 12 = 0),
+         b AS (
+           SELECT o_orderkey AS b_id, o_orderdate AS b_lo,
+             o_orderdate + (2 + o_orderkey % 5) * INTERVAL 1 DAY AS b_hi
+           FROM orders
+           WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 14 = 0)
+         SELECT a_id, b_id,
+           date_diff('second', greatest(a_lo, b_lo), least(a_hi, b_hi))
+             AS overlap_s
+         FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
+         ORDER BY a_id, b_id""",
+
+    "q151_band_decimal" ->
+      s"""WITH bands AS (
+           SELECT o_orderkey AS band_id,
+             CAST(o_orderkey % 100000 AS DECIMAL(10,0)) * 0.01 AS lo,
+             CAST(o_orderkey % 100000 AS DECIMAL(10,0)) * 0.01 + 0.05 AS hi
+           FROM orders
+           WHERE o_orderpriority = '2-HIGH' AND o_orderkey % 16 = 0),
+         pts AS (
+           SELECT CAST((l_orderkey * 7 + l_suppkey) % 100000
+               AS DECIMAL(10,0)) * 0.01 AS x, l_quantity
+           FROM lineitem)
+         SELECT band_id, count(*) AS n_in_band,
+           ${sqlDsum("l_quantity")} AS sum_qty
+         FROM pts JOIN bands ON x >= lo AND x < hi
+         GROUP BY band_id ORDER BY band_id""",
 
     "q142_overlap_auto" ->
       """WITH a AS (

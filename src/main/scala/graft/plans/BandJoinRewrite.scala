@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   DateAdd, DateAddInterval, EqualNullSafe, EqualTo, Explode, Expression,
   Greatest, GreaterThan, GreaterThanOrEqual, If, IntegralDivide, Least,
   LessThan, LessThanOrEqual, Literal, Pmod, RaiseError, Sequence,
-  Subtract, TimestampAddInterval, UnixDate}
+  Subtract, TimestampAddInterval, UnixDate, UnscaledValue}
 import org.apache.spark.sql.catalyst.expressions.aggregate.Max
 import org.apache.spark.sql.catalyst.plans.{
   Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
@@ -16,7 +16,8 @@ import org.apache.spark.sql.catalyst.plans.logical.{
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{
   ArrayType, ByteType, CalendarIntervalType, DataType, DateType,
-  DayTimeIntervalType, IntegerType, LongType, ShortType, TimestampType}
+  DayTimeIntervalType, Decimal, DecimalType, IntegerType, LongType,
+  ShortType, TimestampType}
 import org.apache.spark.unsafe.types.CalendarInterval
 
 /** Optimizer rule: detect a join whose ONLY cross-side predicate is a
@@ -68,6 +69,19 @@ import org.apache.spark.unsafe.types.CalendarInterval
   *     when not, AQE-skew-splittable either way;
   *   - a top Project restores the original output schema.
   *
+  * BINNING UNIT: bins are computed over an exact long image of the
+  * band's value space — integrals as themselves, timestamps as their
+  * floor-seconds cast, dates as their exact days-since-epoch integer,
+  * and DECIMALS as their unscaled long at the band's WIDEST scale
+  * (`DECIMAL(p,s)` is internally `unscaled · 10^-s`; rescaling to the
+  * wider scale is exact, and the two comparisons of one band can
+  * legitimately coerce to different scales — `x:DEC(10,2) >= lo` vs
+  * `x < hi:DEC(14,4)` — so the unit must be chosen per BAND, not per
+  * expression). Decimals past precision 18 (after rescaling) don't fit
+  * an unscaled long and are skipped, as are doubles (no exact long
+  * image). Money-domain bands — the most common DECIMAL shape — bin
+  * exactly. All width sources below return widths in this unit.
+  *
   * Bin width, in priority order:
   *
   *   1. STRUCTURAL: the interval side's `hi` is provably `lo + c` for
@@ -76,11 +90,13 @@ import org.apache.spark.unsafe.types.CalendarInterval
   *      of the matched arithmetic itself: an integral `Add` is already
   *      in the point's binning unit (timestamps bin on their
   *      floor-SECONDS cast, and the only integral adds reachable under
-  *      a timestamp comparison are second-typed long arithmetic), and
-  *      a `ts + INTERVAL` (TimestampAddInterval with a literal
+  *      a timestamp comparison are second-typed long arithmetic), a
+  *      `ts + INTERVAL` (TimestampAddInterval with a literal
   *      day-time interval) carries MICROseconds, scaled down to
-  *      seconds here. Deriving the unit from the point's type instead
-  *      (the old behavior) made a seconds span look like microseconds
+  *      seconds here, and a DECIMAL `Add` carries the literal's own
+  *      scale, rescaled (ceiling) to the band's binning scale.
+  *      Deriving the unit from the point's type instead (the old
+  *      behavior) made a seconds span look like microseconds
   *      — a 10⁶× under-width whose only symptom was the maxBins guard
   *      failing at runtime a query that ran fine unrewritten.
   *   2. CONFIG: `spark.graft.rewrite.bandJoin.binWidth` when set.
@@ -107,6 +123,14 @@ import org.apache.spark.unsafe.types.CalendarInterval
   *   the library form (reachable on the sampled path only when the
   *   sample missed a ≥4096×-wider-than-max interval).
   *
+  *   The TWO-SIDED overlap rewrite ([[overlapRewrite]]) walks the same
+  *   ladder: structural spans (min over the sides that have one), the
+  *   config width, per-side catalog-stats ranges (min, gated on the
+  *   wider side's spread — [[statsOverlapWidth]]), then per-side
+  *   sampled max spans (min, BOTH sides required — a width blind to
+  *   one side's spans could trip that side's maxBins guard on data the
+  *   sampled side never saw).
+  *
   * Gated by `spark.graft.rewrite.bandJoin.enabled` (default true).
   * The rule runs inside the operator-optimization fixed point and is
   * idempotent by construction: its own output contains a cross-side
@@ -126,26 +150,90 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
   private final case class Band(point: Expression, bound: Expression,
       pointOnLeft: Boolean, isLower: Boolean)
 
-  /** Types whose band comparisons the rewrite understands: integrals
-    * bin exactly; timestamps bin on their (monotone) floor-seconds
-    * cast, which over-covers but never misses — the exact predicate
-    * filters the candidates either way; dates bin on their EXACT
-    * days-since-epoch integer (DateType is internally that integer —
-    * the single most common band shape in a warehouse is a naive
-    * date-range join, and it must not silently plan a nested loop). */
-  private def binnable(e: Expression): Boolean = e.dataType match {
-    case ByteType | ShortType | IntegerType | LongType | TimestampType |
-        DateType => true
-    case _ => false
+  /** The exact-long unit a band's bins are computed in (see the object
+    * doc's BINNING UNIT section): integrals as themselves, dates in
+    * days, timestamps in floor-seconds, decimals as the unscaled long
+    * at the band's widest `scale`. */
+  private sealed trait BinUnit
+  private case object NativeUnit extends BinUnit
+  private case object DayUnit extends BinUnit
+  private case object SecondUnit extends BinUnit
+  private final case class ScaledUnit(scale: Int) extends BinUnit
+
+  private def unitOf(dt: DataType): Option[BinUnit] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some(NativeUnit)
+    case DateType => Some(DayUnit)
+    case TimestampType => Some(SecondUnit)
+    // > 18 digits has no unscaled long (Decimal128 territory); doubles
+    // have no exact long image at all — both stay un-rewritten
+    case d: DecimalType if d.precision <= 18 => Some(ScaledUnit(d.scale))
+    case _ => None
   }
 
-  private def asLong(e: Expression): Expression = e.dataType match {
-    case LongType => e
-    // Spark forbids a direct date→numeric cast; UnixDate is the
-    // sanctioned days-since-epoch extraction (exact, timezone-free)
-    case DateType => Cast(UnixDate(e), LongType)
-    case _ => Cast(e, LongType, Some(conf.sessionLocalTimeZone))
+  /** The ONE unit all of a rewrite's bin expressions share, from the
+    * comparison-coerced types of every expression that will be binned.
+    * Decimal scales unify to the max (exact — rescaling a decimal UP
+    * is value-preserving), re-checked to still fit an unscaled long at
+    * that scale; any other mixture (a date-typed lower comparison
+    * against a timestamp-typed upper, say) has no common exact unit
+    * and rejects the rewrite. */
+  private def unitFor(exprs: Seq[Expression]): Option[BinUnit] = {
+    val units = exprs.map(e => unitOf(e.dataType))
+    if (units.exists(_.isEmpty)) return None
+    units.flatten.distinct match {
+      case Seq(u) => Some(u)
+      case us if us.forall(_.isInstanceOf[ScaledUnit]) =>
+        val s = us.map(_.asInstanceOf[ScaledUnit].scale).max
+        val fits = exprs.forall { e =>
+          val d = e.dataType.asInstanceOf[DecimalType]
+          d.precision + (s - d.scale) <= 18
+        }
+        if (fits) Some(ScaledUnit(s)) else None
+      case _ => None
+    }
   }
+
+  /** Types whose band comparisons the rewrite understands (the unit
+    * table above): integrals bin exactly; timestamps bin on their
+    * (monotone) floor-seconds cast, which over-covers but never misses
+    * — the exact predicate filters the candidates either way; dates
+    * bin on their EXACT days-since-epoch integer; decimals of ≤ 18
+    * digits bin exactly on their unscaled long (the money-domain band
+    * — a price band on `DECIMAL(p,s)` must not silently plan a nested
+    * loop any more than a date range may). */
+  private def binnable(e: Expression): Boolean = unitOf(e.dataType).isDefined
+
+  /** Exact long image of `e` in `unit` (see the object doc). For a
+    * decimal at a narrower scale than the unit's, the widening rescale
+    * cast is exact and [[unitFor]] already proved the result fits. */
+  private def asLong(e: Expression, unit: BinUnit): Expression =
+    unit match {
+      case ScaledUnit(s) =>
+        val d = e.dataType.asInstanceOf[DecimalType]
+        if (d.scale == s) UnscaledValue(e)
+        else UnscaledValue(Cast(e,
+          DecimalType(math.min(38, d.precision + (s - d.scale)), s)))
+      case _ => e.dataType match {
+        case LongType => e
+        // Spark forbids a direct date→numeric cast; UnixDate is the
+        // sanctioned days-since-epoch extraction (exact, timezone-free)
+        case DateType => Cast(UnixDate(e), LongType)
+        case _ => Cast(e, LongType, Some(conf.sessionLocalTimeZone))
+      }
+    }
+
+  /** `e` recast to the unit's common comparison type when the rewrite
+    * must CONSTRUCT a comparison/Least/Greatest over two expressions
+    * that coerced to different decimal types (`Least(DEC(13,4),
+    * DEC(14,4))` would be an unresolved expression — Catalyst requires
+    * exact type agreement in optimizer-built nodes). Identity for
+    * every non-decimal unit, whose operands always share a type. */
+  private def toUnitType(e: Expression, unit: BinUnit): Expression =
+    unit match {
+      case ScaledUnit(s) if e.dataType != DecimalType(18, s) =>
+        Cast(e, DecimalType(18, s))
+      case _ => e
+    }
 
   private def normalize(c: BinaryComparison, l: LogicalPlan,
       r: LogicalPlan): Option[Band] = {
@@ -187,6 +275,43 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     case _ => Nil
   }
 
+  /** Strip analyzer-inserted VALUE-PRESERVING casts to decimal: a
+    * widening decimal→decimal rescale, or an integral→decimal cast
+    * whose integer part provably holds the source's range. The two
+    * comparisons of one decimal band coerce the SAME point column to
+    * DIFFERENT decimal types (`DEC(13,4)` vs `DEC(14,4)` — see the
+    * object doc), so the raw `semanticEquals` pairing would never
+    * match; stripping only provably-lossless casts keeps the pairing
+    * sound (a lossy cast changes the value, and two different lossy
+    * images of one column are NOT the same point). */
+  private def stripWideningToDecimal(e: Expression): Expression = e match {
+    case Cast(inner, d: DecimalType, _, _) =>
+      val lossless = inner.dataType match {
+        case s: DecimalType =>
+          d.scale >= s.scale &&
+            d.precision - d.scale >= s.precision - s.scale
+        case ByteType => d.precision - d.scale >= 3
+        case ShortType => d.precision - d.scale >= 5
+        case IntegerType => d.precision - d.scale >= 10
+        case LongType => d.precision - d.scale >= 19
+        case _ => false
+      }
+      if (lossless) stripWideningToDecimal(inner) else e
+    case other => other
+  }
+
+  /** The same underlying point expression, modulo the per-comparison
+    * coercion casts (exact `semanticEquals` for every non-decimal
+    * band, whose two comparisons always coerce identically). */
+  private def samePoint(a: Expression, b: Expression): Boolean =
+    a.semanticEquals(b) ||
+      ((a.dataType, b.dataType) match {
+        case (_: DecimalType, _: DecimalType) =>
+          stripWideningToDecimal(a)
+            .semanticEquals(stripWideningToDecimal(b))
+        case _ => false
+      })
+
   /** Trace `e` through the Project/Filter/SubqueryAlias prefix of `p`,
     * inlining aliases, so structurally-derived bounds (`hi = lo + c`)
     * are visible even when both were projected from a shared base. */
@@ -205,14 +330,18 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
   }
 
   /** `hi ≡ lo + c` for a positive constant span after alias inlining →
-    * Some(width), already in the point's BINNING unit (see the object
-    * doc's width section). Two shapes match:
+    * Some(width), already in the band's BINNING unit (see the object
+    * doc's width section). Matched shapes:
     *
     *   - an integral `Add(lo, c)` / `Add(c, lo)`: `c` is in the same
-    *     unit [[binOf]] compares in — native integral units, or
+    *     unit [[asLong]] compares in — native integral units, or
     *     seconds when the operands are a timestamp's long cast (casting
     *     a timestamp to long yields seconds, the same floor [[asLong]]
     *     bins on);
+    *   - a DECIMAL `Add(lo, c)` / `Add(c, lo)` — what `lo + 0.05`
+    *     resolves to on decimal columns: the literal carries its own
+    *     scale, rescaled (ceiling — over-wide never misses) to the
+    *     band's binning scale;
     *   - `TimestampAddInterval(lo, INTERVAL-literal)` — the shape SQL
     *     `lo + INTERVAL '5' DAY` resolves to on timestamp columns:
     *     the literal carries MICROseconds, scaled to the seconds the
@@ -221,35 +350,47 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     *   - `DateAdd(lo, c)` / `DateAddInterval(lo, CALENDAR-literal)` —
     *     what `date_add(lo, c)` and `lo + INTERVAL 'c' DAY` resolve to
     *     on DATE columns: the span is in DAYS. The unit it scales to
-    *     comes from the COMPARISON's type ([[binUnit]]), not the
-    *     matched node's — a date arithmetic under a timestamp-coerced
-    *     comparison (point is a timestamp, so the analyzer cast the
-    *     date bounds up) bins in seconds and needs days × 86400; the
-    *     same pure-date shape bins in days and needs the raw count.
-    *     The TimestampAddInterval µs lesson, generalized: derive the
-    *     span's unit from the matched arithmetic, then scale it to the
-    *     unit the comparison bins in. */
+    *     comes from the BAND's unit, not the matched node's — a date
+    *     arithmetic under a timestamp-coerced comparison (point is a
+    *     timestamp, so the analyzer cast the date bounds up) bins in
+    *     seconds and needs days × 86400; the same pure-date shape bins
+    *     in days and needs the raw count. The TimestampAddInterval µs
+    *     lesson, generalized: derive the span's unit from the matched
+    *     arithmetic, then scale it to the unit the band bins in. */
   private def structuralSpan(lo: Expression, hi: Expression,
-      intervalSide: LogicalPlan): Option[Long] = {
+      intervalSide: LogicalPlan, unit: BinUnit): Option[Long] = {
     val loD = dealias(lo, intervalSide)
     val hiD = dealias(hi, intervalSide)
-    // the unit binOf/asLong bins this band in, from the comparison's
-    // (coerced) type: dates → days; timestamps → seconds (long cast);
-    // integrals → their native value
-    val binsInDays = lo.dataType == DateType
-    val binsInSeconds = lo.dataType == TimestampType
     // days → the binning unit (None when the band bins in a native
-    // integral unit — a day count has no meaning there)
-    def daysToBinUnit(days: Long): Option[Long] =
-      if (binsInDays) Some(math.max(1L, days))
-      else if (binsInSeconds) Some(saturatingMul(math.max(1L, days), 86400L))
-      else None
+    // integral or decimal unit — a day count has no meaning there)
+    def daysToBinUnit(days: Long): Option[Long] = unit match {
+      case DayUnit => Some(math.max(1L, days))
+      case SecondUnit => Some(saturatingMul(math.max(1L, days), 86400L))
+      case _ => None
+    }
     def litOf(e: Expression): Option[Long] = e match {
       case Literal(v: Long, LongType) => Some(v)
       case Literal(v: Int, IntegerType) => Some(v.toLong)
       case Literal(v: Short, ShortType) => Some(v.toLong)
       case Literal(v: Byte, ByteType) => Some(v.toLong)
       case Cast(inner, _, _, _) => litOf(inner)
+      case _ => None
+    }
+    // a decimal literal's exact value (casts around it are the
+    // analyzer's precision adjustments — value-preserving for the
+    // literal range the match admits)
+    def decLitOf(e: Expression): Option[java.math.BigDecimal] = e match {
+      case Literal(v: Decimal, _: DecimalType) => Some(v.toJavaBigDecimal)
+      case Cast(inner, _, _, _) => decLitOf(inner)
+      case _ => None
+    }
+    // a positive decimal span in the band's binning unit: unscaled at
+    // the unit's scale, CEILING so the bound stays a bound
+    def decSpanInUnit(bd: java.math.BigDecimal): Option[Long] = unit match {
+      case ScaledUnit(s) => scala.util.Try(
+        math.max(1L, bd.movePointRight(s)
+          .setScale(0, java.math.RoundingMode.CEILING)
+          .longValueExact())).toOption
       case _ => None
     }
     def stripCast(e: Expression): Expression = e match {
@@ -267,6 +408,17 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
           .orElse(litOf(a).filter(_ > 0)
             .filter(_ => stripCast(b).semanticEquals(stripCast(loD))))
           .map(math.max(1L, _))
+      case add @ Add(a, b, _) if add.dataType.isInstanceOf[DecimalType] =>
+        // the money-domain structural window: hi = lo + 0.05. The
+        // strip/compare uses the widening-aware form because the two
+        // sides' decimal images of `lo` carry different coercion casts
+        decLitOf(b).filter(_.signum > 0)
+          .filter(_ => stripWideningToDecimal(stripCast(a)).semanticEquals(
+            stripWideningToDecimal(stripCast(loD))))
+          .orElse(decLitOf(a).filter(_.signum > 0)
+            .filter(_ => stripWideningToDecimal(stripCast(b)).semanticEquals(
+              stripWideningToDecimal(stripCast(loD)))))
+          .flatMap(decSpanInUnit)
       case TimestampAddInterval(start,
           Literal(micros: Long, _: DayTimeIntervalType), _)
           if micros > 0 && stripCast(start).semanticEquals(stripCast(loD)) =>
@@ -292,8 +444,8 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
 
   /** floorDiv(e, w) in exact long arithmetic (correct for negatives,
     * no floating point) — the IntervalJoin.binE shape as Catalyst. */
-  private def binOf(e: Expression, w: Long): Expression = {
-    val eL = asLong(e)
+  private def binOf(e: Expression, w: Long, unit: BinUnit): Expression = {
+    val eL = asLong(e, unit)
     val wL = Literal(w, LongType)
     IntegralDivide(Subtract(eL, Pmod(eL, wL)), wL)
   }
@@ -380,51 +532,119 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       .filter(b => !b.isLower && orientationOk(jt, b.pointOnLeft))
       .flatMap { up =>
         bands.find(b => b.isLower && b.pointOnLeft == up.pointOnLeft &&
-          b.point.semanticEquals(up.point)).map(lo => (up, lo))
+          samePoint(b.point, up.point)).map(lo => (up, lo))
       }.headOption
     candidate.flatMap { case (up, lo) =>
       val pointOnLeft = up.pointOnLeft
       val intervalSide = if (pointOnLeft) right else left
       val pointSide = if (pointOnLeft) left else right
-      val width = structuralSpan(lo.bound, up.bound, intervalSide)
-        .orElse(confWidth())
-        .orElse(statsWidth(intervalSide, lo.bound, up.bound,
-          pointSide, up.point))
-        .orElse(sampledWidth(intervalSide, lo.bound, up.bound))
-      width.map { w =>
-        // point side: one derived bin column
-        val pbinAlias = Alias(binOf(up.point, w), "_gbin_p")()
-        val pPlan = Project(pointSide.output :+ pbinAlias, pointSide)
-        // interval side: lo <= hi pre-filter (drops null bounds and
-        // empty intervals — rows that can match no point under ANY of
-        // the admitted join types, so dropping them changes neither
-        // the matched set nor which preserved-side rows go unmatched),
-        // then explode to covered bins with the loud maxBins guard
-        val pre = Filter(LessThanOrEqual(lo.bound, up.bound), intervalSide)
-        val gnr = Explode(
-          guardedBins(binOf(lo.bound, w), binOf(up.bound, w), w))
-        val ibin = AttributeReference("_gbin_i", LongType,
-          nullable = gnr.elementSchema.head.nullable)()
-        val iPlan = Generate(gnr, unrequiredChildIndex = Nil,
-          outer = false, qualifier = None,
-          generatorOutput = Seq(ibin), pre)
-        val (nl, nr) = if (pointOnLeft) (pPlan, iPlan) else (iPlan, pPlan)
-        val newCond = And(cond, EqualTo(pbinAlias.toAttribute, ibin))
-        Project(j.output, Join(nl, nr, jt, Some(newCond), hint))
+      unitFor(Seq(up.point, up.bound, lo.point, lo.bound)).flatMap { unit =>
+        val width = structuralSpan(lo.bound, up.bound, intervalSide, unit)
+          .orElse(confWidth())
+          .orElse(statsWidth(intervalSide, lo.bound, up.bound,
+            pointSide, up.point, unit))
+          .orElse(sampledWidth(intervalSide, lo.bound, up.bound, unit))
+        width.map { w =>
+          // point side: one derived bin column
+          val pbinAlias = Alias(binOf(up.point, w, unit), "_gbin_p")()
+          val pPlan = Project(pointSide.output :+ pbinAlias, pointSide)
+          // interval side: lo <= hi pre-filter (drops null bounds and
+          // empty intervals — rows that can match no point under ANY of
+          // the admitted join types, so dropping them changes neither
+          // the matched set nor which preserved-side rows go unmatched),
+          // then explode to covered bins with the loud maxBins guard.
+          // toUnitType: the two bounds may carry different (decimal)
+          // coercion types — recast to the band's common type so the
+          // constructed comparison resolves
+          val pre = Filter(LessThanOrEqual(
+            toUnitType(lo.bound, unit), toUnitType(up.bound, unit)),
+            intervalSide)
+          val gnr = Explode(
+            guardedBins(binOf(lo.bound, w, unit),
+              binOf(up.bound, w, unit), w))
+          val ibin = AttributeReference("_gbin_i", LongType,
+            nullable = gnr.elementSchema.head.nullable)()
+          val iPlan = Generate(gnr, unrequiredChildIndex = Nil,
+            outer = false, qualifier = None,
+            generatorOutput = Seq(ibin), pre)
+          val (nl, nr) = if (pointOnLeft) (pPlan, iPlan) else (iPlan, pPlan)
+          val newCond = And(cond, EqualTo(pbinAlias.toAttribute, ibin))
+          Project(j.output, Join(nl, nr, jt, Some(newCond), hint))
+        }
       }
     }
   }
 
   private val StatsMinBinsKey = "spark.graft.rewrite.bandJoin.statsMinBins"
 
-  /** Catalog-stats width: when ANALYZE column statistics exist for the
-    * lo and hi bound COLUMNS (CBO on + `ANALYZE TABLE ... FOR COLUMNS`
-    * — propagated to this subplan by Spark's own stats visitors), use
-    * `max(hi) − min(lo)` as the width with ZERO planning-time IO — an
-    * over-bound of the true max span, so every interval covers ≤ 2
-    * bins (assuming the stats reflect the data: STALE stats that
-    * under-estimate a later-appended wider interval fail LOUDLY at the
-    * runtime maxBins guard naming its knobs, never silently).
+  /** Catalog-stats range of [loE, hiE] over `side`, in the band's
+    * binning unit: `max(hi) − min(lo)` when ANALYZE column statistics
+    * exist for both bound COLUMNS (CBO on + `ANALYZE TABLE ... FOR
+    * COLUMNS` — propagated to this subplan by Spark's own stats
+    * visitors), with ZERO planning-time IO. Values are scaled from
+    * each column's native unit to the band's (micros→seconds,
+    * days→days-or-seconds, decimal→the band's unscaled scale),
+    * rounding outward so the bound stays a bound. Pass loE = hiE to
+    * read one column's own spread (the degeneracy gates below).
+    * Returns the raw difference — callers apply their positivity and
+    * degeneracy gates. subtractExact: a wrap-around on a
+    * sentinel-valued column would yield a tiny width and fail the
+    * maxBins guard at runtime — overflow throws instead, and the
+    * catch falls back to sampling. */
+  private def statsRange(side: LogicalPlan, loE: Expression,
+      hiE: Expression, unit: BinUnit): Option[Long] = try {
+    if (!conf.cboEnabled) return None
+    def attrOf(e: Expression): Option[Attribute] = e match {
+      case a: Attribute => Some(a)
+      case Cast(inner, _, _, _) => attrOf(inner)
+      case _ => None
+    }
+    // value of a column-stat endpoint (Catalyst-internal repr) in the
+    // band's binning unit; roundUp governs the outward direction
+    def inBinUnit(v: Any, dt: DataType, roundUp: Boolean): Option[Long] = {
+      def div(x: Long, d: Long): Long =
+        if (roundUp) Math.addExact(Math.floorDiv(x - 1, d), 1L)
+        else Math.floorDiv(x, d)
+      (unit, dt) match {
+        case (NativeUnit, ByteType) => Some(v.asInstanceOf[Byte].toLong)
+        case (NativeUnit, ShortType) => Some(v.asInstanceOf[Short].toLong)
+        case (NativeUnit, IntegerType) => Some(v.asInstanceOf[Int].toLong)
+        case (NativeUnit, LongType) => Some(v.asInstanceOf[Long])
+        case (SecondUnit, TimestampType) => // micros → seconds
+          Some(div(v.asInstanceOf[Long], 1000000L))
+        case (DayUnit, DateType) => Some(v.asInstanceOf[Int].toLong)
+        case (SecondUnit, DateType) => // days → seconds, exact
+          Some(Math.multiplyExact(v.asInstanceOf[Int].toLong, 86400L))
+        case (ScaledUnit(s), _: DecimalType) =>
+          // Decimal stats value → unscaled at the band's scale, exact
+          // up to the outward rounding; longValueExact throws on
+          // overflow into the enclosing catch
+          Some(v.asInstanceOf[Decimal].toJavaBigDecimal
+            .movePointRight(s)
+            .setScale(0, if (roundUp) java.math.RoundingMode.CEILING
+              else java.math.RoundingMode.FLOOR)
+            .longValueExact())
+        case _ => None
+      }
+    }
+    for {
+      loA <- attrOf(loE)
+      hiA <- attrOf(hiE)
+      stats = side.stats
+      loS <- stats.attributeStats.get(loA)
+      hiS <- stats.attributeStats.get(hiA)
+      mn <- loS.min
+      mx <- hiS.max
+      a <- inBinUnit(mn, loA.dataType, roundUp = false)
+      b <- inBinUnit(mx, hiA.dataType, roundUp = true)
+    } yield Math.subtractExact(b, a)
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Catalog-stats width for the one-sided point rewrite:
+    * `max(hi) − min(lo)` over the interval side — an over-bound of the
+    * true max span (assuming the stats reflect the data: STALE stats
+    * that under-estimate a later-appended wider interval fail LOUDLY
+    * at the runtime maxBins guard naming its knobs, never silently).
     *
     * The over-bound cuts both ways: width = the interval columns'
     * whole joint range, so when the POINTS spread over a similar range
@@ -438,70 +658,60 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     * passes and skips the sampling job entirely; an interval table
     * spanning the whole timeline — where only measuring actual spans
     * can find a useful width — falls through to [[sampledWidth]].
-    * Sits BELOW the user's explicit conf and ABOVE sampling. Values
-    * are scaled from each column's native unit to the unit the
-    * comparison bins in (micros→seconds, days→days-or-seconds),
-    * rounding outward so the bound stays a bound. */
+    * Sits BELOW the user's explicit conf and ABOVE sampling.
+    *
+    * STALENESS HAZARD, both directions: ANALYZE stats are a snapshot.
+    * Intervals appended WIDER after ANALYZE under-estimate the width —
+    * caught LOUDLY by the runtime maxBins guard. Points appended over
+    * a WIDER range after ANALYZE can't hurt (the true spread only
+    * grows past the gate). The silent case is points whose real range
+    * SHRANK since ANALYZE (mass deletion): the gate may admit a width
+    * the live points collapse into few bins of — a slow skewed join,
+    * not a wrong one, and the runtime guard never fires in the
+    * too-WIDE direction. `statsMinBins` is the safety margin against
+    * exactly that drift: at the default 64, the live spread must
+    * shrink 32× below the cataloged one before the join degrades to
+    * 1–2 effective bins. Re-ANALYZE after bulk deletes, or raise
+    * `statsMinBins` where stats routinely lag the data. */
   private def statsWidth(intervalSide: LogicalPlan, lo: Expression,
-      hi: Expression, pointSide: LogicalPlan, point: Expression)
-      : Option[Long] = try {
-    if (!conf.cboEnabled) return None
-    def attrOf(e: Expression): Option[Attribute] = e match {
-      case a: Attribute => Some(a)
-      case Cast(inner, _, _, _) => attrOf(inner)
-      case _ => None
-    }
-    // value of a column-stat endpoint (Catalyst-internal repr) in the
-    // band's binning unit; roundUp governs the outward direction
-    def inBinUnit(v: Any, dt: DataType, roundUp: Boolean): Option[Long] = {
-      val binsInDays = lo.dataType == DateType
-      val binsInSeconds = lo.dataType == TimestampType
-      def div(x: Long, d: Long): Long =
-        if (roundUp) Math.addExact(Math.floorDiv(x - 1, d), 1L)
-        else Math.floorDiv(x, d)
-      dt match {
-        case ByteType => Some(v.asInstanceOf[Byte].toLong)
-        case ShortType => Some(v.asInstanceOf[Short].toLong)
-        case IntegerType if !binsInDays && !binsInSeconds =>
-          Some(v.asInstanceOf[Int].toLong)
-        case LongType if !binsInDays && !binsInSeconds =>
-          Some(v.asInstanceOf[Long])
-        case TimestampType if binsInSeconds => // micros → seconds
-          Some(div(v.asInstanceOf[Long], 1000000L))
-        case DateType if binsInDays => Some(v.asInstanceOf[Int].toLong)
-        case DateType if binsInSeconds => // days → seconds, exact
-          Some(Math.multiplyExact(v.asInstanceOf[Int].toLong, 86400L))
-        case _ => None
-      }
-    }
+      hi: Expression, pointSide: LogicalPlan, point: Expression,
+      unit: BinUnit): Option[Long] = {
     val minBins = conf.getConfString(StatsMinBinsKey, "64").toLong
     for {
-      loA <- attrOf(lo)
-      hiA <- attrOf(hi)
-      pA <- attrOf(point)
-      stats = intervalSide.stats
-      loS <- stats.attributeStats.get(loA)
-      hiS <- stats.attributeStats.get(hiA)
-      pStats = pointSide.stats
-      pS <- pStats.attributeStats.get(pA)
-      mn <- loS.min
-      mx <- hiS.max
-      pMin <- pS.min
-      pMax <- pS.max
-      a <- inBinUnit(mn, loA.dataType, roundUp = false)
-      b <- inBinUnit(mx, hiA.dataType, roundUp = true)
-      if b > a
-      // subtractExact: a wrap-around on a sentinel-valued column would
-      // yield a tiny width and fail the maxBins guard at runtime —
-      // overflow throws instead, and the catch falls back to sampling
-      w = math.max(1L, Math.subtractExact(b, a))
-      pLo <- inBinUnit(pMin, pA.dataType, roundUp = false)
-      pHi <- inBinUnit(pMax, pA.dataType, roundUp = true)
+      r <- statsRange(intervalSide, lo, hi, unit)
+      if r > 0
+      w = math.max(1L, r)
+      spread <- statsRange(pointSide, point, point, unit)
       // degeneracy gate: the points must spread over enough bins for
       // the equijoin to prune — otherwise fall through to sampling
-      if Math.subtractExact(pHi, pLo) / w >= minBins
+      if spread / w >= minBins
     } yield w
-  } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Catalog-stats width for the TWO-SIDED overlap rewrite: each
+    * side's own joint `max(hi) − min(lo)` range over-bounds any single
+    * interval's span on that side; the min of the two is the width
+    * (the structural-span convention — finer bins cost exploded rows
+    * on the wider side but prune candidate pairs harder). Degeneracy
+    * gate, two-sided: the WIDER side's range must spread over ≥
+    * statsMinBins bins at that width — when both sides blanket the
+    * same timeline the "equijoin" collapses into 1–2 bins (the
+    * pseudo-cross-join), and only measuring actual spans (sampling)
+    * can find a useful width. Same staleness posture as
+    * [[statsWidth]]. */
+  private def statsOverlapWidth(left: LogicalPlan, aLo: Expression,
+      aHi: Expression, right: LogicalPlan, bLo: Expression,
+      bHi: Expression, unit: BinUnit): Option[Long] = {
+    val minBins = conf.getConfString(StatsMinBinsKey, "64").toLong
+    for {
+      ra <- statsRange(left, aLo, aHi, unit)
+      if ra > 0
+      rb <- statsRange(right, bLo, bHi, unit)
+      if rb > 0
+      w = math.max(1L, math.min(ra, rb))
+      if math.max(ra, rb) / w >= minBins
+    } yield w
+  }
 
   // sampled widths memoized on the canonicalized (plan, lo, hi): the
   // optimizer fixed point re-invokes the rule while OTHER rules still
@@ -554,7 +764,7 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     * executing the subplan fails (a planning-time heuristic must never
     * fail the query it is trying to speed up). */
   private def sampledWidth(intervalSide: LogicalPlan, lo: Expression,
-      hi: Expression): Option[Long] = {
+      hi: Expression, unit: BinUnit): Option[Long] = {
     if (conf.getConfString(SampleKey, "true") != "true") return None
     if (!cheapToSample(intervalSide)) return None
     val memoKey = (intervalSide.canonicalized, lo.canonicalized,
@@ -565,10 +775,12 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       val n = conf.getConfString(SampleRowsKey, "4096").toInt
       val slack = math.max(1L,
         conf.getConfString(SampleSlackKey, "4").toLong)
-      val span = Alias(Subtract(asLong(hi), asLong(lo)), "_gspan")()
+      val span = Alias(Subtract(asLong(hi, unit), asLong(lo, unit)),
+        "_gspan")()
       val sample = Limit(Literal(n, IntegerType),
         Project(Seq(span),
-          Filter(LessThanOrEqual(lo, hi), intervalSide)))
+          Filter(LessThanOrEqual(
+            toUnitType(lo, unit), toUnitType(hi, unit)), intervalSide)))
       val agg = Aggregate(Nil,
         Seq(Alias(Max(span.toAttribute).toAggregateExpression(), "_gmax")()),
         sample)
@@ -599,8 +811,18 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     * conjunct would be violated — a two-case proof on which range ends
     * first), so the pair shares a bin in the exploded closed ranges.
     * Exactly-once by the canonical-bin trick: a pair is kept only at
-    * `greatest(bin(a⁻), bin(b⁻))` = the first shared bin. Width = the
-    * smaller of the two sides' structural spans, else the config. */
+    * `greatest(bin(a⁻), bin(b⁻))` = the first shared bin.
+    *
+    * Width: the full [[BandJoinRewrite]] ladder, two-sided — the min
+    * of the sides' structural spans; the config; per-side catalog
+    * stats ([[statsOverlapWidth]], zero planning IO); per-side sampled
+    * max spans over each side's UNORDERED (least/greatest) range, min
+    * of the two with BOTH required — a width blind to one side's spans
+    * could trip that side's runtime maxBins guard on data the sampled
+    * side never saw. Before round 16 only structural/config existed,
+    * so a naive overlap join over STORED lo/hi columns silently
+    * planned the nested loop — the exact gap class the date fix closed
+    * for one-sided bands, one pattern over. */
   private def overlapRewrite(j: Join, left: LogicalPlan,
       right: LogicalPlan, cond: Expression, split: Seq[Expression],
       hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint)
@@ -613,28 +835,43 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     for {
       lUp <- ineqs.find(_.pointOnLeft) // lLo < rHi
       rUp <- ineqs.find(!_.pointOnLeft) // rLo < lHi
-      w <- Seq(structuralSpan(lUp.point, rUp.bound, left),
-          structuralSpan(rUp.point, lUp.bound, right)).flatten
+      unit <- unitFor(Seq(lUp.point, lUp.bound, rUp.point, rUp.bound))
+      // each side's unordered range, recast to the band's common type
+      // (decimal coercion can type the four bounds differently — a
+      // constructed Least over mismatched types would not resolve)
+      aLo = toUnitType(lUp.point, unit)
+      aHi = toUnitType(rUp.bound, unit)
+      bLo = toUnitType(rUp.point, unit)
+      bHi = toUnitType(lUp.bound, unit)
+      w <- Seq(structuralSpan(lUp.point, rUp.bound, left, unit),
+          structuralSpan(rUp.point, lUp.bound, right, unit)).flatten
         .reduceOption(_ min _)
         .orElse(confWidth())
+        .orElse(statsOverlapWidth(left, lUp.point, rUp.bound,
+          right, rUp.point, lUp.bound, unit))
+        .orElse(for {
+          wa <- sampledWidth(left, Least(Seq(aLo, aHi)),
+            Greatest(Seq(aLo, aHi)), unit)
+          wb <- sampledWidth(right, Least(Seq(bLo, bHi)),
+            Greatest(Seq(bLo, bHi)), unit)
+        } yield math.min(wa, wb))
     } yield {
       def sided(plan: LogicalPlan, lo: Expression, hi: Expression,
           lbName: String, binName: String) = {
         val loN = Least(Seq(lo, hi))
         val hiN = Greatest(Seq(lo, hi))
-        val lb = Alias(binOf(loN, w), lbName)()
+        val lb = Alias(binOf(loN, w, unit), lbName)()
         val proj = Project(plan.output :+ lb, plan)
-        val gnr = Explode(guardedBins(binOf(loN, w), binOf(hiN, w), w))
+        val gnr = Explode(guardedBins(binOf(loN, w, unit),
+          binOf(hiN, w, unit), w))
         val bin = AttributeReference(binName, LongType,
           nullable = gnr.elementSchema.head.nullable)()
         (Generate(gnr, unrequiredChildIndex = Nil, outer = false,
           qualifier = None, generatorOutput = Seq(bin), proj),
           lb.toAttribute, bin)
       }
-      val (lPlan, albin, abin) =
-        sided(left, lUp.point, rUp.bound, "_gbin_al", "_gbin_a")
-      val (rPlan, blbin, bbin) =
-        sided(right, rUp.point, lUp.bound, "_gbin_bl", "_gbin_b")
+      val (lPlan, albin, abin) = sided(left, aLo, aHi, "_gbin_al", "_gbin_a")
+      val (rPlan, blbin, bbin) = sided(right, bLo, bHi, "_gbin_bl", "_gbin_b")
       val newCond = And(And(cond, EqualTo(abin, bbin)),
         EqualTo(abin, Greatest(Seq(albin, blbin))))
       Project(j.output, Join(lPlan, rPlan, Inner, Some(newCond), hint))

@@ -560,4 +560,209 @@ class BandJoinRewriteSpec extends SparkSpecBase {
       col("x") >= col("lo") && col("x") < col("hi"))
     assert(rows(naive) == rows(lib))
   }
+
+  // ─── DECIMAL bands (round-16: the money-domain shape) ───
+
+  private def decPoints: DataFrame =
+    Seq(0L, 149L, 150L, 151L, 500L, 755L, 756L, 1000L, -101L, 99999L)
+      .toDF("k")
+      .select((col("k").cast("decimal(12,2)") / 100).cast("decimal(12,2)")
+        .as("x"), (col("k") * 2).as("pid"))
+
+  test("DECIMAL band with a decimal structural span rewrites exactly") {
+    // lo DECIMAL(12,2), hi = lo + 7.50 — the price-band shape. Bins on
+    // the unscaled long (scale 2): width 750, exact, no doubles
+    val iv = Seq(0L, 150L, 700L, -200L).toDF("k").repartition(1)
+      .select((col("k").cast("decimal(12,2)") / 100).cast("decimal(12,2)")
+        .as("lo"), col("k").as("iid"))
+      .select(col("lo"), (col("lo") + lit(BigDecimal("7.50"))).as("hi"),
+        col("iid"))
+    val cond = col("x") >= col("lo") && col("x") < col("hi")
+    val j = decPoints.join(iv, cond)
+    noNlj(j, "decimal band join")
+    val expected = withRuleOff { rows(decPoints.join(iv, cond)) }
+    assert(rows(j) == expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("DECIMAL band with MIXED comparison scales rewrites (widest scale)") {
+    // x is DECIMAL(10,2); lo/hi are DECIMAL(13,4)/(14,4), so the two
+    // comparisons coerce x to DIFFERENT decimal types — the pairing
+    // must see through the widening casts and the bins must unify on
+    // the widest scale (4), or the rewrite would mis-bin one side
+    val pts = Seq(0L, 5L, 7L, 100L, 755L).toDF("p").repartition(1)
+      .select(col("p").cast("decimal(10,2)").as("x"), col("p").as("pid"))
+    val iv = Seq(100L, 700L, 75000L).toDF("k").repartition(1)
+      .select((col("k").cast("decimal(10,2)") * lit(BigDecimal("0.01")))
+        .as("lo"), col("k").as("iid"))
+      .select(col("lo"), (col("lo") + lit(BigDecimal("7.50"))).as("hi"),
+        col("iid"))
+    val cond = col("x") >= col("lo") && col("x") < col("hi")
+    val j = pts.join(iv, cond)
+    noNlj(j, "mixed-scale decimal band join")
+    val expected = withRuleOff { rows(pts.join(iv, cond)) }
+    assert(rows(j) == expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("DECIMAL free-form bounds ride the sampled width") {
+    val iv = Seq((0L, 720L, 1L), (500L, 3000L, 2L), (99000L, 100100L, 3L))
+      .toDF("l", "h", "iid")
+      .select((col("l").cast("decimal(12,2)") / 100).cast("decimal(12,2)")
+        .as("lo"),
+        (col("h").cast("decimal(12,2)") / 100).cast("decimal(12,2)")
+          .as("hi"), col("iid"))
+    val cond = col("x") >= col("lo") && col("x") < col("hi")
+    val j = decPoints.join(iv, cond)
+    noNlj(j, "sampled decimal band join")
+    val expected = withRuleOff { rows(decPoints.join(iv, cond)) }
+    assert(rows(j) == expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("DECIMAL past 18 digits has no unscaled long — left untouched") {
+    val pts = decPoints.select(col("x").cast("decimal(20,2)").as("x"),
+      col("pid"))
+    val iv = Seq((0L, 750L, 1L)).toDF("l", "h", "iid")
+      .select((col("l").cast("decimal(20,2)") / 100).cast("decimal(20,2)")
+        .as("lo"),
+        (col("h").cast("decimal(20,2)") / 100).cast("decimal(20,2)")
+          .as("hi"), col("iid"))
+    val p = planOf(pts.join(iv,
+      col("x") >= col("lo") && col("x") < col("hi")))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("CartesianProduct"),
+      s"a >18-digit decimal band was rewritten (bins would overflow):\n$p")
+    assert(!p.contains("_gbin"), s"bin columns leaked:\n$p")
+  }
+
+  // ─── overlap width ladder (round-16: stats + sampled parity) ───
+
+  test("overlap join over STORED bounds rides per-side sampled widths") {
+    // no structural span (independent hi columns), no config: before
+    // round 16 this silently planned the nested loop. Includes an
+    // EMPTY and an INVERTED interval — the sampled path normalizes
+    // each side to its unordered range, so the naive predicate's
+    // semantics survive
+    val a = Seq((0L, 7L, 1L), (5L, 30L, 2L), (95L, 101L, 3L),
+        (20L, 20L, 90L), (50L, 20L, 91L))
+      .toDF("a_lo", "a_hi", "a_id")
+    val b = Seq((3L, 10L, 1L), (8L, 40L, 2L), (90L, 96L, 3L),
+        (0L, 60L, 92L))
+      .toDF("b_lo", "b_hi", "b_id")
+    val cond = col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi")
+    def rows2(df: DataFrame): Seq[(Long, Long)] =
+      df.select(col("a_id"), col("b_id")).as[(Long, Long)]
+        .collect().sorted.toSeq
+    val j = a.join(b, cond)
+    noNlj(j, "stored-bounds overlap join")
+    val got = rows2(j)
+    assert(got == withRuleOff { rows2(a.join(b, cond)) })
+    assert(got.contains((90L, 92L)), "empty [20,20) lost its naive match")
+    assert(got.contains((91L, 92L)), "inverted [50,20] lost its naive match")
+    assert(got == got.distinct, "duplicate pairs: not exactly-once")
+  }
+
+  test("overlap catalog stats supply the width with zero planning jobs") {
+    // side A range-compact, side B wide: width = A's joint range, the
+    // wider side's spread proves non-degeneracy, and NO sampling job
+    // runs at planning time (listener-counted)
+    spark.sql("DROP TABLE IF EXISTS bjr_ov_stats_a")
+    spark.sql("DROP TABLE IF EXISTS bjr_ov_stats_b")
+    Seq((0L, 40L, 1L), (10L, 50L, 2L), (30L, 45L, 3L))
+      .toDF("a_lo", "a_hi", "a_id")
+      .write.mode("overwrite").saveAsTable("bjr_ov_stats_a")
+    (0L to 128L).map(i => (i * 1000L, i * 1000L + 30L, i))
+      .toDF("b_lo", "b_hi", "b_id")
+      .write.mode("overwrite").saveAsTable("bjr_ov_stats_b")
+    spark.sql("ANALYZE TABLE bjr_ov_stats_a COMPUTE STATISTICS " +
+      "FOR COLUMNS a_lo, a_hi")
+    spark.sql("ANALYZE TABLE bjr_ov_stats_b COMPUTE STATISTICS " +
+      "FOR COLUMNS b_lo, b_hi")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    try {
+      val cond = col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi")
+      def rows2(df: DataFrame): Seq[(Long, Long)] =
+        df.select(col("a_id"), col("b_id")).as[(Long, Long)]
+          .collect().sorted.toSeq
+      def joined = spark.table("bjr_ov_stats_a")
+        .join(spark.table("bjr_ov_stats_b"), cond)
+      val j = joined
+      spark.sparkContext.addSparkListener(listener)
+      val p = planOf(j) // optimize + plan, no execution
+      org.apache.spark.GraftTestShims
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      val planned = jobs.get()
+      spark.sparkContext.removeSparkListener(listener)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"overlap stats width did not fire:\n$p")
+      assert(planned == 0,
+        s"planning launched $planned job(s) despite catalog stats")
+      val got = rows2(j)
+      assert(got == withRuleOff { rows2(joined) })
+      assert(got.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.sql("DROP TABLE IF EXISTS bjr_ov_stats_a")
+      spark.sql("DROP TABLE IF EXISTS bjr_ov_stats_b")
+    }
+  }
+
+  test("degenerate overlap stats are rejected (both sides blanket the line)") {
+    // both sides' joint ranges cover the same timeline: width = either
+    // range collapses everything into 1-2 bins — the stats source must
+    // refuse; with sampling also off, the plan stays untouched
+    spark.sql("DROP TABLE IF EXISTS bjr_ov_wide_a")
+    spark.sql("DROP TABLE IF EXISTS bjr_ov_wide_b")
+    Seq((0L, 250000L, 1L), (1000L, 240000L, 2L))
+      .toDF("a_lo", "a_hi", "a_id")
+      .write.mode("overwrite").saveAsTable("bjr_ov_wide_a")
+    Seq((5L, 251000L, 1L), (900L, 230000L, 2L))
+      .toDF("b_lo", "b_hi", "b_id")
+      .write.mode("overwrite").saveAsTable("bjr_ov_wide_b")
+    spark.sql("ANALYZE TABLE bjr_ov_wide_a COMPUTE STATISTICS " +
+      "FOR COLUMNS a_lo, a_hi")
+    spark.sql("ANALYZE TABLE bjr_ov_wide_b COMPUTE STATISTICS " +
+      "FOR COLUMNS b_lo, b_hi")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.graft.rewrite.bandJoin.sampleWidth", "false")
+    try {
+      val cond = col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi")
+      val p = planOf(spark.table("bjr_ov_wide_a")
+        .join(spark.table("bjr_ov_wide_b"), cond))
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("CartesianProduct"),
+        s"degenerate overlap stats width was accepted:\n$p")
+      assert(!p.contains("_gbin"), s"bin columns leaked:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.graft.rewrite.bandJoin.sampleWidth")
+      spark.sql("DROP TABLE IF EXISTS bjr_ov_wide_a")
+      spark.sql("DROP TABLE IF EXISTS bjr_ov_wide_b")
+    }
+  }
+
+  test("overlap sampling requires BOTH sides sampleable") {
+    // one side sits behind an aggregate (not cheap to execute at
+    // planning time): a width blind to that side's spans could trip
+    // its runtime maxBins guard, so the rewrite must NOT fire from the
+    // other side's sample alone
+    val a = Seq((0L, 7L, 1L), (5L, 30L, 2L)).toDF("a_lo", "a_hi", "a_id")
+    val b = Seq((3L, 10L, 1L), (8L, 40L, 2L)).toDF("b_lo", "b_hi", "b_id")
+      .groupBy(col("b_id")).agg(min(col("b_lo")).as("b_lo"),
+        max(col("b_hi")).as("b_hi"))
+    val cond = col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi")
+    val p = planOf(a.join(b, cond))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("CartesianProduct"),
+      s"overlap rewrote with only one side sampleable:\n$p")
+    assert(!p.contains("_gbin"), s"bin columns leaked:\n$p")
+  }
 }

@@ -119,6 +119,30 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("_gbin"), s"q147 missing the bin equijoin key:\n$p")
   }
 
+  test("q150: the STORED-bounds overlap join gets per-side sampled widths") {
+    // the round-15 verdict's #1 ask: a naive overlap join over stored
+    // lo/hi columns (no structural span, no conf) must ride the
+    // two-sided sampled-width ladder instead of silently planning
+    // BroadcastNestedLoopJoin — the exact gap class the date fix
+    // closed for one-sided bands, one pattern over
+    val p = plan(q("q150_overlap_stored"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q150 kept the nested-loop plan (overlap width ladder missing):\n$p")
+    assert(p.contains("_gbin"), s"q150 missing the bin equijoin key:\n$p")
+  }
+
+  test("q151: the NAIVE decimal band join plans as a bin equijoin") {
+    // the money-domain shape: a price band on DECIMAL(p,s) bins
+    // exactly on the unscaled long; the width comes from the decimal
+    // Add's literal span, rescaled to the band's widest scale
+    val p = plan(q("q151_band_decimal"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q151 kept the nested-loop plan (decimal binning missing):\n$p")
+    assert(p.contains("_gbin"), s"q151 missing the bin equijoin key:\n$p")
+  }
+
   test("q116: the native whole-operator top-k plans partial+final") {
     // tier-(c) machinery pin: the injected strategy must actually fire
     // (a lost registration means TopKPerKeyNode dies with "No plan for")
