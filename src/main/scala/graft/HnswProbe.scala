@@ -112,6 +112,11 @@ object HnswProbe {
     // stored probe reads the index parquet exactly once (the round-14
     // verdict's IO note — rerank must not re-scan the store); derived
     // from a fresh plan (localCheckpoint replaced the timed one's)
+    // pin on the QUALIFIED nodes-store path of the served generation —
+    // a substring contains(dir) could miscount if another scanned path
+    // embedded dir as a prefix
+    val nodesPath = new org.apache.hadoop.fs.Path(
+      Hnsw.indexGenDir(spark, dir) + "/nodes").toUri.getPath
     val scanPin = Hnsw.searchStored(spark, dir, queries, k = k, ef = 64,
         excludeSelf = true)
       .queryExecution.optimizedPlan.collect {
@@ -120,7 +125,7 @@ object HnswProbe {
               org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
             r.relation.asInstanceOf[
                 org.apache.spark.sql.execution.datasources.HadoopFsRelation]
-              .location.rootPaths.exists(_.toString.contains(dir)) => r
+              .location.rootPaths.exists(_.toUri.getPath == nodesPath) => r
       }.size
     require(scanPin == 1, s"expected 1 index scan, found $scanPin")
     println(s"index scans per query batch = $scanPin (single-scan pin)")

@@ -224,13 +224,136 @@ class HnswSpec extends SparkSpecBase {
       "compacted store diverged from a fresh build over the live rows")
   }
 
-  test("compacting away every row refuses loudly (no empty-store publish)") {
+  test("deleting every row refuses BEFORE the ledger; index keeps serving") {
+    // the round-15 ADVICE medium: the old order wrote the ledger first
+    // and let compactHnswIndex throw after — leaving a published index
+    // whose probes silently returned zero rows
     val dir = tmp()
     Hnsw.writeIndex(emb.limit(20), dir, nShards = 2, m = 4,
       efConstruction = 8)
-    val e = intercept[Exception](Hnsw.deleteFromHnswIndex(spark, dir,
-      emb.limit(20).select(col("vec_id")), rewriteThreshold = 0.1))
-    assert(messages(e).exists(_.contains("empty store")), e.toString)
+    val e = intercept[IllegalStateException](
+      Hnsw.deleteFromHnswIndex(spark, dir,
+        emb.limit(20).select(col("vec_id")), rewriteThreshold = 0.1))
+    assert(e.getMessage.contains("every row"), e.getMessage)
+    // nothing was written: no ledger, probes still serve the full store
+    val genDir = Hnsw.indexGenDir(spark, dir)
+    assert(!new java.io.File(s"$genDir/tombstones").exists(),
+      "the refused delete leaked a ledger")
+    val q1 = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    assert(Hnsw.searchStored(spark, dir, q1, k = 3, ef = 8).count() == 3)
+  }
+
+  test("a hand-torn all-dead store refuses at compact AND at probe") {
+    // defense in depth behind the delete-time guard: a ledger covering
+    // every physical row (written outside the API) must refuse loudly
+    // in both maintenance and serving paths, never serve zero rows
+    val dir = tmp()
+    Hnsw.writeIndex(emb.limit(20), dir, nShards = 2, m = 4,
+      efConstruction = 8)
+    val genDir = Hnsw.indexGenDir(spark, dir)
+    spark.read.parquet(s"$genDir/nodes")
+      .select(col("node").as("vec_id"))
+      .write.mode("overwrite").parquet(s"$genDir/tombstones")
+    val e = intercept[IllegalStateException](
+      Hnsw.compactHnswIndex(spark, dir))
+    assert(e.getMessage.contains("empty store"), e.getMessage)
+    val q1 = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val e2 = intercept[IllegalStateException](
+      Hnsw.searchStored(spark, dir, q1, k = 3, ef = 8))
+    assert(e2.getMessage.contains("tombstoned"), e2.getMessage)
+  }
+
+  test("deleting a never-indexed id is a no-op; the id appends later") {
+    // round-15 ADVICE: a typo'd delete of an absent id used to enter
+    // the ledger and poison that id's future append until a full
+    // compaction — the ledger now holds only physically-present ids
+    val dir = tmp()
+    Hnsw.writeIndex(emb.filter(col("vec_id") < 50), dir,
+      nShards = 2, m = 4, efConstruction = 8)
+    val rewrote = Hnsw.deleteFromHnswIndex(spark, dir,
+      Seq(9999L).toDF("vec_id"), rewriteThreshold = 0.01)
+    assert(!rewrote)
+    val genDir = Hnsw.indexGenDir(spark, dir)
+    assert(!new java.io.File(s"$genDir/tombstones").exists(),
+      "an absent id entered the ledger")
+    // the same id now appends cleanly (it exceeds every shard max)
+    Hnsw.appendToHnswIndex(spark, dir,
+      emb.filter(col("vec_id") === 7)
+        .select(lit(9999L).as("vec_id"), col("embedding")))
+    val q1 = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = Hnsw.searchStored(spark, dir, q1, k = 51,
+      ef = Int.MaxValue)
+    assert(got.collect().exists(_.getLong(1) == 9999L),
+      "the re-appended id never surfaced")
+  }
+
+  test("delete's threshold decision is metadata-only (meta count, not a scan)") {
+    // build 8 shards, then REMOVE 7 of them: a full-corpus count()
+    // would see ~1/8 of the rows and trip the threshold; the meta
+    // sidecar's exact physical count must keep the decision correct.
+    // The presence check only reads the shards the batch hashes into,
+    // so the missing directories are never touched either.
+    val dir = tmp()
+    val vecs = emb.limit(500)
+    Hnsw.writeIndex(vecs, dir, nShards = 8, m = 4, efConstruction = 8)
+    val genDir = Hnsw.indexGenDir(spark, dir)
+    val keep = 3L // shard to keep; delete ids hashing to it
+    val ids = vecs.select(col("vec_id").cast("long").as("vec_id"))
+      .filter(pmod(xxhash64(col("vec_id")), lit(8L)) === lit(keep))
+      .limit(20)
+    val hfs = new org.apache.hadoop.fs.Path(genDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0L until 8L).filter(_ != keep).foreach { sh =>
+      hfs.delete(new org.apache.hadoop.fs.Path(
+        s"$genDir/nodes/shard=$sh"), true)
+    }
+    // 20 of 500 = 4% < 10% threshold → metadata says NO rewrite; a
+    // full count of the crippled store (~62 rows) would say 32% → yes
+    val rewrote = Hnsw.deleteFromHnswIndex(spark, dir, ids,
+      rewriteThreshold = 0.10)
+    assert(!rewrote,
+      "threshold decision scanned the store instead of the meta count")
+    assert(new java.io.File(s"$genDir/tombstones").exists(),
+      "the delete never reached the ledger")
+  }
+
+  test("append hard-links untouched shards; bytes survive GC of the old gen") {
+    // round-15 verdict #2: copyForward used to byte-copy every
+    // untouched shard through the driver — O(index bytes) per append.
+    // Now untouched shards hard-link (link(2)): same inode, zero bytes
+    val dir = tmp()
+    Hnsw.writeIndex(emb.filter(col("vec_id") < 100), dir,
+      nShards = 4, m = 4, efConstruction = 8)
+    val gen0 = Hnsw.indexGenDir(spark, dir)
+    // one fresh id → exactly one affected shard
+    val newId = 10007L
+    val touched = spark.range(1)
+      .select(pmod(xxhash64(lit(newId)), lit(4L)).as("s"))
+      .collect().head.getLong(0)
+    Hnsw.appendToHnswIndex(spark, dir,
+      emb.filter(col("vec_id") === 0)
+        .select(lit(newId).as("vec_id"), col("embedding")))
+    val gen1 = Hnsw.indexGenDir(spark, dir)
+    assert(gen1 != gen0)
+    def inodes(genDir: String, shard: Long): Set[Long] = {
+      val d = new java.io.File(s"$genDir/nodes/shard=$shard")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        java.nio.file.Files.getAttribute(f.toPath, "unix:ino")
+          .asInstanceOf[Long]
+      }.toSet
+    }
+    val untouchedShard = (0L until 4L).find(_ != touched).get
+    assert(inodes(gen1, untouchedShard) == inodes(gen0, untouchedShard),
+      s"untouched shard $untouchedShard was copied, not hard-linked")
+    // the linked bytes survive the old generation's deletion
+    Hnsw.expireHnswGenerations(spark, dir)
+    val q1 = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    assert(Hnsw.searchStored(spark, dir, q1, k = 3, ef = 8).count() == 3,
+      "hard-linked shards died with the expired generation")
   }
 
   test("staleness guard: a probe against an outgrown corpus refuses loudly") {
@@ -284,13 +407,17 @@ class HnswSpec extends SparkSpecBase {
     val q1 = emb.filter(col("vec_id") === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val sdf = Hnsw.searchStored(spark, dir, q1, k = 3, ef = 8)
+    // qualified-path pin (not a substring match, which could miscount
+    // if another scanned path embedded dir as a prefix)
+    val nodesPath = new org.apache.hadoop.fs.Path(
+      Hnsw.indexGenDir(spark, dir) + "/nodes").toUri.getPath
     val scans = sdf.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation
           if r.relation.isInstanceOf[
             org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
           r.relation.asInstanceOf[
               org.apache.spark.sql.execution.datasources.HadoopFsRelation]
-            .location.rootPaths.exists(_.toString.contains(dir)) => r
+            .location.rootPaths.exists(_.toUri.getPath == nodesPath) => r
     }
     assert(scans.size == 1,
       s"expected exactly one index scan, found ${scans.size}")
