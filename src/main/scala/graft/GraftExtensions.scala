@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => graft.plans.ResolveKnnTvf)
     ext.injectTableFunction(graft.plans.KnnSql.tvfStored)
     ext.injectResolutionRule(_ => graft.plans.ResolveKnnStoredTvf)
+    // SQL surface for the written HNSW graph artifact: the same
+    // two-phase TVF discipline, routed through Hnsw.searchStored
+    ext.injectTableFunction(graft.plans.HnswSql.tvfStored)
+    ext.injectResolutionRule(_ => graft.plans.ResolveHnswStoredTvf)
     ext.injectOptimizerRule { session =>
       // the injected copy runs in the operator-optimization fixed point,
       // which is BEFORE RewriteSubquery turns a range-EXISTS into the

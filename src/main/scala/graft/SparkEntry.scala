@@ -53,7 +53,7 @@ object SparkEntry {
       IntervalJoin.queries ++ Retrieval.queries ++ ExportOps.queries ++
       GraphOps.queries ++ GraphAlgos.queries ++ RankArtifact.queries ++
       graft.plans.AsofSql.queries ++ Hnsw.queries ++
-      graft.plans.KnnSql.queries
+      graft.plans.KnnSql.queries ++ graft.plans.HnswSql.queries
 
   /** DuckDB-equivalent SQL for every SQL-expressible query above. */
   def oracleSql: Map[String, String] =
@@ -64,5 +64,5 @@ object SparkEntry {
       IntervalJoin.oracle ++ Retrieval.oracle ++ ExportOps.oracle ++
       GraphOps.oracle ++ GraphAlgos.oracle ++ RankArtifact.oracle ++
       graft.plans.AsofSql.oracle ++ Hnsw.oracle ++
-      graft.plans.KnnSql.oracle
+      graft.plans.KnnSql.oracle ++ graft.plans.HnswSql.oracle
 }

@@ -699,6 +699,24 @@ object Hnsw {
     * whose id equals the query id (self-probes). `verifyCorpus`, when
     * given, is the loud staleness guard ([[requireFresh]]): refuse to
     * serve a corpus that grew past the index. */
+  /** Corpus SELF-PROBE form (the probeIvfIndex nQueries convention —
+    * and the `graft_hnsw_stored` TVF's integer arm): queries = the
+    * index's own LIVE vectors with vec_id < nQueries, self-excluded.
+    * The query read is column-pruned (node, vec) with the `< n`
+    * filter pushed to the scan; the probe itself still reads the
+    * store exactly once (the single-scan pin). */
+  def searchStored(s: SparkSession, dir: String, nQueries: Int, k: Int,
+      ef: Int): DataFrame = {
+    require(nQueries >= 1, s"Hnsw: bad nQueries $nQueries")
+    val genDir = indexGenDir(s, dir)
+    val q = s.read.parquet(s"$genDir/nodes")
+      .filter(col("node") < nQueries)
+      .select(col("node").as("qid"), col("vec").as("qvec"))
+    val live = tombstonesOf(s, genDir).fold(q)(t =>
+      q.join(t, q("qid") === t("vec_id"), "left_anti"))
+    searchStored(s, dir, live, k, ef, excludeSelf = true)
+  }
+
   def searchStored(s: SparkSession, dir: String, queries: DataFrame,
       k: Int, ef: Int, excludeSelf: Boolean = false,
       verifyCorpus: Option[DataFrame] = None): DataFrame = {

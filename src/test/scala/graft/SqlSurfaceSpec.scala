@@ -194,4 +194,73 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(messages(e4).exists(_.contains("vec_id, embedding")),
       e4.toString)
   }
+
+  test("graft_hnsw_stored probes the written graph index from SQL") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("hnsw_sql").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    graft.operators.Hnsw.writeIndex(emb, path, nShards = 4, m = 8,
+      efConstruction = 32)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    // self-probe form ≡ the DataFrame surface (exhaustive mode, so the
+    // parity is exact-by-theorem, not sampled)
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_hnsw_stored('$path', 5, 5, 2147483647)")
+    val got = viaSql.collect().map(key).sorted.toSeq
+    val lib = graft.operators.Hnsw
+      .searchStored(spark, path, nQueries = 5, k = 5, ef = Int.MaxValue)
+      .collect().map(key).sorted.toSeq
+    assert(got.nonEmpty && got == lib,
+      "stored-probe SQL diverged from the DataFrame surface")
+    // external-queries form through a named relation (no self-
+    // exclusion: the caller's qid space is unrelated to vec_ids)
+    emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1000L).as("qid"), col("embedding"))
+      .createOrReplaceTempView("hnsw_sql_queries")
+    val ext = spark.sql(
+      s"""SELECT * FROM graft_hnsw_stored('$path', 'hnsw_sql_queries',
+            4, 2147483647)""")
+      .collect().map(key).sorted.toSeq
+    val extLib = graft.operators.Hnsw.searchStored(spark, path,
+      emb.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 1000L).as("qid"),
+          col("embedding").as("qvec")),
+      k = 4, ef = Int.MaxValue)
+      .collect().map(key).sorted.toSeq
+    assert(ext.nonEmpty && ext == extLib,
+      "external-queries stored probe diverged from the DataFrame surface")
+  }
+
+  test("graft_hnsw_stored loud contracts: bad args, columns, missing index") {
+    val e1 = intercept[Exception](
+      spark.sql("SELECT * FROM graft_hnsw_stored('/tmp/x', 5)").collect())
+    assert(messages(e1).exists(_.contains("exactly 4")), e1.toString)
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_hnsw_stored('/tmp/x', 5.5, 5, 64)").collect())
+    assert(messages(e2).exists(_.contains("argument 2")), e2.toString)
+    val e3 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_hnsw_stored('/tmp/x', 5, 5, 3)").collect())
+    assert(messages(e3).exists(_.contains("must be >= k")), e3.toString)
+    // a path with no written index names the build entry point
+    val none = java.nio.file.Files
+      .createTempDirectory("hnsw_sql_none").toString
+    val e4 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_hnsw_stored('$none', 5, 5, 64)").collect())
+    assert(messages(e4).exists(_.contains("writeIndex")), e4.toString)
+    // a queries relation without (qid, embedding), named loudly
+    Tables.registerAll(spark, sf)
+    val path = java.nio.file.Files
+      .createTempDirectory("hnsw_sql_cols").toString
+    import org.apache.spark.sql.functions.col
+    graft.operators.Hnsw.writeIndex(
+      Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding")).limit(50),
+      path, nShards = 2, m = 4, efConstruction = 8)
+    val e5 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_hnsw_stored('$path', 'nation', 3, 64)")
+      .collect())
+    assert(messages(e5).exists(_.contains("qid, embedding")), e5.toString)
+  }
 }
