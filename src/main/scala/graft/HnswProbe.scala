@@ -164,6 +164,30 @@ object HnswProbe {
     require(mism2 == 0L,
       s"post-append exhaustive diverged from brute on $mism2 rows")
     println("post-append exhaustive ≡ brute force")
+
+    // SHARD-LOCALIZED append (round 16): a 2k batch whose ids ALL hash
+    // to one shard — with the hard-link carry-forward the cost is
+    // O(batch + that shard's rebuild) plus link METADATA for the other
+    // 31 shards, never O(index bytes) (the full-copy append above
+    // touches every shard, so it prices the worst case; this leg
+    // prices the streaming-maintenance case StreamHnsw rides)
+    val base2 = (mult.toLong + 1L) * off
+    val localBatch = spark.range(base2, base2 + 400000L)
+      .select(col("id").as("vec_id"))
+      .filter(pmod(xxhash64(col("vec_id")), lit(nShards.toLong)) === lit(7L))
+      .limit(2000)
+      .select(col("vec_id"),
+        transform(sequence(lit(1), lit(64)), i =>
+          ((pmod(xxhash64(col("vec_id"), i), lit(2001L)).cast("float")
+            - 1000.0f) / 1000.0f).cast("float")).as("embedding"))
+      .localCheckpoint(true)
+    timed("append_1shard_2k")(
+      Hnsw.appendToHnswIndex(spark, dir, localBatch))
+    // freshness over the grown corpus proves the batch landed; the
+    // untouched 31 shards carried over as links (zero data bytes)
+    Hnsw.requireFresh(spark, dir,
+      corpus2.select(col("vec_id")).union(localBatch.select(col("vec_id"))))
+    println("shard-localized append landed; staleness guard green")
     spark.stop()
   }
 }
