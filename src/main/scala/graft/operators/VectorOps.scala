@@ -564,6 +564,15 @@ object VectorOps {
   private def retrainInPlace(s: SparkSession, path: String, cells: Int): Unit = {
     val genDir = indexGenDir(s, path)
     val corpus = liveCorpus(s, genDir).select(col("vec_id"), col("embedding"))
+    // loud empty-store guard (the compactHnswIndex convention): a
+    // hand-written full-coverage ledger must not publish a generation
+    // whose corpus holds no rows — every later probe would silently
+    // serve zero neighbors instead of a contract message
+    if (corpus.isEmpty) throw new IllegalStateException(
+      s"compactIvfIndex: every row of the index at $path is " +
+        "tombstoned — a retrain would publish an empty index; " +
+        "writeIvfIndex a new corpus (or delete the index directory) " +
+        "instead")
     val genName = nextGenName(s, path)
     // writeGen's jobs read the old generation's files lazily while the
     // new one is written; the old dirs outlive them (deletion happens
@@ -579,37 +588,70 @@ object VectorOps {
   def compactIvfIndex(s: SparkSession, path: String, cells: Int = 0): Unit =
     retrainInPlace(s, path, cells)
 
-  /** Delete vectors from a written index by id: O(deleted) — the ids
-    * land in a tombstone ledger that every probe anti-joins (bounded by
-    * the threshold), and once the tombstoned fraction of the trained
-    * mass exceeds `rewriteThreshold` the index is rebuilt over its live
-    * rows (one corpus rewrite amortized over many deletes — the same
-    * economics as the dedup maintainer's delta-then-compact cycle).
-    * Unknown ids tombstone harmlessly (nothing to hide). Returns true
-    * iff the physical rewrite ran. */
+  /** Delete vectors from a written index by id: O(deleted) work + one
+    * column-pruned id scan — the ids land in a tombstone ledger that
+    * every probe anti-joins (bounded by the threshold), and once the
+    * tombstoned fraction of the physical corpus exceeds
+    * `rewriteThreshold` the index is rebuilt over its live rows (one
+    * corpus rewrite amortized over many deletes — the same economics
+    * as the dedup maintainer's delta-then-compact cycle). Returns true
+    * iff the physical rewrite ran.
+    *
+    * LEDGER INVARIANT (the round-16 Hnsw discipline): only ids
+    * PHYSICALLY PRESENT in the corpus enter the ledger — a typo'd
+    * delete of a never-indexed id used to "tombstone harmlessly" but
+    * then poisoned that id's future append (the clash check refuses
+    * tombstoned ids) until a FULL RETRAIN, the most expensive
+    * maintenance op the index has. The presence check reads the corpus
+    * `vec_id` column only (the store is cell-partitioned, so an
+    * id-keyed read cannot partition-prune the way the shard-keyed
+    * HNSW delete does — a few percent of the store's bytes, paid per
+    * delete batch, against a retrain it can spare).
+    *
+    * LOUD all-dead guard, BEFORE the ledger write: a batch that would
+    * tombstone every physical row refuses with the fix by name — the
+    * old order wrote the ledger first, and below the threshold the
+    * published index silently served zero neighbors (the Hnsw
+    * round-15 ADVICE medium, same class). */
   def deleteFromIvfIndex(s: SparkSession, path: String, ids: DataFrame,
       rewriteThreshold: Double = 0.2, retrainCells: Int = 0): Boolean = {
     val genDir = indexGenDir(s, path)
     // cast up front: an int-typed caller id column would otherwise write
     // a mixed-type ledger (and break the long-typed reads downstream)
     val incoming = ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+    val present = incoming.join(
+      s.read.parquet(s"$genDir/corpus").select(col("vec_id")),
+      Seq("vec_id"), "left_semi")
     val novel = tombstonesOf(s, genDir)
-      .fold(incoming)(t => incoming.join(t, Seq("vec_id"), "left_anti"))
-    // skip the write when nothing novel is tombstoned: an empty append
-    // would materialize a zero-row ledger whose mere existence taxes
-    // every later probe (anti-join) and append (clash scan) forever
-    if (!novel.isEmpty)
-      novel.write.mode("append").parquet(s"$genDir/tombstones")
-    val nDead = tombstonesOf(s, genDir).map(_.count()).getOrElse(0L)
-    if (nDead == 0L) return false
-    // threshold denominator is the PHYSICAL corpus row count (parquet
-    // footer metadata — no data scan), not the trained cn mass: after
-    // unretrained appends the trained mass undercounts the corpus the
-    // tombstones actually hide rows of, firing rewrites early
-    val total = s.read.parquet(s"$genDir/corpus").count()
-    val rewrite = nDead.toDouble / total > rewriteThreshold
-    if (rewrite) retrainInPlace(s, path, retrainCells)
-    rewrite
+      .fold(present)(t => present.join(t, Seq("vec_id"), "left_anti"))
+      .persist()
+    try {
+      val novelN = novel.count()
+      val existingDead =
+        tombstonesOf(s, genDir).map(_.count()).getOrElse(0L)
+      val nDead = existingDead + novelN
+      if (nDead == 0L) return false
+      // threshold denominator is the PHYSICAL corpus row count (parquet
+      // footer metadata — no data scan), not the trained cn mass: after
+      // unretrained appends the trained mass undercounts the corpus the
+      // tombstones actually hide rows of, firing rewrites early. The
+      // ledger ⊆ physical invariant above is what makes nDead ≥ total
+      // mean exactly "every row dead".
+      val total = s.read.parquet(s"$genDir/corpus").count()
+      if (novelN > 0 && nDead >= total) throw new IllegalStateException(
+        s"deleteFromIvfIndex: this batch would tombstone every row " +
+          s"($nDead of $total) of the index at $path — an all-dead " +
+          "index would silently serve zero neighbors; delete the " +
+          "index directory (or writeIvfIndex a new corpus) instead")
+      // skip the write when nothing novel is tombstoned: an empty append
+      // would materialize a zero-row ledger whose mere existence taxes
+      // every later probe (anti-join) and append (clash scan) forever
+      if (novelN > 0)
+        novel.write.mode("append").parquet(s"$genDir/tombstones")
+      val rewrite = nDead.toDouble / total > rewriteThreshold
+      if (rewrite) retrainInPlace(s, path, retrainCells)
+      rewrite
+    } finally { novel.unpersist(); () }
   }
 
   /** (mean ratio, fraction of batch vectors over `errFactor`) of the

@@ -314,6 +314,53 @@ class IvfIndexSpec extends SparkSpecBase {
         queries, k = 5)))
   }
 
+  test("delete guards: all-dead refuses before the ledger; absent ids no-op") {
+    // the round-16 Hnsw parity pass: (a) a batch that would tombstone
+    // every physical row refuses BEFORE any write — the old order left
+    // a published index whose probes silently served zero rows below
+    // the threshold; (b) a typo'd delete of a never-indexed id used to
+    // enter the ledger and block that id's future append until a FULL
+    // RETRAIN — the ledger now holds only physically-present ids
+    val rnd = new scala.util.Random(23L)
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f).toSeq)
+    }
+    val path = java.nio.file.Files.createTempDirectory("ivf_guard").toString
+    VectorOps.writeIvfIndex(rows.toDF("vec_id", "embedding"), path,
+      cells = 4)
+    val genDir = VectorOps.indexGenDir(spark, path)
+    // (b) absent id: no ledger, and the id appends cleanly afterwards
+    assert(!VectorOps.deleteFromIvfIndex(spark, path,
+      Seq(9999L).toDF("vec_id"), rewriteThreshold = 0.01))
+    assert(!new java.io.File(s"$genDir/tombstones").exists(),
+      "an absent id entered the ledger")
+    assert(!VectorOps.appendToIvfIndex(spark, path,
+      Seq((9999L, rows.head._2)).toDF("vec_id", "embedding")))
+    // (a) deleting every row (plus strays) refuses loudly, pre-ledger
+    // ids 0..49 cover the 40 built rows (40..49 are strays the
+    // presence filter drops); 9999 covers the appended row → all 41
+    // physical rows dead
+    val e = intercept[IllegalStateException](
+      VectorOps.deleteFromIvfIndex(spark, path,
+        (0L until 50L).toSeq.toDF("vec_id")
+          .union(Seq(9999L).toDF("vec_id")),
+        rewriteThreshold = 0.2))
+    assert(e.getMessage.contains("every row"), e.getMessage)
+    val gen2 = VectorOps.indexGenDir(spark, path)
+    assert(!new java.io.File(s"$gen2/tombstones").exists(),
+      "the refused delete leaked a ledger")
+    // probes still serve the full store
+    val q = Seq((0L, rows.head._2)).toDF("qid", "embedding")
+    assert(VectorOps.probeIvfIndex(spark, path, q, k = 3, nprobe = 4)
+      .count() == 3)
+    // (a') hand-torn full-coverage ledger: the retrain refuses loudly
+    spark.read.parquet(s"$gen2/corpus").select(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$gen2/tombstones")
+    val e2 = intercept[IllegalStateException](
+      VectorOps.compactIvfIndex(spark, path, cells = 4))
+    assert(e2.getMessage.contains("empty index"), e2.getMessage)
+  }
+
   test("generation layout: partial builds never serve, torn swaps fail loudly") {
     val path = java.nio.file.Files.createTempDirectory("ivf_gen").toString
     val corpus = graft.sources.Tables.embeddings(spark, sf)
