@@ -749,6 +749,34 @@ class BandJoinRewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("DECIMAL overlap join with MIXED scales rewrites (recast Least/Greatest)") {
+    // the two-sided pattern over decimals of different scales: the
+    // four bounds coerce to different decimal types, so the rewrite's
+    // constructed Least/Greatest/equality nodes must recast to the
+    // band's common type or the optimizer emits unresolved expressions
+    val a = Seq((0L, 1L), (500L, 2L), (2000L, 3L)).toDF("k", "a_id")
+      .repartition(1)
+      .select((col("k").cast("decimal(12,2)") / 100)
+        .cast("decimal(12,2)").as("a_lo"), col("a_id"))
+      .select(col("a_lo"),
+        (col("a_lo") + lit(BigDecimal("7.50"))).as("a_hi"), col("a_id"))
+    val b = Seq((300L, 1L), (800L, 2L), (90000L, 3L)).toDF("k", "b_id")
+      .repartition(1)
+      .select((col("k").cast("decimal(10,2)") / 100)
+        .cast("decimal(12,4)").as("b_lo"), col("b_id"))
+      .select(col("b_lo"),
+        (col("b_lo") + lit(BigDecimal("4.2500"))).as("b_hi"), col("b_id"))
+    val cond = col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi")
+    def rows2(df: DataFrame): Seq[(Long, Long)] =
+      df.select(col("a_id"), col("b_id")).as[(Long, Long)]
+        .collect().sorted.toSeq
+    val j = a.join(b, cond)
+    noNlj(j, "mixed-scale decimal overlap join")
+    val got = rows2(j)
+    assert(got == withRuleOff { rows2(a.join(b, cond)) })
+    assert(got.nonEmpty)
+  }
+
   test("overlap sampling requires BOTH sides sampleable") {
     // one side sits behind an aggregate (not cheap to execute at
     // planning time): a width blind to that side's spans could trip
