@@ -619,16 +619,29 @@ object Hnsw {
       .persist()
     try {
       val novelN = novel.count()
-      val existingDead =
-        tombstonesOf(s, genDir).map(_.count()).getOrElse(0L)
+      val ledger = tombstonesOf(s, genDir)
+      val existingDead = ledger.map(_.count()).getOrElse(0L)
       val nDead = existingDead + novelN
       if (nDead == 0L) return false
       val total = metaCount.getOrElse(countNodes(s, genDir))
-      if (novelN > 0 && nDead >= total) throw new IllegalStateException(
-        s"deleteFromHnswIndex: this batch would tombstone every row " +
-          s"($nDead of $total) of the index at $dir — an all-dead " +
-          "index would silently serve zero neighbors; delete the " +
-          "index directory (or writeIndex a new corpus) instead")
+      // all-dead refusal, count-gated then EXACTLY confirmed: a legacy
+      // (pre-present-only-invariant) ledger can hold never-indexed ids
+      // that inflate nDead past total on a healthy index — so the
+      // count only arms the check, and a first-live-row probe (nodes
+      // anti-join ledger∪batch, O(first surviving row)) decides it
+      if (novelN > 0 && nDead >= total) {
+        val wouldDead = ledger.fold(novel)(novel.union(_)).distinct()
+        val anyLive = s.read.parquet(s"$genDir/nodes")
+          .select(col("node").as("vec_id"))
+          .join(wouldDead, Seq("vec_id"), "left_anti")
+          .limit(1).collect()
+        if (anyLive.isEmpty) throw new IllegalStateException(
+          s"deleteFromHnswIndex: this batch would tombstone every " +
+            s"row ($nDead of $total) of the index at $dir — an " +
+            "all-dead index would silently serve zero neighbors; " +
+            "delete the index directory (or writeIndex a new corpus) " +
+            "instead")
+      }
       // skip empty appends: a zero-row ledger would tax every later
       // probe's broadcast and every append's clash scan forever
       if (novelN > 0)
@@ -742,11 +755,14 @@ object Hnsw {
       .getOrElse(Set.empty[Long])
     // defense in depth behind deleteFromHnswIndex's all-dead refusal:
     // a hand-torn store where EVERY physical row is tombstoned must
-    // refuse loudly, not silently return zero neighbors (legacy
-    // sidecars without a count fall back to one footer count)
+    // refuse loudly, not silently return zero neighbors. Count-gated
+    // (free on healthy stores) then EXACTLY confirmed by a first-
+    // live-row probe — a legacy ledger holding never-indexed ids can
+    // inflate the count past the physical total on a serving index
     val (_, _, _, metaCount) = readMeta(s, genDir)
     if (deadSet.nonEmpty &&
-        deadSet.size >= metaCount.getOrElse(countNodes(s, genDir)))
+        deadSet.size >= metaCount.getOrElse(countNodes(s, genDir)) &&
+        liveIds(s, genDir).limit(1).collect().isEmpty)
       throw new IllegalStateException(
         s"Hnsw index at $dir has every physical row tombstoned — " +
           "probes would silently serve zero neighbors; writeIndex a " +

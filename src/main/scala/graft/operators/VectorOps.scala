@@ -627,22 +627,31 @@ object VectorOps {
       .persist()
     try {
       val novelN = novel.count()
-      val existingDead =
-        tombstonesOf(s, genDir).map(_.count()).getOrElse(0L)
+      val ledger = tombstonesOf(s, genDir)
+      val existingDead = ledger.map(_.count()).getOrElse(0L)
       val nDead = existingDead + novelN
       if (nDead == 0L) return false
       // threshold denominator is the PHYSICAL corpus row count (parquet
       // footer metadata — no data scan), not the trained cn mass: after
       // unretrained appends the trained mass undercounts the corpus the
-      // tombstones actually hide rows of, firing rewrites early. The
-      // ledger ⊆ physical invariant above is what makes nDead ≥ total
-      // mean exactly "every row dead".
+      // tombstones actually hide rows of, firing rewrites early.
       val total = s.read.parquet(s"$genDir/corpus").count()
-      if (novelN > 0 && nDead >= total) throw new IllegalStateException(
-        s"deleteFromIvfIndex: this batch would tombstone every row " +
-          s"($nDead of $total) of the index at $path — an all-dead " +
-          "index would silently serve zero neighbors; delete the " +
-          "index directory (or writeIvfIndex a new corpus) instead")
+      // all-dead refusal, count-gated then EXACTLY confirmed by a
+      // first-live-row probe: a legacy (pre-present-only-invariant)
+      // ledger can hold never-indexed ids that inflate nDead past
+      // total on a healthy index — the count only arms the check
+      if (novelN > 0 && nDead >= total) {
+        val wouldDead = ledger.fold(novel)(novel.union(_)).distinct()
+        val anyLive = s.read.parquet(s"$genDir/corpus")
+          .select(col("vec_id"))
+          .join(wouldDead, Seq("vec_id"), "left_anti")
+          .limit(1).collect()
+        if (anyLive.isEmpty) throw new IllegalStateException(
+          s"deleteFromIvfIndex: this batch would tombstone every row " +
+            s"($nDead of $total) of the index at $path — an all-dead " +
+            "index would silently serve zero neighbors; delete the " +
+            "index directory (or writeIvfIndex a new corpus) instead")
+      }
       // skip the write when nothing novel is tombstoned: an empty append
       // would materialize a zero-row ledger whose mere existence taxes
       // every later probe (anti-join) and append (clash scan) forever

@@ -124,12 +124,17 @@ import org.apache.spark.unsafe.types.CalendarInterval
   *   sample missed a ≥4096×-wider-than-max interval).
   *
   *   The TWO-SIDED overlap rewrite ([[overlapRewrite]]) walks the same
-  *   ladder: structural spans (min over the sides that have one), the
-  *   config width, per-side catalog-stats ranges (min, gated on the
-  *   wider side's spread — [[statsOverlapWidth]]), then per-side
-  *   sampled max spans (min, BOTH sides required — a width blind to
-  *   one side's spans could trip that side's maxBins guard on data the
-  *   sampled side never saw).
+  *   ladder: structural spans (min over the sides that have one — a
+  *   structural span is a per-row CONSTANT, so the wider side's
+  *   explosion is the known constant ratio), the config width,
+  *   per-side catalog-stats UNORDERED ranges (min, gated on the wider
+  *   side's spread — [[statsOverlapWidth]]; stats bound joint ranges,
+  *   not per-row spans, so a wide-side row spanning far beyond the
+  *   compact side's range fails LOUDLY at the runtime maxBins guard
+  *   naming its knobs), then per-side sampled max spans (MAX of the
+  *   two, BOTH sides required — each side's measured spans must fit
+  *   the width, or one outlier row against a narrow-span other side
+  *   would RaiseError a query the naive plan answered).
   *
   * Gated by `spark.graft.rewrite.bandJoin.enabled` (default true).
   * The rule runs inside the operator-optimization fixed point and is
@@ -224,14 +229,19 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
 
   /** `e` recast to the unit's common comparison type when the rewrite
     * must CONSTRUCT a comparison/Least/Greatest over two expressions
-    * that coerced to different decimal types (`Least(DEC(13,4),
-    * DEC(14,4))` would be an unresolved expression — Catalyst requires
-    * exact type agreement in optimizer-built nodes). Identity for
-    * every non-decimal unit, whose operands always share a type. */
+    * that coerced to different types (`Least(DEC(13,4), DEC(14,4))` —
+    * or `Least(BIGINT, INT)` when the two comparisons of an overlap
+    * band coerced to different integral widths — would be an
+    * unresolved expression: Catalyst requires exact type agreement in
+    * optimizer-built nodes). Integrals widen to long (exact), decimals
+    * to the band's scale at precision 18 (exact — [[unitFor]] proved
+    * the fit); date/timestamp units always share one type already. */
   private def toUnitType(e: Expression, unit: BinUnit): Expression =
     unit match {
       case ScaledUnit(s) if e.dataType != DecimalType(18, s) =>
         Cast(e, DecimalType(18, s))
+      case NativeUnit if e.dataType != LongType =>
+        Cast(e, LongType)
       case _ => e
     }
 
@@ -592,7 +602,8 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     * maxBins guard at runtime — overflow throws instead, and the
     * catch falls back to sampling. */
   private def statsRange(side: LogicalPlan, loE: Expression,
-      hiE: Expression, unit: BinUnit): Option[Long] = try {
+      hiE: Expression, unit: BinUnit,
+      unordered: Boolean = false): Option[Long] = try {
     if (!conf.cboEnabled) return None
     def attrOf(e: Expression): Option[Attribute] = e match {
       case a: Attribute => Some(a)
@@ -627,17 +638,33 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
         case _ => None
       }
     }
-    for {
-      loA <- attrOf(loE)
-      hiA <- attrOf(hiE)
-      stats = side.stats
-      loS <- stats.attributeStats.get(loA)
-      hiS <- stats.attributeStats.get(hiA)
-      mn <- loS.min
-      mx <- hiS.max
-      a <- inBinUnit(mn, loA.dataType, roundUp = false)
-      b <- inBinUnit(mx, hiA.dataType, roundUp = true)
-    } yield Math.subtractExact(b, a)
+    def endpoint(e: Expression, wantMax: Boolean): Option[Long] = for {
+      a <- attrOf(e)
+      st <- side.stats.attributeStats.get(a)
+      v <- if (wantMax) st.max else st.min
+      r <- inBinUnit(v, a.dataType, roundUp = wantMax)
+    } yield r
+    if (unordered)
+      // the UNORDERED joint range [min(lo⁻, hi⁻), max(lo⁺, hi⁺)]: the
+      // overlap rewrite normalizes each row through least/greatest, so
+      // an INVERTED row's true span is bounded only by the two
+      // columns' JOINT range — min(lo)..max(hi) alone under-bounds it,
+      // and an under-width means the runtime maxBins RaiseError kills
+      // a query the naive plan answered
+      for {
+        a1 <- endpoint(loE, wantMax = false)
+        a2 <- endpoint(hiE, wantMax = false)
+        b1 <- endpoint(loE, wantMax = true)
+        b2 <- endpoint(hiE, wantMax = true)
+      } yield Math.subtractExact(math.max(b1, b2), math.min(a1, a2))
+    else
+      // ordered form (the one-sided point rewrite, whose pre-filter
+      // drops inverted rows): every surviving row's span is bounded by
+      // max(hi) − min(lo)
+      for {
+        a <- endpoint(loE, wantMax = false)
+        b <- endpoint(hiE, wantMax = true)
+      } yield Math.subtractExact(b, a)
   } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Catalog-stats width for the one-sided point rewrite:
@@ -689,8 +716,12 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
   }
 
   /** Catalog-stats width for the TWO-SIDED overlap rewrite: each
-    * side's own joint `max(hi) − min(lo)` range over-bounds any single
-    * interval's span on that side; the min of the two is the width
+    * side's own UNORDERED joint range `max(lo⁺, hi⁺) − min(lo⁻, hi⁻)`
+    * over-bounds any single interval's least/greatest-normalized span
+    * on that side (the naive predicate admits INVERTED intervals, so
+    * the ordered `max(hi) − min(lo)` alone would under-bound a
+    * sentinel-inverted row and trip the runtime maxBins guard on a
+    * query the naive plan answered); the min of the two is the width
     * (the structural-span convention — finer bins cost exploded rows
     * on the wider side but prune candidate pairs harder). Degeneracy
     * gate, two-sided: the WIDER side's range must spread over ≥
@@ -704,9 +735,9 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       bHi: Expression, unit: BinUnit): Option[Long] = {
     val minBins = conf.getConfString(StatsMinBinsKey, "64").toLong
     for {
-      ra <- statsRange(left, aLo, aHi, unit)
+      ra <- statsRange(left, aLo, aHi, unit, unordered = true)
       if ra > 0
-      rb <- statsRange(right, bLo, bHi, unit)
+      rb <- statsRange(right, bLo, bHi, unit, unordered = true)
       if rb > 0
       w = math.max(1L, math.min(ra, rb))
       if math.max(ra, rb) / w >= minBins
@@ -854,7 +885,13 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
             Greatest(Seq(aLo, aHi)), unit)
           wb <- sampledWidth(right, Least(Seq(bLo, bHi)),
             Greatest(Seq(bLo, bHi)), unit)
-        } yield math.min(wa, wb))
+          // MAX, not min: both sides explode, so the width must cover
+          // EACH side's sampled max span or the wider side's rows trip
+          // the runtime maxBins RaiseError — one inverted/outlier row
+          // against a narrow-span other side would fail a query the
+          // naive plan answered (min would bin finer, but robustness
+          // beats selectivity: coarser bins only cost candidate pairs)
+        } yield math.max(wa, wb))
     } yield {
       def sided(plan: LogicalPlan, lo: Expression, hi: Expression,
           lbName: String, binName: String) = {

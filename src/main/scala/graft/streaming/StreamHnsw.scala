@@ -74,9 +74,19 @@ object StreamHnsw {
     if (!hfs.exists(p)) -1L
     else {
       val in = hfs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString.trim.toLong
-      finally in.close()
+      val raw =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      // a hand-touched/zero-byte ledger must fail with the repair by
+      // name, not a bare NumberFormatException (the GenStore torn-
+      // artifact message convention)
+      try raw.toLong catch {
+        case _: NumberFormatException => throw new IllegalStateException(
+          s"StreamHnsw: ledger $p is corrupt ('$raw' is not a batch " +
+            "id) — delete the file to re-base the stream (replays " +
+            "repair via the applied-batch probe) or restore it from " +
+            "a backup")
+      }
     }
   }
 
@@ -132,10 +142,29 @@ object StreamHnsw {
       // and this maintainer is the dir's only writer, so probing ONE
       // id decides for the whole batch (predicate-pushed point read)
       val probeId = anyRow.head.getLong(0)
-      val applied = s.read
-        .parquet(s"${Hnsw.indexGenDir(s, dir)}/nodes")
+      val nodesDir = s"${Hnsw.indexGenDir(s, dir)}/nodes"
+      val applied = s.read.parquet(nodesDir)
         .filter(col("node") === lit(probeId)).limit(1).count() > 0
-      if (applied) { writeApplied(s, dir, batchId); return false }
+      if (applied) {
+        // the skip is only sound if the WHOLE batch is present — a
+        // MIXED batch (some ids already physical, some fresh: a
+        // re-based stream whose batch boundaries shifted, or a second
+        // writer) violates the single-writer contract and must fail
+        // LOUDLY, never silently drop the fresh ids. Delta-sized
+        // anti-join, paid only on the rare repair path.
+        val missing = vecs.select(col("vec_id"))
+          .join(s.read.parquet(nodesDir).select(col("node").as("vec_id")),
+            Seq("vec_id"), "left_anti")
+          .limit(1).collect()
+        if (missing.nonEmpty) throw new IllegalStateException(
+          s"StreamHnsw: batch $batchId is PARTIALLY present in the " +
+            s"index at $dir (id ${missing.head.get(0)} is new while " +
+            "others are already indexed) — a mixed batch means a " +
+            "re-based stream with shifted batch boundaries or a " +
+            "second writer; rebuild the index (writeIndex) or replay " +
+            "from a checkpoint whose batches align")
+        writeApplied(s, dir, batchId); return false
+      }
       Hnsw.appendToHnswIndex(s, dir, vecs)
     }
     writeApplied(s, dir, batchId)

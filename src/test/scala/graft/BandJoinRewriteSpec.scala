@@ -777,6 +777,71 @@ class BandJoinRewriteSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("overlap with MIXED Int/Long bounds rewrites (recast to long)") {
+    // the two comparisons coerce to different integral widths (one to
+    // BIGINT, one to INT): the rewrite's constructed Least/Greatest
+    // must recast to long or the optimizer emits unresolved nodes —
+    // newly reachable without any conf since the sampled rung
+    // supplies a width for stored bounds
+    val a = Seq((0L, 7, 1L), (5L, 30, 2L), (95L, 101, 3L))
+      .toDF("a_lo", "a_hi", "a_id") // a_lo BIGINT, a_hi INT
+    val b = Seq((3, 10L, 1L), (8, 40L, 2L), (90, 96L, 3L))
+      .toDF("b_lo", "b_hi", "b_id") // b_lo INT, b_hi BIGINT
+    val cond = col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi")
+    def rows2(df: DataFrame): Seq[(Long, Long)] =
+      df.select(col("a_id"), col("b_id")).as[(Long, Long)]
+        .collect().sorted.toSeq
+    val j = a.join(b, cond)
+    noNlj(j, "mixed-width integral overlap join")
+    val got = rows2(j)
+    assert(got == withRuleOff { rows2(a.join(b, cond)) })
+    assert(got.nonEmpty)
+  }
+
+  test("inverted sentinel rows never trip maxBins through the stats rung") {
+    // an inverted row's true (least/greatest-normalized) span is
+    // invisible to the ordered max(hi)−min(lo) stats — a width derived
+    // that way would RaiseError at runtime on a query the naive plan
+    // answered. The unordered joint range must over-bound it (the
+    // stats rung then usually declines as degenerate and sampling —
+    // which samples unordered spans — takes over): the query MUST
+    // return the naive rows, never raise
+    spark.sql("DROP TABLE IF EXISTS bjr_ov_inv_a")
+    spark.sql("DROP TABLE IF EXISTS bjr_ov_inv_b")
+    (Seq((0L, 10L, 1L), (20L, 45L, 2L), (30L, 50L, 3L)) :+
+        ((2000000L, 0L, 90L))) // inverted sentinel: lo ≫ hi
+      .toDF("a_lo", "a_hi", "a_id")
+      .write.mode("overwrite").saveAsTable("bjr_ov_inv_a")
+    ((0L to 64L).map(i => (i * 15000L, i * 15000L + 40L, i)) :+
+        ((-5L, 3000000L, 900L))) // wide row that MATCHES the sentinel
+      .toDF("b_lo", "b_hi", "b_id")
+      .write.mode("overwrite").saveAsTable("bjr_ov_inv_b")
+    spark.sql("ANALYZE TABLE bjr_ov_inv_a COMPUTE STATISTICS " +
+      "FOR COLUMNS a_lo, a_hi")
+    spark.sql("ANALYZE TABLE bjr_ov_inv_b COMPUTE STATISTICS " +
+      "FOR COLUMNS b_lo, b_hi")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val cond = col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi")
+      def rows2(df: DataFrame): Seq[(Long, Long)] =
+        df.select(col("a_id"), col("b_id")).as[(Long, Long)]
+          .collect().sorted.toSeq
+      def joined = spark.table("bjr_ov_inv_a")
+        .join(spark.table("bjr_ov_inv_b"), cond)
+      val got = rows2(joined) // must not raise
+      assert(got == withRuleOff { rows2(joined) })
+      assert(got.nonEmpty)
+      // the inverted sentinel keeps its naive match against the wide
+      // row (a_lo=2e6 < b_hi=3e6 AND b_lo=-5 < a_hi=0)
+      assert(got.contains((90L, 900L)),
+        "the inverted sentinel lost its naive match")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.sql("DROP TABLE IF EXISTS bjr_ov_inv_a")
+      spark.sql("DROP TABLE IF EXISTS bjr_ov_inv_b")
+    }
+  }
+
   test("overlap sampling requires BOTH sides sampleable") {
     // one side sits behind an aggregate (not cheap to execute at
     // planning time): a width blind to that side's spans could trip

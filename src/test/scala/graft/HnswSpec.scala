@@ -356,6 +356,35 @@ class HnswSpec extends SparkSpecBase {
       "hard-linked shards died with the expired generation")
   }
 
+  test("legacy ghost ledgers never false-fire the all-dead guards") {
+    // a pre-round-16 ledger legally holds never-indexed ids ("unknown
+    // ids tombstone harmlessly"); if the count alone decided, 21
+    // ghosts over a 20-row store would refuse every probe and every
+    // delete on a HEALTHY index — the first-live-row confirm must let
+    // both proceed
+    val dir = tmp()
+    Hnsw.writeIndex(emb.limit(20), dir, nShards = 2, m = 4,
+      efConstruction = 8)
+    val genDir = Hnsw.indexGenDir(spark, dir)
+    (20000L until 20021L).toSeq.toDF("vec_id") // 21 ghosts, 20 rows
+      .write.mode("overwrite").parquet(s"$genDir/tombstones")
+    val q1 = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // probes still serve the fully-live store
+    assert(Hnsw.searchStored(spark, dir, q1, k = 3, ef = 8).count() == 3)
+    // a small real delete proceeds (ghosts inflate nDead past total;
+    // the confirm sees 19 live rows) — over the threshold it compacts,
+    // which also purges the ghost ledger
+    val deadId = emb.limit(20).orderBy(col("vec_id").desc)
+      .select(col("vec_id")).limit(1)
+    val rewrote = Hnsw.deleteFromHnswIndex(spark, dir, deadId,
+      rewriteThreshold = 0.2)
+    assert(rewrote, "22/20 ledger entries must trip the 20% threshold")
+    val gen2 = Hnsw.indexGenDir(spark, dir)
+    assert(!new java.io.File(s"$gen2/tombstones").exists())
+    assert(Hnsw.searchStored(spark, dir, q1, k = 3, ef = 8).count() == 3)
+  }
+
   test("staleness guard: a probe against an outgrown corpus refuses loudly") {
     val dir = tmp()
     Hnsw.writeIndex(emb.filter(col("vec_id") < 50), dir,

@@ -99,6 +99,42 @@ class StreamHnswSpec extends SparkSpecBase {
     assert(storeRows(dir) == storeRows(ref))
   }
 
+  test("a MIXED re-based batch fails loudly instead of dropping fresh ids") {
+    // the tear-point-1 repair probes one id; if it hits but the batch
+    // also carries FRESH ids (a re-based stream whose batch boundaries
+    // shifted, or a second writer), skipping would silently drop them
+    // — the whole-batch presence confirm must refuse loudly
+    val dir = tmp()
+    assert(StreamHnsw.maintainBatch(slice(0L, 30L), 0L, dir,
+      nShards = 2, m = 4, efConstruction = 8))
+    // simulate the re-base: ledger deleted, batchIds restart
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(dir, "_hnsw_applied"), false)
+    // a PURE replay (all ids present) repairs silently...
+    assert(!StreamHnsw.maintainBatch(slice(0L, 30L), 0L, dir))
+    hfs.delete(new org.apache.hadoop.fs.Path(dir, "_hnsw_applied"), false)
+    // ...but a mixed batch must refuse, not drop ids 30..40. The probe
+    // samples ONE row nondeterministically, so force the hit: the
+    // batch's first-collected row could be either side — run the call
+    // and require that EITHER it threw the mixed-batch contract OR it
+    // appended everything (the probe sampled a fresh id and the
+    // append's own id contract then refuses the stale ids loudly)
+    val mixed = slice(0L, 5L).union(slice(30L, 40L))
+    val e = intercept[Exception](
+      StreamHnsw.maintainBatch(mixed, 0L, dir))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).filter(_ != null).toSeq
+    assert(msgs.exists(m => m.contains("PARTIALLY present") ||
+      m.contains("does not exceed")), e.toString)
+    // nothing was silently skipped: the store is exactly batch 0
+    val ref = tmp()
+    Hnsw.writeIndex(slice(0L, 30L), ref, nShards = 2, m = 4,
+      efConstruction = 8)
+    assert(storeRows(dir) == storeRows(ref),
+      "the refused mixed batch mutated the store")
+  }
+
   test("same vec_id with two different vectors fails loudly, nothing publishes") {
     val dir = tmp()
     assert(StreamHnsw.maintainBatch(slice(0L, 20L), 0L, dir,
