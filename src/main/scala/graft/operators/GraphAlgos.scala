@@ -66,7 +66,11 @@ object GraphAlgos {
         least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    var e = und.transform(Iterate.ckpt)
+    // fused checkpoints (Iterate.ckptFused): each round's survivor
+    // count is a full scan over the just-restricted edge list, so it
+    // doubles as the checkpoint materializer — one job per peel round
+    // instead of two (same for the bootstrap count below).
+    var e = und.transform(Iterate.ckptFused)
     var nPrev = e.select(explode(array(col("a"), col("b"))).as("node"))
       .distinct().count()
     var rounds = 0
@@ -87,7 +91,7 @@ object GraphAlgos {
       else {
         e = e.join(keep.select(col("node").as("a")), "a")
           .join(keep.select(col("node").as("b")), "b")
-          .select(col("a"), col("b")).transform(Iterate.ckpt)
+          .select(col("a"), col("b")).transform(Iterate.ckptFused)
         nPrev = nKeep
         done = nKeep == 0L
       }
@@ -172,15 +176,20 @@ object GraphAlgos {
         s"${seeds.columns.mkString("(", ", ", ")")}")
     val dir = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
+    // fused checkpoints (Iterate.ckptFused): the duplicate-seed guard
+    // below is an aggregate over seedL (a pipeline breaker — the limit
+    // cannot bypass the groupBy), so its one job materializes both nbr
+    // and seedL; each round's labels checkpoint materializes inside its
+    // single consumer (the next round's vote join, or the final action)
     val nbr = dir.union(dir.select(col("dst").as("src"),
         col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
-      .repartition(col("src")).transform(Iterate.ckpt)
+      .repartition(col("src")).transform(Iterate.ckptFused)
     val Seq(nc, lc) = seeds.columns.toSeq
     val seedL = nbr.select(col("src").as("node")).distinct()
       .join(seeds.select(col(nc).cast("long").as("node"),
         col(lc).cast("string").as("label")).distinct(), "node")
-      .transform(Iterate.ckpt)
+      .transform(Iterate.ckptFused)
     // two labels on one seed node would make "frozen" ambiguous — a
     // data bug the spread must refuse, not arbitrate
     require(seedL.groupBy(col("node")).count()
@@ -199,7 +208,7 @@ object GraphAlgos {
       labels = seedL
         .union(voted.join(seedL.select(col("node")), Seq("node"),
           "left_anti"))
-        .transform(Iterate.ckpt)
+        .transform(Iterate.ckptFused)
     }
     labels
   }
@@ -225,15 +234,21 @@ object GraphAlgos {
       scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 100, s"GraphAlgos: bad iters $iters")
     require(scale >= 100L, s"GraphAlgos: bad scale $scale")
+    // fused checkpoints throughout (Iterate.ckptFused): each half-step's
+    // rescale max is a full scan of the just-built sum table, so it
+    // doubles as that checkpoint's materializer — and the setup frames
+    // (e, nodes, the seed ah) materialize inside iteration 1's first
+    // max job, each with a single consumer per job. Two jobs per
+    // iteration instead of four.
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .repartition(col("src")).transform(Iterate.ckpt)
+      .repartition(col("src")).transform(Iterate.ckptFused)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .transform(Iterate.ckpt)
+      .transform(Iterate.ckptFused)
     var ah = nodes.withColumn("auth", lit(scale))
-      .withColumn("hub", lit(scale)).transform(Iterate.ckpt)
+      .withColumn("hub", lit(scale)).transform(Iterate.ckptFused)
     // Per iteration: TWO checkpoints, both bounded by the count of
     // nodes that actually receive mass (the raw sum tables), never the
     // padded all-nodes table, and NO checkpoint of the joined (auth,
@@ -247,7 +262,7 @@ object GraphAlgos {
     for (_ <- 1 to iters) {
       val a2 = e.join(ah.select(col("node").as("src"), col("hub")), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("av"))
-        .transform(Iterate.ckpt)
+        .transform(Iterate.ckptFused)
       val amax = a2.agg(coalesce(max(col("av")), lit(0L))).head.getLong(0)
       val aq = math.max(1L, amax / scale)
       val aNorm = nodes.join(a2, Seq("node"), "left")
@@ -256,7 +271,7 @@ object GraphAlgos {
       val h2 = e.join(aNorm.select(col("node").as("dst"), col("auth")),
           "dst")
         .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hv"))
-        .transform(Iterate.ckpt)
+        .transform(Iterate.ckptFused)
       val hmax = h2.agg(coalesce(max(col("hv")), lit(0L))).head.getLong(0)
       val hq = math.max(1L, hmax / scale)
       ah = nodes

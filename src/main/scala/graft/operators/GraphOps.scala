@@ -250,8 +250,15 @@ object GraphOps {
     // guards the driver-side product (overflows Long past ~6e11 nodes)
     val seedBase = ((BigInt(15) * scale * n) / (BigInt(100) * nSeeds))
       .toLong
-    var ranks = nodes.withColumn("rank", lit(scale)).transform(Iterate.ckpt)
-    for (_ <- 1 to iters) {
+    // fused checkpoints (Iterate.ckptFused): each iteration's dangling-
+    // mass aggregate is a full scan of the just-built rank table, so it
+    // doubles as the checkpoint materializer — one job per iteration
+    // instead of two. The LAST iteration checkpoints eagerly: its blocks
+    // must exist before nodes/linksrc unpersist below, or the caller's
+    // first action would silently recompute both uncached.
+    var ranks = nodes.withColumn("rank", lit(scale))
+      .transform(if (truncate) Iterate.ckptFused else Iterate.ckpt)
+    for (it <- 1 to iters) {
       val dang = ranks.filter(!col("hasout"))
         .agg(coalesce(sum(col("rank")), lit(0L))).head.getLong(0)
       val addD = dang / nSeeds
@@ -265,7 +272,9 @@ object GraphOps {
             expr(s"(85L * (coalesce(s, 0L) + " +
               s"(CASE WHEN seed THEN ${addD}L ELSE 0L END))) div 100L"))
             .as("rank"))
-      ranks = if (truncate) next.transform(Iterate.ckpt) else next
+      ranks = if (!truncate) next
+        else if (it < iters) next.transform(Iterate.ckptFused)
+        else next.transform(Iterate.ckpt)
     }
     nodes.unpersist()
     linksrc.unpersist()

@@ -167,8 +167,11 @@ object IntervalJoin {
         .select(col("o_orderkey").as("camp_id"),
           unix_timestamp(col("o_orderdate")).as("lo"),
           (unix_timestamp(col("o_orderdate")) + lit(5L * 86400L)).as("hi"))
-      val pts = Tables.lineitem(s, d)
-        .select(unix_timestamp(col("l_shipdate")).as("x"), col("l_quantity"))
+      // spread: the testdata scan is a single split, so the per-row bin
+      // compute + probe would run one-core; a no-op at cluster scale
+      // (Tables.spread only widens scans below defaultParallelism)
+      val pts = Tables.spread(Tables.lineitem(s, d)
+        .select(unix_timestamp(col("l_shipdate")).as("x"), col("l_quantity")))
       pointInInterval(pts, "x", camp, "lo", "hi", binWidth = 86400L)
         .groupBy(col("camp_id"))
         .agg(count(lit(1)).as("n_shipped"), dsum(col("l_quantity")).as("sum_qty"))
@@ -216,8 +219,11 @@ object IntervalJoin {
         .select(col("o_orderkey").as("camp_id"),
           unix_timestamp(col("o_orderdate")).as("lo"),
           (unix_timestamp(col("o_orderdate")) + lit(4L * 86400L)).as("hi"))
-      val pts = Tables.lineitem(s, d)
-        .select(unix_timestamp(col("l_shipdate")).as("x"), col("l_quantity"))
+      // spread on the POINT side only (the rewrite samples/pattern-walks
+      // the interval side; a Repartition there would defeat
+      // cheapToSample) — still the naive join, just a full-width scan
+      val pts = Tables.spread(Tables.lineitem(s, d)
+        .select(unix_timestamp(col("l_shipdate")).as("x"), col("l_quantity")))
       pts.join(camp, col("x") >= col("lo") && col("x") < col("hi"))
         .groupBy(col("camp_id"))
         .agg(count(lit(1)).as("n_shipped"), dsum(col("l_quantity")).as("sum_qty"))
@@ -245,9 +251,9 @@ object IntervalJoin {
           pmod(col("o_orderkey"), lit(6)) === lit(0))
         .select(unix_timestamp(col("o_orderdate")).as("lo"),
           (unix_timestamp(col("o_orderdate")) + lit(3L * 86400L)).as("hi"))
-      val pts = Tables.lineitem(s, d)
+      val pts = Tables.spread(Tables.lineitem(s, d)
         .select(unix_timestamp(col("l_shipdate")).as("x"),
-          col("l_returnflag"), col("l_quantity"))
+          col("l_returnflag"), col("l_quantity")))
       pts.join(camp, col("x") >= col("lo") && col("x") < col("hi"),
           "left_semi")
         .groupBy(col("l_returnflag"))
@@ -272,9 +278,9 @@ object IntervalJoin {
           (unix_timestamp(col("o_orderdate")) +
             (lit(1L) + pmod(col("o_orderkey"), lit(5L))) * lit(86400L))
             .as("hi"))
-      val pts = Tables.lineitem(s, d)
+      val pts = Tables.spread(Tables.lineitem(s, d)
         .select(unix_timestamp(col("l_shipdate")).as("x"),
-          col("l_quantity"))
+          col("l_quantity")))
       pts.join(camp, col("x") >= col("lo") && col("x") < col("hi"))
         .groupBy(col("camp_id"))
         .agg(count(lit(1)).as("n_shipped"),
@@ -299,8 +305,8 @@ object IntervalJoin {
         .select(col("o_orderkey").as("camp_id"),
           to_date(col("o_orderdate")).as("lo"),
           date_add(to_date(col("o_orderdate")), 4).as("hi"))
-      val pts = Tables.lineitem(s, d)
-        .select(to_date(col("l_shipdate")).as("d"), col("l_quantity"))
+      val pts = Tables.spread(Tables.lineitem(s, d)
+        .select(to_date(col("l_shipdate")).as("d"), col("l_quantity")))
       pts.join(camp, col("d") >= col("lo") && col("d") < col("hi"))
         .groupBy(col("camp_id"))
         .agg(count(lit(1)).as("n_shipped"),
@@ -354,11 +360,11 @@ object IntervalJoin {
             * lit(BigDecimal("0.01"))).as("lo"))
         .select(col("band_id"), col("lo"),
           (col("lo") + lit(BigDecimal("0.05"))).as("hi"))
-      val pts = Tables.lineitem(s, d)
+      val pts = Tables.spread(Tables.lineitem(s, d)
         .select((pmod(col("l_orderkey") * 7 + col("l_suppkey"),
             lit(100000L)).cast("decimal(10,0)")
             * lit(BigDecimal("0.01"))).as("x"),
-          col("l_quantity"))
+          col("l_quantity")))
       pts.join(bands, col("x") >= col("lo") && col("x") < col("hi"))
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n_in_band"),

@@ -53,6 +53,36 @@ object Iterate {
     * `.localCheckpoint(true)` it replaces. */
   val ckpt: DataFrame => DataFrame = checkpoint(_, eager = true)
 
+  /** FUSED loop-body form for the common "checkpoint, then immediately
+    * run a full-scan driver action" iteration shape (the dangling-mass
+    * sum in PageRank, the survivor count in k-core, the rescale max in
+    * HITS, the convergence checksum the CC loop already fuses this
+    * way): in `local` mode the checkpoint is marked LAZILY, so the
+    * scalar action's own job computes and caches the blocks — one job
+    * per iteration instead of two, with identical results (the blocks
+    * land exactly once either way; the round-17 fusion measured ~1.4×
+    * on the PageRank family at sf0.1, where per-job scheduling latency
+    * dominates tiny-data iterations, and is latency-neutral at scale).
+    * Under `reliable` mode this stays EAGER: a lazy reliable checkpoint
+    * re-executes the plan when the checkpoint file is written (the
+    * classic double-compute), which costs strictly more at cluster
+    * scale than the one scalar job the fusion would save.
+    *
+    * Use ONLY when a full-partition-scan action (aggregate/count over
+    * the whole frame, a dependent next iteration, or the final output
+    * action) follows before any multi-consumer fan-out: an action that
+    * touches a subset of partitions (`limit(1)`) materializes only what
+    * it reads, and two consumers racing an unmaterialized checkpoint
+    * inside one job can compute a partition twice — the eager form is
+    * the right tool there. */
+  val ckptFused: DataFrame => DataFrame = df => {
+    val s = df.sparkSession
+    s.conf.getOption(ModeKey).getOrElse("local") match {
+      case "local" => df.localCheckpoint(false)
+      case _ => checkpoint(df, eager = true)
+    }
+  }
+
   def checkpoint(df: DataFrame, eager: Boolean): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption(ModeKey).getOrElse("local") match {

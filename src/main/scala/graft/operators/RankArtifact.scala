@@ -223,11 +223,16 @@ object RankArtifact {
     val covered = coveredTags(s, genDir, meta)
     val genName = gens.nextGenName(s, rankDir)
     val newDir = s"$rankDir/$genName"
-    for (i <- 1 to meta.iters)
+    // the per-iteration folds are INDEPENDENT reads of disjoint
+    // base/delta iter dirs — submit them concurrently (guide §2.6:
+    // overlap independent jobs) instead of serializing `iters` write
+    // jobs; each job's work is unchanged
+    parallelJobs(s, (1 to meta.iters).map { i => () =>
       withBucket(resolvedIter(s, genDir, meta, deltas, i, None),
           meta.nBuckets)
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$newDir/base/iter=$i")
+    })
     val (eg, tags) = newCoverage.getOrElse((meta.edgeGen, covered))
     writeSmall(s, new Path(newDir, MetaName),
       metaBody(Meta(meta.iters, meta.scale, meta.nBuckets, eg, tags)))
@@ -235,6 +240,25 @@ object RankArtifact {
   }
 
   private def teleOf(scale: Long): Long = (BigInt(15) * scale / 100).toLong
+
+  /** Run independent Spark jobs concurrently from a bounded pool and
+    * wait for all — the §2.6 overlap for the artifact's per-iteration
+    * folds/overlay writes, which read disjoint inputs and write
+    * disjoint directories. Failures propagate (first one wins). */
+  private def parallelJobs(s: SparkSession,
+      work: Seq[() => Unit]): Unit = {
+    if (work.length <= 1) { work.foreach(_()); return }
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(work.length, 4))
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try Await.result(
+      Future.sequence(work.map(w => Future(w()))), Duration.Inf)
+    finally pool.shutdown()
+    ()
+  }
 
   /** Full compute from the edge artifact — the bootstrap AND the rank
     * compaction (overlay history of the superseded generation is gone).
@@ -311,12 +335,17 @@ object RankArtifact {
     val tele = teleOf(meta.scale)
     // endpoints whose degree/membership changed; removed = no longer in
     // the graph (all incident edges deleted)
+    // fused checkpoints (Iterate.ckptFused) throughout the refresh:
+    // every hop/set below is checkpointed and then immediately counted
+    // (the ball-cap/fixpoint logic needs the scalar anyway), so the
+    // count job doubles as the materializer — one job per step, not two
     val touched0 = GraphArtifact.touchedBy(s, edgesDir, newTags)
-      .transform(Iterate.ckpt)
+      .transform(Iterate.ckptFused)
     val touched0N = touched0.count()
     val touched = GraphArtifact
       .adjacencyFor(s, edgesDir, touched0, Some(touched0N))
-      .select(col("src").as("node")).distinct().transform(Iterate.ckpt)
+      .select(col("src").as("node")).distinct()
+      .transform(Iterate.ckptFused)
     val removed = touched0.join(touched, Seq("node"), "left_anti")
       .transform(Iterate.ckpt)
 
@@ -347,7 +376,7 @@ object RankArtifact {
       val grown = touched.union(
           GraphArtifact.adjacencyFor(s, edgesDir, ball, Some(ballN))
             .select(col("dst").as("node")))
-        .distinct().transform(Iterate.ckpt)
+        .distinct().transform(Iterate.ckptFused)
       val grownN = grown.count()
       if (grownN == ballN) hop = meta.iters // fixed point: done early
       else { ball = grown; ballN = grownN; hop += 1 }
@@ -359,9 +388,9 @@ object RankArtifact {
     }
     val tAdj = GraphArtifact.adjacencyFor(s, edgesDir, ball, Some(ballN))
       .select(col("src").as("v"), col("dst").as("u"))
-      .transform(Iterate.ckpt)
+      .transform(Iterate.ckptFused)
     val uSet = ball.union(tAdj.select(col("u").as("node"))).distinct()
-      .transform(Iterate.ckpt)
+      .transform(Iterate.ckptFused)
     val uSetN = uSet.count()
     val degU = GraphArtifact.adjacencyFor(s, edgesDir, uSet, Some(uSetN))
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
@@ -392,10 +421,13 @@ object RankArtifact {
     val dtag = f"d${deltas.size}%06d"
     val tmp = new Path(genDir, s".delta_tmp_$dtag")
     if (hfs.exists(tmp)) hfs.delete(tmp, true)
-    outVals.zipWithIndex.foreach { case (vals, idx) =>
+    // outVals are all eagerly checkpointed above, so the per-iteration
+    // overlay writes are independent reads of disjoint cached blocks —
+    // overlap them (§2.6) instead of serializing `iters` write jobs
+    parallelJobs(s, outVals.zipWithIndex.map { case (vals, idx) => () =>
       withBucket(vals, meta.nBuckets).write.mode("overwrite")
         .partitionBy("bucket").parquet(s"$tmp/iter=${idx + 1}")
-    }
+    }.toSeq)
     if (!removed.isEmpty)
       withBucket(removed, meta.nBuckets).write.mode("overwrite")
         .parquet(s"$tmp/removed")
