@@ -373,6 +373,35 @@ object Hnsw {
   private def countNodes(s: SparkSession, genDir: String): Long =
     s.read.parquet(s"$genDir/nodes").count()
 
+  /** nShards of a generation's meta (internal: the streaming
+    * maintainer prunes its repair probes to the one hash shard). */
+  private[graft] def nShardsOf(s: SparkSession, genDir: String): Int =
+    readMeta(s, genDir)._1
+
+  // A PUBLISHED generation's nodes store is immutable (append/compact
+  // write a NEW generation; tombstones live beside the nodes, never in
+  // them), so a legacy sidecar's footer count can be memoized per
+  // generation dir instead of re-paid by every probe (round-16 ADVICE:
+  // a pre-round-16 store with tombstones paid a full-store countNodes
+  // per searchStored call — exactly the stores the meta count was
+  // added to spare). Bounded LRU; entries die with the JVM.
+  private val legacyCounts =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+          size > 64
+      })
+  private def countNodesCached(s: SparkSession, genDir: String): Long = {
+    val hit = legacyCounts.get(genDir)
+    if (hit != null) hit.longValue()
+    else {
+      val n = countNodes(s, genDir)
+      legacyCounts.put(genDir, java.lang.Long.valueOf(n))
+      n
+    }
+  }
+
   /** Persist the index: `gen=N/nodes/shard=K/`, meta sidecar last. */
   def writeIndex(vectors: DataFrame, dir: String, nShards: Int = 8,
       m: Int = 8, efConstruction: Int = 32): Unit = {
@@ -464,7 +493,20 @@ object Hnsw {
         java.nio.file.Files.createLink(
           java.nio.file.Paths.get(dst.toUri.getPath),
           java.nio.file.Paths.get(src.toUri.getPath))
-        ()
+        // the enumeration above goes through the ChecksumFileSystem,
+        // which HIDES the .crc sidecars — link each file's sidecar too,
+        // or carried-forward generations silently lose local-FS
+        // checksum verification (the copy path used to regenerate
+        // them). Same bytes, same name ⇒ the linked sidecar stays valid.
+        val crcSrc = java.nio.file.Paths.get(
+          new Path(src.getParent, s".${src.getName}.crc").toUri.getPath)
+        if (java.nio.file.Files.exists(crcSrc)) {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(
+              new Path(dst.getParent, s".${dst.getName}.crc").toUri.getPath),
+            crcSrc)
+          ()
+        }
       }
     }
     names.foreach { n =>
@@ -623,7 +665,7 @@ object Hnsw {
       val existingDead = ledger.map(_.count()).getOrElse(0L)
       val nDead = existingDead + novelN
       if (nDead == 0L) return false
-      val total = metaCount.getOrElse(countNodes(s, genDir))
+      val total = metaCount.getOrElse(countNodesCached(s, genDir))
       // all-dead refusal, count-gated then EXACTLY confirmed: a legacy
       // (pre-present-only-invariant) ledger can hold never-indexed ids
       // that inflate nDead past total on a healthy index — so the
@@ -761,7 +803,7 @@ object Hnsw {
     // inflate the count past the physical total on a serving index
     val (_, _, _, metaCount) = readMeta(s, genDir)
     if (deadSet.nonEmpty &&
-        deadSet.size >= metaCount.getOrElse(countNodes(s, genDir)) &&
+        deadSet.size >= metaCount.getOrElse(countNodesCached(s, genDir)) &&
         liveIds(s, genDir).limit(1).collect().isEmpty)
       throw new IllegalStateException(
         s"Hnsw index at $dir has every physical row tombstoned — " +

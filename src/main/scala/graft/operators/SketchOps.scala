@@ -91,6 +91,10 @@ object SketchOps {
     // column) — no rounding/decimal layer between Spark and the oracle, so
     // the hash compare is bit-exact by construction.
     "q62_quantile_sketch" -> ((s, d) => {
+      // (round-17 note: spreading the scan was tried and measured SLOWER
+      // — the cost here is the per-returnflag cumulative window over the
+      // ~600k distinct values, whose parallelism is bounded by the group
+      // count, not by the scan width)
       val exact = percentileDisc(
         Tables.lineitem(s, d), col("l_returnflag"), col("l_extendedprice"),
         Map("p50" -> 0.5, "p99" -> 0.99))

@@ -142,9 +142,18 @@ object StreamHnsw {
       // and this maintainer is the dir's only writer, so probing ONE
       // id decides for the whole batch (predicate-pushed point read)
       val probeId = anyRow.head.getLong(0)
-      val nodesDir = s"${Hnsw.indexGenDir(s, dir)}/nodes"
+      val genDir = Hnsw.indexGenDir(s, dir)
+      val nodesDir = s"$genDir/nodes"
+      // prune the point probe to the id's hash shard (partition
+      // filter): an unpruned equality read touches every shard's
+      // footers/row-group stats per micro-batch — the O(store) term
+      // the O(affected-shards) streaming-append posture forbids
+      // (round-16 ADVICE #1)
+      val nSh = Hnsw.nShardsOf(s, genDir).toLong
       val applied = s.read.parquet(nodesDir)
-        .filter(col("node") === lit(probeId)).limit(1).count() > 0
+        .filter(col("shard") === pmod(xxhash64(lit(probeId)), lit(nSh)) &&
+          col("node") === lit(probeId))
+        .limit(1).count() > 0
       if (applied) {
         // the skip is only sound if the WHOLE batch is present — a
         // MIXED batch (some ids already physical, some fresh: a
@@ -152,8 +161,16 @@ object StreamHnsw {
         // writer) violates the single-writer contract and must fail
         // LOUDLY, never silently drop the fresh ids. Delta-sized
         // anti-join, paid only on the rare repair path.
+        // same pruning for the repair path's whole-batch presence
+        // check: the batch's ids hash into a bounded shard set, so the
+        // anti-join's store read carries a partition filter
+        val batchShards = vecs
+          .select(pmod(xxhash64(col("vec_id")), lit(nSh)).as("shard"))
+          .distinct().collect().map(_.getLong(0)).toSeq
         val missing = vecs.select(col("vec_id"))
-          .join(s.read.parquet(nodesDir).select(col("node").as("vec_id")),
+          .join(s.read.parquet(nodesDir)
+              .filter(col("shard").isin(batchShards: _*))
+              .select(col("node").as("vec_id")),
             Seq("vec_id"), "left_anti")
           .limit(1).collect()
         if (missing.nonEmpty) throw new IllegalStateException(
