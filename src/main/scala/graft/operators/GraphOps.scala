@@ -322,12 +322,21 @@ object GraphOps {
       struct(col("dega"), col("a")) < struct(col("degb"), col("b"))
     // tk = the target's (deg, id) order key, so wedge endpoints can be
     // ordered without re-joining the degree table
+    // spread AFTER the checkpoint: AQE coalesces the tiny materialized
+    // table to one block, and the wedge enumeration below — the O(m^1.5)
+    // stage, the only superlinear work in the operator — would then run
+    // as ONE task (measured 2.4-3.3 s single-core at sf0.1 across
+    // q129/q137/q139). spread reads the checkpoint's actual width (no
+    // recompute) and is a no-op once the edge list is wide (cluster
+    // scale); the one widening exchange is reused by all three
+    // consumers of `oriented` in the wedge/close joins.
     val oriented = withDeg.select(
         when(aFirst, col("a")).otherwise(col("b")).as("s"),
         when(aFirst, col("b")).otherwise(col("a")).as("t"),
         when(aFirst, struct(col("degb").as("d"), col("b").as("n")))
           .otherwise(struct(col("dega").as("d"), col("a").as("n"))).as("tk"))
       .transform(Iterate.ckpt)
+      .transform(Tables.spread)
     val wedges = oriented.select(col("s"), col("t").as("u"), col("tk").as("uk"))
       .join(oriented.select(col("s"), col("t").as("v"), col("tk").as("vk")),
         "s")

@@ -251,9 +251,12 @@ object IntervalJoin {
           pmod(col("o_orderkey"), lit(6)) === lit(0))
         .select(unix_timestamp(col("o_orderdate")).as("lo"),
           (unix_timestamp(col("o_orderdate")) + lit(3L * 86400L)).as("hi"))
-      val pts = Tables.spread(Tables.lineitem(s, d)
+      // (round-17: spreading this scan was tried and measured slower —
+      // the semi probe emits each point at most once, so the per-row
+      // work is too small to amortize the widening exchange)
+      val pts = Tables.lineitem(s, d)
         .select(unix_timestamp(col("l_shipdate")).as("x"),
-          col("l_returnflag"), col("l_quantity")))
+          col("l_returnflag"), col("l_quantity"))
       pts.join(camp, col("x") >= col("lo") && col("x") < col("hi"),
           "left_semi")
         .groupBy(col("l_returnflag"))
@@ -360,11 +363,14 @@ object IntervalJoin {
             * lit(BigDecimal("0.01"))).as("lo"))
         .select(col("band_id"), col("lo"),
           (col("lo") + lit(BigDecimal("0.05"))).as("hi"))
-      val pts = Tables.spread(Tables.lineitem(s, d)
+      // (round-17: spreading this scan was tried and measured slower —
+      // the 0.05-wide bands match few points, so the probe is too cheap
+      // to amortize the widening exchange)
+      val pts = Tables.lineitem(s, d)
         .select((pmod(col("l_orderkey") * 7 + col("l_suppkey"),
             lit(100000L)).cast("decimal(10,0)")
             * lit(BigDecimal("0.01"))).as("x"),
-          col("l_quantity")))
+          col("l_quantity"))
       pts.join(bands, col("x") >= col("lo") && col("x") < col("hi"))
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n_in_band"),

@@ -130,8 +130,11 @@ object TextOps {
     // minimum), microseconds of CPU. Above the gate — the 100 TB shape —
     // the distributed O(log n) star loop below runs unchanged; the
     // property spec pins both paths against each other.
+    // lazy + immediate count: the size-gate count is a full scan, so it
+    // doubles as the checkpoint materializer (one job, the CC loop's own
+    // checksum-fusion discipline)
     val canonEdges = loopCheckpoint(
-      canon(edges.select(col("a").as("u"), col("b").as("v"))), eager = true)
+      canon(edges.select(col("a").as("u"), col("b").as("v"))), eager = false)
     if (canonEdges.count() <= localMaxEdges)
       return localUnionFind(canonEdges)
     var e = canonEdges
