@@ -848,16 +848,27 @@ object VectorOps {
       batch.withColumn("iv", intVec(col("embedding"))), c2)
       .select(col("vec_id"), col("embedding"), col("iv"), col("cell"))
       .persist()
+    // batch size AND drift ratios are taken BEFORE the corpus write:
+    // appending into $genDir/corpus makes Spark recache-by-path every
+    // cached plan that READS that path — and a streaming append's batch
+    // is derived from the index's own id ledger (an anti-join against
+    // this corpus), so the post-write recache re-executes it to EMPTY.
+    // The count doubles as the persist's materializer, so the write
+    // below reads the cached pre-write snapshot. (The old order also
+    // silently disabled the qerr drift signal for exactly those
+    // index-derived batches — errRatios ran on the recached frame.)
+    val batchN = assigned.count()
+    val errStats = errRatios(c2, assigned, errFactor)
     // range the append too: a small batch otherwise scatters up to
     // n·touchedCells tiny files into the generation per append
     assigned.repartitionByRange(col("cell"), col("vec_id"))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$genDir/corpus")
     val trained = c2.agg(sum(col("cn"))).head().getLong(0)
-    val total = oldTotal + assigned.count()
+    val total = oldTotal + batchN
     stampGenCount(s, genDir, total)
     val massDrift = (total - trained).toDouble / trained > retrainThreshold
-    val errDrift = errRatios(c2, assigned, errFactor).exists {
+    val errDrift = errStats.exists {
       case (mean, frac) => mean > errFactor || frac >= driftFrac
     }
     assigned.unpersist()
